@@ -1,0 +1,501 @@
+"""Single-node exact HDBSCAN* kernel (numpy).
+
+Semantics follow the reference implementation
+(``源代码/hdbscanstar/HDBSCANStar.java``, ``Cluster.java``,
+``UndirectedGraph.java``; cited per function below) with the
+paper-formula fixes of SURVEY.md §2.9. The hierarchy is built
+bottom-up (union-find over ascending edge weights, tie groups merged
+as one event) which is provably equivalent to the reference's
+top-down tied-edge removal (``HDBSCANStar.java:208-492``) but runs in
+O(E α(V)) instead of O(V·levels).
+
+This kernel is (a) the exact leaf path for subsets ≤ max_local_size,
+run per-group via applyInPandas, and (b) the driver-side global
+dendrogram step over the merged edge set.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Distances (numpy twins of bubbles.functions.distances column builders).
+# Reference: 源代码/distance/*.java (5 strategy classes).
+# ---------------------------------------------------------------------------
+
+
+def _rows_euclidean(X: np.ndarray, x: np.ndarray) -> np.ndarray:
+    d = X - x
+    return np.sqrt(np.einsum("ij,ij->i", d, d))
+
+
+def _rows_manhattan(X: np.ndarray, x: np.ndarray) -> np.ndarray:
+    return np.abs(X - x).sum(axis=1)
+
+
+def _rows_chebyshev(X: np.ndarray, x: np.ndarray) -> np.ndarray:
+    return np.abs(X - x).max(axis=1)
+
+
+def _rows_cosine(X: np.ndarray, x: np.ndarray) -> np.ndarray:
+    # 1 - (x·y)/(|x||y|), ref 源代码/distance/CosineSimilarity.java:28-40
+    num = X @ x
+    den = np.sqrt(np.einsum("ij,ij->i", X, X)) * np.sqrt(x @ x)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = 1.0 - num / den
+    return np.where(den == 0, 1.0, out)
+
+
+def _rows_pearson(X: np.ndarray, x: np.ndarray) -> np.ndarray:
+    # 1 - cov(x,y)/(σx σy) over vector components,
+    # ref 源代码/distance/PearsonCorrelation.java:28-55
+    Xc = X - X.mean(axis=1, keepdims=True)
+    xc = x - x.mean()
+    num = Xc @ xc
+    den = np.sqrt(np.einsum("ij,ij->i", Xc, Xc)) * np.sqrt(xc @ xc)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = 1.0 - num / den
+    return np.where(den == 0, 1.0, out)
+
+
+ROW_DISTANCES = {
+    "euclidean": _rows_euclidean,
+    "manhattan": _rows_manhattan,
+    "chebyshev": _rows_chebyshev,
+    "cosine": _rows_cosine,
+    "pearson": _rows_pearson,
+}
+
+
+def pairwise_distances(X: np.ndarray, metric: str = "euclidean") -> np.ndarray:
+    """Full symmetric distance matrix (small n only — leaf kernels)."""
+    fn = ROW_DISTANCES[metric]
+    n = X.shape[0]
+    D = np.empty((n, n), dtype=np.float64)
+    for i in range(n):
+        D[i] = fn(X, X[i])
+    np.fill_diagonal(D, 0.0)
+    return D
+
+
+# ---------------------------------------------------------------------------
+# Core distances. Reference: HDBSCANStar.java:71-106 — the k-1 smallest
+# distances *including the self distance 0* are kept; the core distance is
+# the last of them, i.e. sorted_row[k-2] with the diagonal 0 present.
+# ---------------------------------------------------------------------------
+
+
+def core_distances(X: np.ndarray, k: int, metric: str = "euclidean") -> np.ndarray:
+    n = X.shape[0]
+    if k <= 1:
+        return np.zeros(n)
+    kk = min(k - 1, n)  # buffer holds k-1 smallest incl. self-0
+    fn = ROW_DISTANCES[metric]
+    out = np.empty(n)
+    for i in range(n):
+        row = fn(X, X[i])
+        row[i] = 0.0
+        if kk >= n:
+            out[i] = np.max(row)
+        else:
+            out[i] = np.partition(row, kk - 1)[kk - 1]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Prim MST over mutual-reachability distances, with optional self edges.
+# Reference: HDBSCANStar.java:124-205 (start at last point; update with
+# strict <, select next point with <= i.e. last arg-min; self edges
+# weighted by core distance). Vectorized per-iteration over neighbors.
+# ---------------------------------------------------------------------------
+
+
+def mst_edges(
+    X: np.ndarray,
+    core: np.ndarray,
+    metric: str = "euclidean",
+    self_edges: bool = True,
+    ids: np.ndarray | None = None,
+    row_distance=None,
+):
+    """Return (src, dst, weight) arrays of the mutual-reachability MST.
+
+    ``ids`` maps local indices to global vertex ids (reference passes
+    ``indices``/``idBubbles`` the same way). ``row_distance(i)`` may
+    override the metric (used by the bubble kernel for F6 distances).
+    """
+    n = X.shape[0]
+    if ids is None:
+        ids = np.arange(n, dtype=np.int64)
+    if n == 1:
+        if self_edges:
+            return ids.copy(), ids.copy(), core.copy()
+        return np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0)
+
+    if row_distance is None:
+        fn = ROW_DISTANCES[metric]
+        row_distance = lambda i: fn(X, X[i])  # noqa: E731
+
+    attached = np.zeros(n, dtype=bool)
+    nearest_w = np.full(n, np.inf)
+    nearest_nb = np.zeros(n, dtype=np.int64)
+
+    current = n - 1
+    attached[current] = True
+    for _ in range(n - 1):
+        d = row_distance(current)
+        mrd = np.maximum(d, np.maximum(core, core[current]))
+        upd = (~attached) & (mrd < nearest_w)
+        nearest_w[upd] = mrd[upd]
+        nearest_nb[upd] = current
+        # reference scans 0..n-1 keeping <=, i.e. picks the LAST argmin
+        masked = np.where(attached, np.inf, nearest_w)
+        current = n - 1 - int(np.argmin(masked[::-1]))
+        attached[current] = True
+
+    # Edge for every vertex except the start (HDBSCANStar.java:189-193):
+    keep = np.ones(n, dtype=bool)
+    keep[n - 1] = False
+    src = ids[nearest_nb[keep]]
+    dst = ids[keep]
+    w = nearest_w[keep]
+    if self_edges:
+        src = np.concatenate([src, ids])
+        dst = np.concatenate([dst, ids])
+        w = np.concatenate([w, core])
+    return src.astype(np.int64), dst.astype(np.int64), w
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy: bottom-up union-find merge forest with tie groups, then
+# condensation to a cluster tree with stabilities, flat EOM selection,
+# and GLOSH. Matches the reference's top-down semantics
+# (HDBSCANStar.java:208-492 point level; HdbscanDataBubbles.java:256-375
+# weighted bubble level; Cluster.java:80-142 stability/propagation).
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ClusterNode:
+    label: int
+    parent: int  # parent label, 0 for root
+    birth: float  # NaN for root (ref: Main root birthLevel NaN)
+    death: float = np.nan  # NaN while alive
+    stability: float = 0.0
+    n_points: float = 0.0  # member weight at birth
+    children: list = field(default_factory=list)  # child labels
+
+
+@dataclass
+class HierarchyResult:
+    clusters: dict  # label -> ClusterNode
+    labels: np.ndarray  # flat EOM partition per vertex (0 = noise)
+    last_cluster: np.ndarray  # deepest cluster label each vertex reached
+    noise_level: np.ndarray  # weight at which each vertex became noise (0 = never)
+    selected: list  # labels chosen by EOM
+
+
+class _UnionFind:
+    __slots__ = ("parent", "rank")
+
+    def __init__(self, n: int):
+        self.parent = list(range(n))
+        self.rank = [0] * n
+
+    def find(self, a: int) -> int:
+        p = self.parent
+        root = a
+        while p[root] != root:
+            root = p[root]
+        while p[a] != root:
+            p[a], a = root, p[a]
+        return root
+
+    def union(self, a: int, b: int) -> int:
+        ra, rb = self.find(a), self.find(b)
+        if ra == rb:
+            return ra
+        if self.rank[ra] < self.rank[rb]:
+            ra, rb = rb, ra
+        self.parent[rb] = ra
+        if self.rank[ra] == self.rank[rb]:
+            self.rank[ra] += 1
+        return ra
+
+
+def _merge_forest(u: np.ndarray, v: np.ndarray, w: np.ndarray, n: int):
+    """Single-linkage merge forest with exact-equality tie groups.
+
+    Self edges (u==v) are skipped: as shown by tracing the reference's
+    tied-edge removal (HDBSCANStar.java:251-271), a vertex becomes
+    noise when its last *tree* edge is removed, so self edges never
+    change the hierarchy shape — they only pad the edge list.
+
+    Returns (children, merge_w, roots, self_w): leaves are node ids
+    0..n-1; internal nodes n.., ``children[i - n]`` lists child node
+    ids, ``merge_w[i - n]`` the merge weight. ``self_w`` holds each
+    vertex's self-edge weight (0 if none) — needed only for vertices
+    with *no* real edges, which the reference detaches as noise when
+    their self edge is removed.
+    """
+    real = u != v
+    self_w = np.zeros(n)
+    if (~real).any():
+        np.maximum.at(self_w, u[~real], w[~real])
+    u, v, w = u[real], v[real], w[real]
+    order = np.argsort(w, kind="stable")
+    uf = _UnionFind(n)
+    node_of = list(range(n))  # UF-root -> current forest node id
+    children: list[list[int]] = []
+    merge_w: list[float] = []
+    m = len(order)
+    i = 0
+    ws = w[order]
+    us = u[order]
+    vs = v[order]
+    while i < m:
+        W = ws[i]
+        j = i
+        pending: dict[int, set] = {}
+        while j < m and ws[j] == W:
+            a, b = uf.find(int(us[j])), uf.find(int(vs[j]))
+            j += 1
+            if a == b:
+                continue
+            olds = pending.pop(a, None) or {node_of[a]}
+            olds |= pending.pop(b, None) or {node_of[b]}
+            r = uf.union(a, b)
+            pending[r] = olds
+        for r, olds in pending.items():
+            node_id = n + len(children)
+            children.append(sorted(olds))
+            merge_w.append(float(W))
+            node_of[r] = node_id
+        i = j
+    roots = sorted({node_of[uf.find(x)] for x in range(n)})
+    return children, merge_w, roots, self_w
+
+
+def build_hierarchy(
+    u: np.ndarray,
+    v: np.ndarray,
+    w: np.ndarray,
+    vertex_weights: np.ndarray,
+    min_cluster_size: int,
+) -> HierarchyResult:
+    """Cluster tree + flat EOM labels + noise levels over an edge set.
+
+    ``vertex_weights`` is all-ones for the point-level hierarchy and
+    the bubble cardinalities ``nB`` for the bubble-level one
+    (HdbscanDataBubbles.java:330-337 counts members by summing nB).
+    Vertices are 0..len(vertex_weights)-1 (caller maps global ids).
+    """
+    n = len(vertex_weights)
+    vw = np.asarray(vertex_weights, dtype=np.float64)
+    children, merge_w, roots, self_w = _merge_forest(u, v, w, n)
+
+    def node_children(node: int):
+        return children[node - n] if node >= n else []
+
+    # subtree weight per node (iterative post-order)
+    sub_w = np.zeros(n + len(children))
+    sub_w[:n] = vw
+    for idx in range(len(children)):  # children only reference lower ids
+        sub_w[n + idx] = sum(sub_w[c] for c in children[idx])
+
+    def subtree_vertices(node: int):
+        out = []
+        stack = [node]
+        while stack:
+            x = stack.pop()
+            if x < n:
+                out.append(x)
+            else:
+                stack.extend(children[x - n])
+        return out
+
+    clusters: dict[int, ClusterNode] = {}
+    last_cluster = np.zeros(n, dtype=np.int64)
+    noise_level = np.zeros(n, dtype=np.float64)
+
+    root_cl = ClusterNode(label=1, parent=0, birth=np.nan, n_points=float(sub_w.sum()))
+    clusters[1] = root_cl
+    next_label = 2
+
+    # stack of (forest_node, cluster_label); multiple forest roots all
+    # start inside cluster 1 (reference: every vertex starts labeled 1,
+    # Main/HDBSCANStar init; a disconnected edge set only occurs in the
+    # degenerate global case).
+    stack = [(r, 1) for r in roots]
+    while stack:
+        node, cl = stack.pop()
+        C = clusters[cl]
+        if node < n:
+            if vw[node] < min_cluster_size and self_w[node] > 0:
+                # vertex isolated with only a self edge: the reference
+                # detaches it as noise when that edge is removed
+                # (HDBSCANStar.java:251-271 trace)
+                C.stability += float(vw[node] * (np.float64(1.0) / self_w[node] - np.float64(1.0) / np.float64(C.birth)))
+                noise_level[node] = self_w[node]
+                last_cluster[node] = cl
+            else:
+                # cluster alive at the bottom with a single vertex
+                last_cluster[node] = cl
+            continue
+        W = np.float64(merge_w[node - n])
+        kids = node_children(node)
+        # IEEE division (1/0 = inf) to match Java double semantics
+        inv_birth = np.float64(1.0) / np.float64(C.birth)  # NaN for root
+        big = [k for k in kids if sub_w[k] >= min_cluster_size]
+        small = [k for k in kids if sub_w[k] < min_cluster_size]
+        for k in small:
+            verts = subtree_vertices(k)
+            C.stability += float(sub_w[k] * (np.float64(1.0) / W - inv_birth))
+            for x in verts:
+                noise_level[x] = W
+                last_cluster[x] = cl
+        if len(big) >= 2:
+            # true split: C dies, each big component is a new cluster
+            # (ref HdbscanDataBubbles.java:352-372)
+            C.death = W
+            for k in big:
+                C.stability += float(sub_w[k] * (np.float64(1.0) / W - inv_birth))
+                lbl = next_label
+                next_label += 1
+                clusters[lbl] = ClusterNode(
+                    label=lbl, parent=cl, birth=float(W), n_points=float(sub_w[k])
+                )
+                C.children.append(lbl)
+                stack.append((k, lbl))
+        elif len(big) == 1:
+            stack.append((big[0], cl))
+        else:
+            C.death = W  # everything went noise
+
+    # --- EOM selection (Cluster.propagate, parent wins ties ≥) ---
+    # process labels descending = children before parents
+    prop_stab = {lbl: 0.0 for lbl in clusters}
+    prop_desc = {lbl: [] for lbl in clusters}
+    min_death = {}
+    for lbl in sorted(clusters, reverse=True):
+        C = clusters[lbl]
+        if not C.children:
+            min_death[lbl] = C.death
+            choice = [lbl]
+            chosen_stab = C.stability
+        else:
+            min_death[lbl] = min(min_death[ch] for ch in C.children)
+            # NaN stability (root) compares False → descendants win
+            if C.stability >= prop_stab[lbl]:
+                choice = [lbl]
+                chosen_stab = C.stability
+            else:
+                choice = prop_desc[lbl]
+                chosen_stab = prop_stab[lbl]
+        if C.parent != 0:
+            prop_stab[C.parent] += chosen_stab
+            prop_desc[C.parent].extend(choice)
+        else:
+            prop_desc[lbl] = choice if lbl != 1 else prop_desc[lbl]
+    # solution = root's propagated descendants (HDBSCANStar.java:567-571);
+    # root itself is never selectable.
+    selected = [lbl for lbl in prop_desc.get(1, []) if lbl != 1]
+    selected_set = set(selected)
+
+    # flat labels: walk up from each vertex's deepest cluster to the
+    # unique selected ancestor (selection is an antichain)
+    parent_of = {lbl: c.parent for lbl, c in clusters.items()}
+    flat = np.zeros(n, dtype=np.int64)
+    memo: dict[int, int] = {}
+
+    def resolve(lbl: int) -> int:
+        seen = []
+        x = lbl
+        while x != 0 and x not in memo:
+            if x in selected_set:
+                memo[x] = x
+                break
+            seen.append(x)
+            x = parent_of[x]
+        val = memo.get(x, 0)
+        for s in seen:
+            memo[s] = val
+        return val
+
+    for i in range(n):
+        flat[i] = resolve(int(last_cluster[i]))
+
+    return HierarchyResult(
+        clusters=clusters,
+        labels=flat,
+        last_cluster=last_cluster,
+        noise_level=noise_level,
+        selected=selected,
+    )
+
+
+def glosh_scores(result: HierarchyResult, core: np.ndarray) -> np.ndarray:
+    """GLOSH outlier scores (HDBSCANStar.java:653-686):
+    score = 1 - eps_max(lastCluster)/eps(point), 0 when eps == 0,
+    where eps_max is the propagated lowest child death level."""
+    clusters = result.clusters
+    min_death = {}
+    for lbl in sorted(clusters, reverse=True):
+        C = clusters[lbl]
+        if not C.children:
+            min_death[lbl] = C.death
+        else:
+            md = min(min_death[ch] for ch in C.children)
+            min_death[lbl] = md
+    n = len(result.noise_level)
+    scores = np.zeros(n)
+    for i in range(n):
+        eps = result.noise_level[i]
+        if eps != 0:
+            eps_max = min_death[int(result.last_cluster[i])]
+            scores[i] = 1.0 - eps_max / eps
+    return scores
+
+
+# ---------------------------------------------------------------------------
+# One-call exact pipeline (the applyInPandas leaf kernel and the test
+# oracle): X -> labels, tree, scores, mst.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ExactResult:
+    labels: np.ndarray
+    tree: list  # list[ClusterNode]
+    scores: np.ndarray
+    mst: tuple  # (src, dst, weight) with global ids
+
+
+def hdbscan_exact(
+    X: np.ndarray,
+    min_pts: int = 4,
+    min_cluster_size: int = 4,
+    metric: str = "euclidean",
+    ids: np.ndarray | None = None,
+    self_edges: bool = True,
+) -> ExactResult:
+    X = np.asarray(X, dtype=np.float64)
+    n = X.shape[0]
+    if ids is None:
+        ids = np.arange(n, dtype=np.int64)
+    core = core_distances(X, min_pts, metric)
+    src, dst, w = mst_edges(X, core, metric, self_edges=self_edges, ids=ids)
+    # hierarchy works on local indices
+    id_to_local = {int(g): i for i, g in enumerate(ids)}
+    lu = np.fromiter((id_to_local[int(x)] for x in src), np.int64, len(src))
+    lv = np.fromiter((id_to_local[int(x)] for x in dst), np.int64, len(dst))
+    res = build_hierarchy(lu, lv, w, np.ones(n), min_cluster_size)
+    scores = glosh_scores(res, core)
+    return ExactResult(
+        labels=res.labels,
+        tree=[c for c in res.clusters.values()],
+        scores=scores,
+        mst=(src, dst, w),
+    )
