@@ -1,0 +1,103 @@
+"""Nearest-representative assignment (J1) and kNN joins (W1/J5).
+
+Reference J1: ``源代码/mappers/FirstStep.java:74-102`` — per-point
+linear scan of the driver-collected sample list (closure broadcast),
+first strictly-smaller distance wins.
+
+Rebuild: the samples of each subset are collapsed to ONE row holding
+an ``array<struct>`` (they are bounded by τ), broadcast-hash-joined
+on the subset key, and the argmin is computed by ``F.aggregate`` over
+that array as a pure projection. The big side is never shuffled and
+no aggregate runs at all — zero exchanges beyond the broadcast
+(verified via .explain: BroadcastHashJoin + Project only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bubbles.functions.distances import distance_expr
+
+
+def nearest_representative(
+    points: DataFrame,
+    reps: DataFrame,
+    key_col: str = "subset_id",
+    metric: str = "euclidean",
+    features_col: str = "features",
+    rep_id_col: str = "point_id",
+    out_col: str = "bubble_id",
+) -> DataFrame:
+    """Assign each point the id of its nearest representative in the
+    same key group. ``reps`` needs (key_col, rep_id_col, sample_ord,
+    features). Ties keep the earlier sample ordinal (the reference's
+    scan order with strict <, FirstStep.java:84-97).
+    """
+    rep_arrays = reps.groupBy(key_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("sample_ord").alias("ord"),
+                    F.col(rep_id_col).alias("rid"),
+                    F.col(features_col).alias("fv"),
+                )
+            )
+        ).alias("__samples")
+    )
+    feats = F.col(features_col)
+
+    def step(acc, s):
+        d = distance_expr(feats, s["fv"], metric)
+        better = d < acc["d"]
+        return F.struct(
+            F.when(better, d).otherwise(acc["d"]).alias("d"),
+            F.when(better, s["rid"]).otherwise(acc["rid"]).alias("rid"),
+        )
+
+    init = F.struct(
+        F.lit(float("inf")).alias("d"), F.lit(-1).cast("long").alias("rid")
+    )
+    best = F.aggregate(F.col("__samples"), init, step)
+    return (
+        points.join(F.broadcast(rep_arrays), on=key_col)
+        .withColumn("__best", best)
+        .select(
+            key_col,
+            "point_id",
+            features_col,
+            F.col("__best.rid").alias(out_col),
+            F.col("__best.d").alias("rep_dist"),
+        )
+    )
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    metric: str = "euclidean",
+    left_id: str = "point_id",
+    right_id: str = "point_id",
+    features_col: str = "features",
+) -> DataFrame:
+    """Brute-force kNN of each left row among right rows (J5 rebuild,
+    ref 源代码/mappers/CoreDistanceMapper.java:57-110): broadcast
+    cross join + windowed top-k. Scale path: pre-bucket with LSH and
+    join on buckets before this (see operators.similarity)."""
+    from pyspark.sql import Window
+
+    r = right.select(
+        F.col(right_id).alias("__nb_id"), F.col(features_col).alias("__nb_features")
+    )
+    dist = distance_expr(F.col(features_col), F.col("__nb_features"), metric).alias("dist")
+    pairs = (
+        left.crossJoin(F.broadcast(r))
+        .filter(F.col(left_id) != F.col("__nb_id"))
+        .select(left_id, F.col("__nb_id").alias("neighbor_id"), dist)
+    )
+    w = Window.partitionBy(left_id).orderBy("dist", "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,85 @@
+"""End-to-end MRHDBSCAN estimator tests (SURVEY.md §5 item 2):
+distributed pipeline must EQUAL the exact kernel when τ ≥ n
+(single-subset degenerate case) and approximate it (high ARI) when
+recursion kicks in."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bubbles import MRHDBSCAN
+from bubbles.kernels.hdbscan_kernel import hdbscan_exact
+from tests.test_kernel import ari, blobs
+
+
+def to_df(spark, X, ids=None):
+    ids = ids if ids is not None else np.arange(len(X))
+    return spark.createDataFrame(
+        [(int(i), [float(v) for v in row]) for i, row in zip(ids, X)],
+        schema="point_id long, features array<double>",
+    )
+
+
+@pytest.fixture(scope="module")
+def blob_data():
+    return blobs(seed=42, n=400, d=4, centers=3, spread=20.0)
+
+
+def test_fit_exact_path_matches_kernel(spark, blob_data):
+    X, y = blob_data
+    df = to_df(spark, X)
+    model = MRHDBSCAN(min_pts=4, min_cluster_size=4, max_local_size=1000).fit(df)
+    got = model.labels.orderBy("point_id").toPandas()
+    exact = hdbscan_exact(X, min_pts=4, min_cluster_size=4)
+    assert model.n_iterations == 0
+    # identical edge set → identical hierarchy → identical labels
+    assert np.array_equal(got["label"].to_numpy(), exact.labels)
+    assert ari(got["label"].to_numpy(), y) == pytest.approx(1.0)
+    # MST matches the kernel's edge multiset
+    mst = model.mst_edges.toPandas()
+    assert np.allclose(np.sort(mst["weight"]), np.sort(exact.mst[2]))
+
+
+def test_fit_recursive_path_high_ari(spark, blob_data):
+    X, y = blob_data
+    df = to_df(spark, X)
+    model = MRHDBSCAN(
+        min_pts=4, min_cluster_size=8, max_local_size=60, sample_fraction=0.2, seed=7
+    ).fit(df)
+    got = model.labels.orderBy("point_id").toPandas()
+    assert model.n_iterations >= 1
+    assert len(got) == len(X)
+    a = ari(got["label"].to_numpy(), y)
+    assert a > 0.9, f"recursive ARI too low: {a}"
+
+
+def test_fit_outputs_contract(spark, blob_data):
+    X, y = blob_data
+    model = MRHDBSCAN(min_pts=4, min_cluster_size=4, max_local_size=1000).fit(
+        to_df(spark, X)
+    )
+    tree = model.cluster_tree.toPandas()
+    assert set(tree.columns) == {
+        "label",
+        "parent",
+        "birth_level",
+        "death_level",
+        "stability",
+        "n_points",
+    }
+    assert (tree["label"] == 1).sum() == 1  # root present
+    scores = model.outlier_scores.toPandas()
+    assert len(scores) == len(X)
+    assert scores["score"].between(-10, 1.0001).all()
+
+
+def test_fit_stalled_subset_terminates(spark):
+    # pathological: all points identical → local model can never split;
+    # the stall guard must fall back to the exact path and terminate
+    X = np.zeros((150, 3))
+    X[:75] += 100.0  # two identical-point piles
+    df = to_df(spark, X)
+    model = MRHDBSCAN(min_pts=4, min_cluster_size=4, max_local_size=50).fit(df)
+    got = model.labels.orderBy("point_id").toPandas()
+    assert len(got) == 150
+    assert ari(got["label"].to_numpy(), np.repeat([0, 1], 75)) == pytest.approx(1.0)
