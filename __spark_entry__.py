@@ -1,38 +1,704 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship MR-HDBSCAN clustering on sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 +
+north-star pipeline ops), each (spark, sf_dir) -> DataFrame.
+``oracle_sql()`` — DuckDB twin per query (omitted only for the
+non-SQL-expressible clustering kernels → rows-only checks).
+
+Column names are aliased identically on both sides; float outputs are
+rounded to 6 decimals on both sides; list outputs are serialized to
+sorted comma-joined strings so value hashes are stable.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: cluster the embeddings table with MR-HDBSCAN and
+    return per-point labels + GLOSH outlier scores."""
+    from bubbles import MRHDBSCAN
+
+    emb = _t(spark, "/root/testdata/sf0.001", "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("point_id"),
+        F.col("embedding").cast("array<double>").alias("features"),
+    )
+    model = MRHDBSCAN(min_pts=4, min_cluster_size=10, max_local_size=2000).fit(pts)
+    return model.labels.join(model.outlier_scores, on="point_id").select(
+        "point_id", "label", F.round("score", 6).alias("glosh_score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — SURVEY §2 operators
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def a1_subset_sizes(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("subset_key")).agg(
+        F.count("*").alias("n")
+    )
+
+
+def a2_bubble_stats(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    e0 = F.col("embedding")[0].cast("double")
+    e1 = F.col("embedding")[1].cast("double")
+    g = emb.groupBy(F.col("label").alias("bubble_key")).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(e0).alias("__ls0"),
+        F.sum(e1).alias("__ls1"),
+        F.sum(e0 * e0).alias("__ss0"),
+        F.sum(e1 * e1).alias("__ss1"),
+    )
+    n = F.col("n")
+    ext_num = (
+        F.greatest(2 * n * F.col("__ss0") - 2 * F.col("__ls0") * F.col("__ls0"), F.lit(0.0))
+        + F.greatest(2 * n * F.col("__ss1") - 2 * F.col("__ls1") * F.col("__ls1"), F.lit(0.0))
+    )
+    extent = F.when(n > 1, F.sqrt(ext_num / (n * (n - 1)))).otherwise(F.lit(0.0))
+    return g.select(
+        "bubble_key",
+        n.cast("long").alias("n_points"),
+        F.round(F.col("__ls0") / n, 6).alias("rep0"),
+        F.round(F.col("__ls1") / n, 6).alias("rep1"),
+        F.round(extent, 6).alias("extent2d"),
+        F.round(F.pow(F.lit(1.0) / n, F.lit(0.5)) * extent, 6).alias("nn_dist2d"),
+    )
+
+
+def a4_adjacency_list(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_custkey").alias("vertex")).agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("o_orderkey"))).alias("neighbors")
+    )
+
+
+def a5_max_edge_per_key(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    best = F.max(
+        F.struct(
+            F.col("l_extendedprice").alias("w"),
+            F.col("l_orderkey").alias("u"),
+            F.col("l_linenumber").alias("v"),
+        )
+    ).alias("__b")
+    return li.groupBy(F.col("l_returnflag").alias("k")).agg(best).select(
+        "k",
+        F.col("__b.u").alias("edge_u"),
+        F.col("__b.v").alias("edge_v"),
+        F.round(F.col("__b.w"), 4).alias("edge_w"),
+    )
+
+
+def j1_nearest_rep(spark, sf_dir):
+    from bubbles.operators.nearest import nearest_representative
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("point_id"),
+        F.array(F.col("c_acctbal")).cast("array<double>").alias("features"),
+        F.lit(0).alias("subset_id"),
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("point_id"),
+        F.col("s_suppkey").alias("sample_ord"),
+        F.array(F.col("s_acctbal")).cast("array<double>").alias("features"),
+        F.lit(0).alias("subset_id"),
+    )
+    out = nearest_representative(cust, sup)
+    return out.select(
+        F.col("point_id").alias("c_custkey"), F.col("bubble_id").alias("nearest_suppkey")
+    )
+
+
+def j2_model_lookup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    model = sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey).select(
+        "s_suppkey", "n_name"
+    )
+    return (
+        li.join(F.broadcast(model), li.l_suppkey == model.s_suppkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_items"), F.round(F.sum("l_quantity"), 4).alias("qty"))
+    )
+
+
+def p6_semi_join(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 5000)
+    return orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+def p7_anti_join(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_nationkey"
+    )
+
+
+def w1_topk_per_group(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_linenumber")
+    )
+    return (
+        li.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("l_orderkey", "l_linenumber", "rnk")
+    )
+
+
+def w5_sample_ordinals(spark, sf_dir):
+    sup = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_suppkey")
+    return sup.select(
+        "s_nationkey", "s_suppkey", (F.row_number().over(w) - 1).alias("sample_ord")
+    )
+
+
+def x1_systematic_sample(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_orderkey") % 20) == 3).select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+
+
+def x6_connected_components(spark, sf_dir):
+    from bubbles.operators.components import connected_components
+
+    sup = _t(spark, sf_dir, "supplier")
+    edges = sup.select(
+        F.col("s_suppkey").cast("long").alias("src"),
+        (F.col("s_nationkey").cast("long") + 1000).alias("dst"),
+    )
+    return connected_components(edges)
+
+
+def f_distances(spark, sf_dir):
+    from bubbles.functions.distances import chebyshev, cosine, euclidean, manhattan
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 15)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").cast("array<double>").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").cast("array<double>").alias("vb")
+    )
+    va, vb = F.col("va"), F.col("vb")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(euclidean(va, vb), 6).alias("euclid"),
+            F.round(manhattan(va, vb), 6).alias("manhat"),
+            F.round(chebyshev(va, vb), 6).alias("cheby"),
+            F.round(cosine(va, vb), 6).alias("cos_dist"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — north-star pipeline operators
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact_q(spark, sf_dir):
+    from bubbles.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def dedup_minhash_lsh_q(spark, sf_dir):
+    from bubbles.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+def dedup_simhash_q(spark, sf_dir):
+    from bubbles.operators.dedup import simhash_dedup
+
+    return simhash_dedup(_t(spark, sf_dir, "documents"))
+
+
+def ngram_jaccard_q(spark, sf_dir):
+    from bubbles.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    out = ngram_jaccard_pairs(docs, threshold=0.2)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def ann_cosine_topk_q(spark, sf_dir):
+    from bubbles.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb.filter(F.col("vec_id") < 15), emb, k=5)
+
+
+def text_profile_q(spark, sf_dir):
+    from bubbles.operators.text import text_profile
+
+    return text_profile(_t(spark, sf_dir, "documents"))
+
+
+def _events_us(spark, sf_dir):
+    """events with ts as integer microseconds (the driver parquet
+    stores TIMESTAMP(NANOS), which Spark's vectorized reader rejects;
+    nanosAsLong + integer div matches DuckDB's micro truncation)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    return ev.withColumn("ts_us", F.expr("ts div 1000"))
+
+
+def events_windowed_q(spark, sf_dir):
+    ev = _events_us(spark, sf_dir)
+    bucket = (F.expr("ts_us div 300000000") * 300).cast("long")
+    return ev.groupBy(bucket.alias("win_epoch"), "event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value")
+    )
+
+
+def events_sessionize_q(spark, sf_dir):
+    from bubbles.streaming.events import session_stats
+
+    ev = _events_us(spark, sf_dir)
+    return session_stats(ev, gap_minutes=30, ts_col="ts_us", us=True).select(
+        "user_id", "session_seq", "n_events", "sum_value"
+    )
+
+
+def multimodal_meta_q(spark, sf_dir):
+    from bubbles.operators.multimodal import attach_media_meta
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), F.col("text").cast("binary").alias("media")
+    )
+    out = attach_media_meta(docs)
+    return out.select("media_id", "n_bytes", "content_hash")
+
+
+# ---------------------------------------------------------------------------
+# queries — clustering kernels (non-SQL-expressible → rows-only checks)
+# ---------------------------------------------------------------------------
+
+
+def cluster_embeddings(spark, sf_dir):
+    from bubbles import MRHDBSCAN
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1500)
+    pts = emb.select(
+        F.col("vec_id").alias("point_id"),
+        F.col("embedding").cast("array<double>").alias("features"),
+    )
+    model = MRHDBSCAN(min_pts=4, min_cluster_size=10, max_local_size=2000).fit(pts)
+    return model.labels
+
+
+def multimodal_decode_fake(spark, sf_dir):
+    from bubbles.operators.multimodal import decode_media
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), F.col("text").cast("binary").alias("media")
+    )
+    out = decode_media(docs, fake_decoder=True)
+    return out.select(
+        "media_id", F.round(F.element_at("features", 1), 6).alias("f0")
+    )
+
+
+def lsh_ann_topk(spark, sf_dir):
+    from bubbles.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return lsh_topk(emb, k=3)
+
+
+def stream_windowed_counts(spark, sf_dir):
+    from bubbles.streaming.events import run_stream_to_memory
+
+    return run_stream_to_memory(spark, sf_dir, name="drv_stream_out").select(
+        F.unix_timestamp("win_start").cast("long").alias("win_epoch"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "a1_subset_sizes": a1_subset_sizes,
+        "a2_bubble_stats": a2_bubble_stats,
+        "a4_adjacency_list": a4_adjacency_list,
+        "a5_max_edge_per_key": a5_max_edge_per_key,
+        "j1_nearest_rep": j1_nearest_rep,
+        "j2_model_lookup": j2_model_lookup,
+        "p6_semi_join": p6_semi_join,
+        "p7_anti_join": p7_anti_join,
+        "w1_topk_per_group": w1_topk_per_group,
+        "w5_sample_ordinals": w5_sample_ordinals,
+        "x1_systematic_sample": x1_systematic_sample,
+        "x6_connected_components": x6_connected_components,
+        "f_distances": f_distances,
+        "dedup_exact": dedup_exact_q,
+        "dedup_minhash_lsh": dedup_minhash_lsh_q,
+        "dedup_simhash": dedup_simhash_q,
+        "ngram_jaccard": ngram_jaccard_q,
+        "ann_cosine_topk": ann_cosine_topk_q,
+        "text_profile": text_profile_q,
+        "events_windowed": events_windowed_q,
+        "events_sessionize": events_sessionize_q,
+        "multimodal_meta": multimodal_meta_q,
+        "cluster_embeddings": cluster_embeddings,
+        "multimodal_decode_fake": multimodal_decode_fake,
+        "lsh_ann_topk": lsh_ann_topk,
+        "stream_windowed_counts": stream_windowed_counts,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_MINHASH_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(length(text) - 3, 1)),
+           i -> substr(lower(text), CAST(i AS INT), 5)))) AS g
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         min(substr(md5(g), 1, 8))  AS mh0, min(substr(md5(g), 9, 8))  AS mh1,
+         min(substr(md5(g), 17, 8)) AS mh2, min(substr(md5(g), 25, 8)) AS mh3,
+         min(substr(md5('1|' || g), 1, 8))  AS mh4,
+         min(substr(md5('1|' || g), 9, 8))  AS mh5,
+         min(substr(md5('1|' || g), 17, 8)) AS mh6,
+         min(substr(md5('1|' || g), 25, 8)) AS mh7
+  FROM sh GROUP BY doc_id
+),
+buckets AS (
+  SELECT doc_id, 0 AS band,
+         md5(mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3) AS bucket FROM sig
+  UNION ALL SELECT doc_id, 1,
+         md5(mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7) FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.doc_id < b.doc_id
+"""
+
+_SIMHASH_BITS = "\n".join(
+    f"sum(CASE WHEN substr(md5(tok), {i + 1}, 1) IN "
+    f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s{i},"
+    for i in range(16)
+).rstrip(",")
+
+_SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+  FROM documents
+),
+bits AS (
+  SELECT doc_id, {_SIMHASH_BITS}
+  FROM toks GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id,
+    CAST({' + '.join(f'(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)' for i in range(16))} AS BIGINT) AS simhash
+  FROM bits
+)
+SELECT doc_id, simhash, min(doc_id) OVER (PARTITION BY simhash) AS canonical_id
+FROM sigs
+"""
+
+_TEXT_PROFILE_SQL = """
+WITH base AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+         string_split_regex(lower(text), '\\s+') AS toks
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, n_chars, n_alpha, n_punct,
+         len(toks) AS n_tokens,
+         len(list_intersect(list_distinct(toks),
+             ['the','and','of','to','is','that','with','for'])) AS en_hits,
+         len(list_intersect(list_distinct(toks),
+             ['der','die','und','das','nicht','ist','ein','mit'])) AS de_hits,
+         len(list_intersect(list_distinct(toks),
+             ['le','la','les','et','est','une','dans','pour'])) AS fr_hits,
+         CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1) AS alpha_ratio,
+         CAST(n_chars AS DOUBLE) / greatest(len(toks), 1) AS avg_tok,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(toks, t -> CAST(length(t) AS BIGINT))),
+             (a, b) -> (a * 1000003 + b) % 2147483647) AS fingerprint
+  FROM base
+)
+SELECT doc_id, n_chars, n_tokens, n_alpha, n_punct,
+       round(alpha_ratio, 6) AS alpha_ratio,
+       round(alpha_ratio * 0.5
+             + (CASE WHEN avg_tok >= 3 AND avg_tok <= 12 THEN 0.25 ELSE 0 END)
+             + (CASE WHEN en_hits >= 2 THEN 0.25 ELSE 0 END), 6) AS quality,
+       (CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+             WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+             WHEN fr_hits > 0 THEN 'fr' ELSE 'unknown' END) AS lang_guess,
+       fingerprint
+FROM feat
+"""
+
+_NGRAM_JACCARD_SQL = """
+WITH docs AS (SELECT * FROM documents WHERE doc_id < 100),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(length(text) - 1, 1)),
+           i -> substr(lower(text), CAST(i AS INT), 3)))) AS g
+  FROM docs
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+"""
+
+_ANN_SQL = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 15),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]))
+           / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(c.v, x -> x * x)))) AS sim
+  FROM q CROSS JOIN e c
+  WHERE q.vec_id != c.vec_id
+)
+SELECT query_id, neighbor_id, rnk AS rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM pairs
+) WHERE rnk <= 5
+"""
+
+_F_DIST_SQL = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 15)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(sqrt(list_sum(list_transform(list_zip(a.v, b.v),
+        p -> (p[1]-p[2]) * (p[1]-p[2])))), 6) AS euclid,
+  round(list_sum(list_transform(list_zip(a.v, b.v), p -> abs(p[1]-p[2]))), 6) AS manhat,
+  round(list_max(list_transform(list_zip(a.v, b.v), p -> abs(p[1]-p[2]))), 6) AS cheby,
+  round(1 - list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2]))
+        / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+           * sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) AS cos_dist
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+"""
+
+_CC_SQL = """
+WITH RECURSIVE base AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS src, CAST(s_nationkey AS BIGINT) + 1000 AS dst
+  FROM supplier
+),
+sym AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+walk(v, r) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT src, src FROM sym
+  UNION
+  SELECT w.v, s.dst FROM walk w JOIN sym s ON w.r = s.src
+)
+SELECT v AS vertex, min(r) AS component FROM walk GROUP BY v
+"""
+
+_SESSION_SQL = """
+WITH s AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, session_seq, count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM (
+  SELECT user_id, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM s
+)
+GROUP BY user_id, session_seq
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "a1_subset_sizes": """
+            SELECT l_returnflag AS subset_key, count(*) AS n
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "a2_bubble_stats": """
+            WITH g AS (
+              SELECT label AS bubble_key,
+                     CAST(count(*) AS DOUBLE) AS n,
+                     sum(CAST(embedding[1] AS DOUBLE)) AS ls0,
+                     sum(CAST(embedding[2] AS DOUBLE)) AS ls1,
+                     sum(CAST(embedding[1] AS DOUBLE) * CAST(embedding[1] AS DOUBLE)) AS ss0,
+                     sum(CAST(embedding[2] AS DOUBLE) * CAST(embedding[2] AS DOUBLE)) AS ss1
+              FROM embeddings GROUP BY label
+            ), x AS (
+              SELECT bubble_key, n, ls0, ls1,
+                     (CASE WHEN n > 1 THEN sqrt((greatest(2*n*ss0 - 2*ls0*ls0, 0)
+                          + greatest(2*n*ss1 - 2*ls1*ls1, 0)) / (n * (n - 1)))
+                           ELSE 0 END) AS extent
+              FROM g
+            )
+            SELECT bubble_key, CAST(n AS BIGINT) AS n_points,
+                   round(ls0 / n, 6) AS rep0, round(ls1 / n, 6) AS rep1,
+                   round(extent, 6) AS extent2d,
+                   round(pow(1.0 / n, 0.5) * extent, 6) AS nn_dist2d
+            FROM x
+        """,
+        "a4_adjacency_list": """
+            SELECT o_custkey AS vertex,
+                   array_to_string(list_sort(list(o_orderkey)), ',') AS neighbors
+            FROM orders GROUP BY o_custkey
+        """,
+        "a5_max_edge_per_key": """
+            SELECT l_returnflag AS k, l_orderkey AS edge_u, l_linenumber AS edge_v,
+                   round(l_extendedprice, 4) AS edge_w
+            FROM lineitem
+            QUALIFY row_number() OVER (
+              PARTITION BY l_returnflag
+              ORDER BY l_extendedprice DESC, l_orderkey DESC, l_linenumber DESC) = 1
+        """,
+        "j1_nearest_rep": """
+            SELECT c_custkey, s_suppkey AS nearest_suppkey
+            FROM customer CROSS JOIN supplier
+            QUALIFY row_number() OVER (
+              PARTITION BY c_custkey
+              ORDER BY abs(c_acctbal - s_acctbal), s_suppkey) = 1
+        """,
+        "j2_model_lookup": """
+            SELECT n_name, count(*) AS n_items, round(sum(l_quantity), 4) AS qty
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "p6_semi_join": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_extendedprice > 5000)
+        """,
+        "p7_anti_join": """
+            SELECT c_custkey, c_nationkey FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "w1_topk_per_group": """
+            SELECT l_orderkey, l_linenumber, rnk FROM (
+              SELECT l_orderkey, l_linenumber,
+                     row_number() OVER (PARTITION BY l_orderkey
+                       ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rnk
+              FROM lineitem
+            ) WHERE rnk <= 3
+        """,
+        "w5_sample_ordinals": """
+            SELECT s_nationkey, s_suppkey,
+                   row_number() OVER (PARTITION BY s_nationkey ORDER BY s_suppkey) - 1
+                     AS sample_ord
+            FROM supplier
+        """,
+        "x1_systematic_sample": """
+            SELECT l_orderkey, l_linenumber, l_partkey
+            FROM lineitem WHERE l_orderkey % 20 = 3
+        """,
+        "x6_connected_components": _CC_SQL,
+        "f_distances": _F_DIST_SQL,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
+                   count(*) AS dup_count
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_minhash_lsh": _MINHASH_SQL,
+        "dedup_simhash": _SIMHASH_SQL,
+        "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "ann_cosine_topk": _ANN_SQL,
+        "text_profile": _TEXT_PROFILE_SQL,
+        "events_windowed": """
+            SELECT CAST((epoch_us(ts) // 300000000) * 300 AS BIGINT) AS win_epoch,
+                   event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessionize": _SESSION_SQL,
+        "multimodal_meta": """
+            SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+                   md5(text) AS content_hash
+            FROM documents
+        """,
+        # cluster_embeddings / multimodal_decode_fake / lsh_ann_topk /
+        # stream_windowed_counts: non-SQL-expressible (iterative kernels,
+        # stubbed codec, seeded projections, streaming) → rows-only.
+    }

@@ -1,0 +1,136 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly one JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("bubbles-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    # headline set: engine-defining queries, not every oracle check
+    headline = [
+        "q1_pricing_summary",
+        "j2_model_lookup",
+        "w1_topk_per_group",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "text_profile",
+        "ann_cosine_topk",
+        "events_sessionize",
+        "x6_connected_components",
+    ]
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()  # force full execution
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    # clustering headline: MR-HDBSCAN (bubbles variant) on the full
+    # embeddings table — the BASELINE.md comparable (Skin 245k×4 ≈ 60 s
+    # for the paper's DB variant; here 50k×64 at sf0.1)
+    from bubbles import MRHDBSCAN
+
+    t0 = time.time()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pts = emb.select(
+        F.col("vec_id").alias("point_id"),
+        F.col("embedding").cast("array<double>").alias("features"),
+    )
+    model = MRHDBSCAN(
+        min_pts=4,
+        min_cluster_size=50,
+        sample_fraction=0.05,
+        max_local_size=4096,
+        max_samples_per_subset=768,
+        seed=42,
+    ).fit(pts)
+    n_pts = model.labels.count()
+    timings["mrhdbscan_embeddings"] = round(time.time() - t0, 3)
+    print(
+        f"# mrhdbscan_embeddings: {timings['mrhdbscan_embeddings']}s "
+        f"({n_pts} pts, {model.n_iterations} iters)",
+        file=sys.stderr,
+    )
+
+    # distributed-path clustering headline: 600k lineitem rows in a
+    # 4-d engineered feature space (Skin-scale, cf. BASELINE.md)
+    t0 = time.time()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    lpts = li.select(
+        F.monotonically_increasing_id().alias("point_id"),
+        F.array(
+            F.col("l_quantity"),
+            F.log1p("l_extendedprice") * F.lit(8.0),
+            F.col("l_discount") * F.lit(120.0),
+            F.col("l_tax") * F.lit(120.0),
+        ).alias("features"),
+    )
+    lmodel = MRHDBSCAN(
+        min_pts=4,
+        min_cluster_size=200,
+        sample_fraction=0.05,
+        max_local_size=4096,
+        max_samples_per_subset=768,
+        seed=42,
+    ).fit(lpts)
+    n_l = lmodel.labels.count()
+    timings["mrhdbscan_lineitem"] = round(time.time() - t0, 3)
+    print(
+        f"# mrhdbscan_lineitem: {timings['mrhdbscan_lineitem']}s "
+        f"({n_l} pts, {lmodel.n_iterations} iters)",
+        file=sys.stderr,
+    )
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -32,6 +32,13 @@ from bubbles.kernels.hdbscan_kernel import (
 )
 
 
+def _label_weights(labels: np.ndarray, n_b: np.ndarray) -> dict:
+    out: dict[int, float] = {}
+    for lbl, w in zip(labels, n_b):
+        out[int(lbl)] = out.get(int(lbl), 0.0) + float(w)
+    return out
+
+
 def bubble_distance_rows(
     rep: np.ndarray, extent: np.ndarray, nn_dist: np.ndarray, i: int, metric: str
 ) -> np.ndarray:
@@ -105,8 +112,16 @@ def local_bubble_model(
     min_pts: int,
     min_cluster_size: int,
     metric: str = "euclidean",
+    force_split: bool = True,
+    max_subset_weight: float | None = None,
 ) -> LocalModel:
-    """The per-subset local model (LocalModelReduceByKey.java:88-114)."""
+    """The per-subset local model (LocalModelReduceByKey.java:88-114).
+
+    ``force_split`` + ``max_subset_weight``: flat clusters heavier
+    than τ are re-cut along the bubble MST (capacity-constrained
+    Kruskal) so the recursion always makes geometric progress — see
+    inline comment below.
+    """
     nb = rep.shape[0]
     bubble_ids = np.asarray(bubble_ids, dtype=np.int64)
     core = bubble_core_distances(rep, n_b, extent, nn_dist, min_pts, metric)
@@ -128,6 +143,45 @@ def local_bubble_model(
             dist = bubble_distance_rows(rep, extent, nn_dist, i, metric)
             j = labeled[int(np.argmin(dist[labeled]))]
             labels[i] = labels[j]
+
+    if force_split and nb >= 2 and max_subset_weight is not None:
+        # Capacity-constrained subdivision: any flat cluster heavier
+        # than τ is re-cut along its own bubble-MST structure so every
+        # emitted subset fits one local task next iteration. Kruskal
+        # ascending, union only while (a) same flat cluster and
+        # (b) combined point weight ≤ τ. Cut edges surface as
+        # inter-cluster edges, so global connectivity is preserved and
+        # the global dendrogram can re-merge the pieces. This bounds
+        # the recursion depth at 2 passes for splittable data (the
+        # reference re-samples until clusters shrink below τ on their
+        # own and can loop unboundedly, Main.java:107-301).
+        wsum = {i: float(n_b[i]) for i in range(nb)}
+        over = any(
+            s > max_subset_weight
+            for s in _label_weights(labels, n_b).values()
+        )
+        if over:
+            parent = list(range(nb))
+
+            def find(a):
+                while parent[a] != a:
+                    parent[a] = parent[parent[a]]
+                    a = parent[a]
+                return a
+
+            real = src != dst
+            order = np.argsort(w[real], kind="stable")
+            rs, rd, rw = src[real], dst[real], w[real]
+            for e in order:
+                a, b = find(int(rs[e])), find(int(rd[e]))
+                if a == b or labels[rs[e]] != labels[rd[e]]:
+                    continue
+                if wsum[a] + wsum[b] <= max_subset_weight:
+                    parent[b] = a
+                    wsum[a] += wsum[b]
+            comp = np.fromiter((find(i) for i in range(nb)), np.int64, nb)
+            _, labels = np.unique(comp, return_inverse=True)
+            labels = labels + 1
 
     # inter-cluster edges: MST edges whose endpoints carry different
     # flat labels (X11, HdbscanDataBubbles.java:506-527)

@@ -168,6 +168,82 @@ def mst_edges(
     return src.astype(np.int64), dst.astype(np.int64), w
 
 
+def mst_edges_grouped(
+    X: np.ndarray,
+    ids: np.ndarray,
+    k: int,
+    metric: str = "euclidean",
+):
+    """Exact mutual-reachability MST with duplicate collapsing.
+
+    Lattice-like data (integer features, categorical grids) has huge
+    duplicate groups; the O(n²) loops then waste n²/m² work. Identical
+    points have pairwise MRD == their common core distance, and any
+    crossing edge costs ≥ that, so the true MST decomposes into
+    per-group chains at weight core(u) plus an MST over the m unique
+    points — O(m²) instead of O(n²). Weight multiset (hence the
+    hierarchy) is exact; edge topology differs from the direct Prim
+    only within ties, which the reference itself resolves arbitrarily
+    (HDBSCANStar.java:177 `<=` scan).
+
+    Core distances count multiplicity: core(u) = the (k−1)-th smallest
+    distance including each duplicate (self group at distance 0).
+    """
+    n = X.shape[0]
+    U, inv = np.unique(X, axis=0, return_inverse=True)
+    m = len(U)
+    counts = np.bincount(inv).astype(np.int64)
+    fn = ROW_DISTANCES[metric]
+
+    # deterministic group representative: the min id in the group
+    rep_idx = np.full(m, -1, dtype=np.int64)
+    order_by_id = np.argsort(ids, kind="stable")
+    for i in order_by_id[::-1]:
+        rep_idx[inv[i]] = i  # last write = smallest id
+    rep_ids = ids[rep_idx]
+
+    core_u = np.zeros(m)
+    if k > 1:
+        need = k - 1
+        for u in range(m):
+            row = fn(U, U[u])
+            row[u] = 0.0
+            o = np.argsort(row, kind="stable")
+            cum = np.cumsum(counts[o])
+            pos = int(np.searchsorted(cum, need))
+            core_u[u] = row[o[min(pos, m - 1)]]
+
+    src, dst, w = mst_edges(
+        U, core_u, metric, self_edges=False, ids=np.arange(m, dtype=np.int64)
+    )
+    out_src = [rep_ids[src], rep_ids[dst]]
+    out_w = [w]
+    # intra-group chains at the group's core distance + self edges
+    self_src = ids
+    self_dst = ids
+    self_w = core_u[inv]
+    chain_src = []
+    chain_dst = []
+    chain_w = []
+    by_group = np.argsort(inv, kind="stable")
+    starts = np.searchsorted(inv[by_group], np.arange(m))
+    ends = np.append(starts[1:], n)
+    for g in range(m):
+        members = by_group[starts[g] : ends[g]]
+        if len(members) > 1:
+            mids = ids[members]
+            mids = mids[mids != rep_ids[g]]
+            chain_src.append(np.full(len(mids), rep_ids[g], dtype=np.int64))
+            chain_dst.append(mids)
+            chain_w.append(np.full(len(mids), core_u[g]))
+    src_all = np.concatenate(
+        [out_src[0]] + chain_src + [self_src]
+    )
+    dst_all = np.concatenate([out_src[1]] + chain_dst + [self_dst])
+    w_all = np.concatenate(out_w + chain_w + [self_w])
+    return src_all.astype(np.int64), dst_all.astype(np.int64), w_all
+
+
 # ---------------------------------------------------------------------------
 # Hierarchy: bottom-up union-find merge forest with tie groups, then
 # condensation to a cluster tree with stabilities, flat EOM selection,

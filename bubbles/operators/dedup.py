@@ -1,0 +1,192 @@
+"""Deduplication operators for training-data pipelines (north-star
+scope, beyond the reference): exact, MinHash+LSH, SimHash and n-gram
+Jaccard near-dup. All are shuffle-conscious DataFrame compositions
+with DuckDB-SQL-expressible semantics so the driver's oracle can
+hash-match them:
+
+* hashes are ``md5`` hex strings (identical in Spark and DuckDB),
+* MinHash h_i(s) = min over shingles of md5(i || '|' || s)
+  (lexicographic min over hex = a proper random permutation proxy),
+* SimHash uses the top bit of each of the 16 hex digits of
+  md5(token) — a 16-bit signature expressible with substr both sides.
+
+Scale notes: exact dedup is one hash-aggregate (map-side partial).
+MinHash/LSH shuffles only (doc_id × bands) rows — candidate pairs
+come from equi-joining small band buckets, never a cross join.
+SimHash bucket join is an equi-join on the 16-bit signature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from bubbles.operators.text import char_ngrams
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per distinct text hash: canonical (min) id + dup count."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle: int = 5,
+) -> DataFrame:
+    """(id, mh0..mh{k-1}) MinHash signature columns over character
+    shingles."""
+    # One md5 yields four independent 32-bit (8 hex char) lanes; each
+    # lane's min over the shingle set is one MinHash. Explode + project
+    # the digests ONCE + hash-aggregate the lane minima: Catalyst does
+    # not CSE a shared transform() across lane expressions, so the
+    # array-function formulation recomputes every digest per lane —
+    # this shape computes ceil(k/4) digests per shingle total and gets
+    # map-side partial aggregation for free.
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(char_ngrams(F.col(text_col), shingle))).alias("__g"),
+    )
+    n_salts = (num_hashes + 3) // 4
+    digs = sh.select(
+        id_col,
+        *[
+            (
+                F.md5(F.col("__g"))
+                if s == 0
+                else F.md5(F.concat(F.lit(f"{s}|"), F.col("__g")))
+            ).alias(f"__d{s}")
+            for s in range(n_salts)
+        ],
+    )
+    aggs = []
+    for i in range(num_hashes):
+        salt, lane = divmod(i, 4)
+        aggs.append(
+            F.min(F.substring(F.col(f"__d{salt}"), lane * 8 + 1, 8)).alias(f"mh{i}")
+        )
+    return digs.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 4,
+    shingle: int = 5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) sharing at least
+    one LSH band bucket. bands = num_hashes / band_size."""
+    # small-file inputs arrive in 1-2 splits; spread the hash-heavy
+    # projection across the cluster first (no-op at real scale where
+    # the scan already has many splits)
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle)
+    n_bands = num_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+        bands.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+            )
+        )
+    buckets = bands[0]
+    for b in bands[1:]:
+        buckets = buckets.unionByName(b)
+    a = buckets.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
+    b2 = buckets.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b2, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(text: Column, id_col_unused=None) -> Column:
+    """16-bit SimHash: bit i = sign of Σ_tokens (±1 by the high bit of
+    hex digit i of md5(token))."""
+    toks = F.split(F.lower(text), r"\s+")
+
+    def _bit_fn(i: int):
+        return lambda acc, t: acc + F.when(
+            F.substring(F.md5(t), i + 1, 1).isin(
+                "8", "9", "a", "b", "c", "d", "e", "f"
+            ),
+            1,
+        ).otherwise(-1)
+
+    bit_sums = [F.aggregate(toks, F.lit(0), _bit_fn(i)) for i in range(16)]
+    out = F.lit(0)
+    for i, s in enumerate(bit_sums):
+        out = out + F.when(s > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return out.cast("long")
+
+
+def simhash_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash, canonical_id) — docs sharing a 16-bit signature
+    bucket get the bucket's min id as canonical."""
+    sigs = df.select(F.col(id_col), simhash(F.col(text_col)).alias("simhash"))
+    w = Window.partitionBy("simhash")
+    return sigs.withColumn("canonical_id", F.min(id_col).over(w))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact pairwise Jaccard over character n-gram sets via
+    explode + equi-join on the shingle (never a cross join; shuffle
+    is (doc, shingle) rows). Intended for candidate verification
+    after LSH — run on bounded subsets."""
+    sh = df.select(
+        F.col(id_col), F.explode(F.array_distinct(char_ngrams(F.col(text_col), n))).alias("g")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "g")
+    b = sh.select(F.col(id_col).alias("id_b"), "g")
+    inter = (
+        a.join(b, on="g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(F.broadcast(sa), on="id_a")
+        .join(F.broadcast(sb), on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out

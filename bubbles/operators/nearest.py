@@ -72,6 +72,74 @@ def nearest_representative(
     )
 
 
+def nearest_representative_bulk(
+    points: DataFrame,
+    samples_by_subset: dict,
+    metric: str = "euclidean",
+    features_col: str = "features",
+) -> DataFrame:
+    """Arrow/numpy fast path for J1 used inside fit(): the per-subset
+    sample sets (driver-bounded, like the reference's closure-shipped
+    sample list, Main.java:166-169) go out as a broadcast variable and
+    each partition computes its argmin vectorized via mapInPandas —
+    no shuffle, no per-element expression interpretation (measured
+    ~100× faster than the higher-order-function projection at 60k×768).
+
+    ``samples_by_subset``: {subset_id: (ids int64[m], mat float64[m,d])}
+    with rows already in sample_ord order (ties keep the first, the
+    reference's scan semantics).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from bubbles.kernels.hdbscan_kernel import ROW_DISTANCES
+
+    spark = points.sparkSession
+    bc = spark.sparkContext.broadcast(samples_by_subset)
+    dist_rows = ROW_DISTANCES[metric]
+
+    def gen(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            out_bubble = np.empty(len(pdf), dtype=np.int64)
+            out_dist = np.empty(len(pdf), dtype=np.float64)
+            X_all = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[features_col]]
+            )
+            subs = pdf["subset_id"].to_numpy()
+            for s in np.unique(subs):
+                ids, mat = bc.value[int(s)]
+                mask = subs == s
+                X = X_all[mask]
+                best_d = np.full(len(X), np.inf)
+                best_i = np.zeros(len(X), dtype=np.int64)
+                for j in range(len(ids)):
+                    d = dist_rows(X, mat[j])
+                    upd = d < best_d  # strict <: first sample wins ties
+                    best_d[upd] = d[upd]
+                    best_i[upd] = j
+                out_bubble[mask] = ids[best_i]
+                out_dist[mask] = best_d
+            yield pd.DataFrame(
+                {
+                    "subset_id": pdf["subset_id"],
+                    "point_id": pdf["point_id"],
+                    features_col: pdf[features_col],
+                    "bubble_id": out_bubble,
+                    "rep_dist": out_dist,
+                }
+            )
+
+    return points.select("subset_id", "point_id", features_col).mapInPandas(
+        gen,
+        schema=(
+            f"subset_id long, point_id long, {features_col} array<double>, "
+            "bubble_id long, rep_dist double"
+        ),
+    )
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,

@@ -1,0 +1,124 @@
+"""Text-analysis operators for training-data pipelines, as pure
+column expressions (JVM-side, no UDFs) with exact DuckDB SQL twins
+(see __spark_entry__.oracle_sql).
+
+Net-new surface beyond the reference (north-star scope): language ID,
+quality scoring, token counting, document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny stopword lists for the n-gram/stopword language heuristic.
+# Chosen to be unambiguous tokens per language.
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "that", "with", "for"],
+    "de": ["der", "die", "und", "das", "nicht", "ist", "ein", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans", "pour"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of lowercased text (matches DuckDB
+    ``string_split_regex(lower(x), '\\s+')``)."""
+    return F.split(F.lower(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def char_ngrams(text: Column, n: int = 3) -> Column:
+    """All character n-grams of the lowercased text (shingles for
+    Jaccard / MinHash)."""
+    t = F.lower(text)
+    # guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0] — short
+    # texts must produce an empty shingle list instead
+    idx = F.when(
+        F.length(t) >= n, F.sequence(F.lit(1), F.length(t) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: t.substr(i, F.lit(n)))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio heuristics. All counts
+    are exact integers; ratios are plain divisions (bit-identical in
+    any engine)."""
+    n_chars = F.length(text)
+    n_alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    n_digit = F.length(F.regexp_replace(text, "[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(text, "[^.,;:!?]", ""))
+    toks = tokens(text)
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])))
+    return {
+        "n_chars": n_chars,
+        "n_alpha": n_alpha,
+        "n_digit": n_digit,
+        "n_punct": n_punct,
+        "n_tokens": n_tokens,
+        "n_stopwords": n_stop,
+        "alpha_ratio": n_alpha / F.greatest(n_chars, F.lit(1)),
+        "avg_token_len": n_chars / F.greatest(n_tokens, F.lit(1)),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality score: rewards alphabetic content,
+    sane token lengths and stopword presence (LLM-pipeline heuristic,
+    cf. Gopher/C4 quality rules)."""
+    f = quality_features(text)
+    good_len = (f["avg_token_len"] >= 3) & (f["avg_token_len"] <= 12)
+    has_stop = f["n_stopwords"] >= 2
+    return (
+        f["alpha_ratio"] * 0.5
+        + F.when(good_len, 0.25).otherwise(0.0)
+        + F.when(has_stop, 0.25).otherwise(0.0)
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-hit argmax over the language lists (ties: en>de>fr —
+    fixed order so the oracle matches)."""
+    toks = F.array_distinct(tokens(text))
+    hits = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(s) for s in words])))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    en, de, fr = hits["en"], hits["de"], hits["fr"]
+    return (
+        F.when((en >= de) & (en >= fr) & (en > 0), "en")
+        .when((de >= fr) & (de > 0), "de")
+        .when(fr > 0, "fr")
+        .otherwise("unknown")
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-sensitive rolling hash over tokens:
+    fold(acc = (acc*1000003 + token_len) mod 2^31). Deterministic,
+    cheap, SQL-expressible (DuckDB list_reduce)."""
+    return F.aggregate(
+        tokens(text),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 1000003 + F.length(t)) % F.lit(2147483647).cast("long"),
+    )
+
+
+def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-stop text-analysis projection used by the pipeline entry."""
+    t = F.col(text_col)
+    f = quality_features(t)
+    return df.select(
+        F.col(id_col),
+        f["n_chars"].alias("n_chars"),
+        f["n_tokens"].alias("n_tokens"),
+        f["n_alpha"].alias("n_alpha"),
+        f["n_punct"].alias("n_punct"),
+        F.round(f["alpha_ratio"], 6).alias("alpha_ratio"),
+        F.round(quality_score(t), 6).alias("quality"),
+        lang_id(t).alias("lang_guess"),
+        fingerprint(t).alias("fingerprint"),
+    )

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from bubbles.kernels import hdbscan_kernel as hk
 from bubbles.kernels.bubble_kernel import local_bubble_model
 from bubbles.operators.bubble_agg import bubble_aggregate
-from bubbles.operators.nearest import nearest_representative
+from bubbles.operators.nearest import nearest_representative_bulk
 from bubbles.operators.sampling import stratified_sample_exact
 
 _EDGE_SCHEMA = "src long, dst long, weight double"
@@ -52,14 +52,19 @@ def _make_exact_edges_kernel(min_pts: int, metric: str):
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         X = _features_matrix(pdf["features"])
         ids = pdf["point_id"].to_numpy(np.int64)
-        core = hk.core_distances(X, min_pts, metric)
-        src, dst, w = hk.mst_edges(X, core, metric, self_edges=True, ids=ids)
+        uniq = np.unique(X, axis=0)
+        if len(uniq) < 0.7 * len(X):
+            # duplicate-heavy subset: collapsed O(m²) variant
+            src, dst, w = hk.mst_edges_grouped(X, ids, min_pts, metric)
+        else:
+            core = hk.core_distances(X, min_pts, metric)
+            src, dst, w = hk.mst_edges(X, core, metric, self_edges=True, ids=ids)
         return pd.DataFrame({"src": src, "dst": dst, "weight": w})
 
     return kernel
 
 
-def _make_local_model_kernel(min_pts: int, min_cluster_size: int, metric: str):
+def _make_local_model_kernel(min_pts: int, min_cluster_size: int, metric: str, tau: int):
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         subset = int(pdf["subset_id"].iloc[0])
         rep = _features_matrix(pdf["rep"])
@@ -67,7 +72,10 @@ def _make_local_model_kernel(min_pts: int, min_cluster_size: int, metric: str):
         extent = pdf["extent"].to_numpy(np.float64)
         nn = pdf["nn_dist"].to_numpy(np.float64)
         ids = pdf["bubble_id"].to_numpy(np.int64)
-        m = local_bubble_model(rep, n_b, extent, nn, ids, min_pts, min_cluster_size, metric)
+        m = local_bubble_model(
+            rep, n_b, extent, nn, ids, min_pts, min_cluster_size, metric,
+            max_subset_weight=float(tau),
+        )
         rows = {
             "subset_id": [],
             "kind": [],
@@ -115,6 +123,7 @@ class MRHDBSCAN:
         min_cluster_size: int = 4,
         sample_fraction: float = 0.2,
         max_local_size: int = 4096,
+        max_samples_per_subset: int = 1024,
         distance: str = "euclidean",
         seed: int = 42,
         max_iterations: int = 20,
@@ -125,6 +134,7 @@ class MRHDBSCAN:
         self.min_cluster_size = min_cluster_size
         self.sample_fraction = sample_fraction
         self.max_local_size = max_local_size
+        self.max_samples_per_subset = max_samples_per_subset
         self.distance = distance
         self.seed = seed
         self.max_iterations = max_iterations
@@ -143,13 +153,23 @@ class MRHDBSCAN:
 
         exact_kernel = _make_exact_edges_kernel(self.min_pts, self.distance)
         model_kernel = _make_local_model_kernel(
-            self.min_pts, self.min_cluster_size, self.distance
+            self.min_pts, self.min_cluster_size, self.distance, self.max_local_size
         )
 
         edge_parts: list[DataFrame] = []
         stalls: dict[int, int] = {0: 0}
         next_subset_id = 1
         iteration = 0
+
+        def _filter_subsets(df, ids):
+            # a literal isin() list blows up the plan once subsets are
+            # many; broadcast-join a tiny id relation instead
+            if len(ids) <= 32:
+                return df.filter(F.col("subset_id").isin([int(x) for x in ids]))
+            id_df = spark.createDataFrame(
+                [(int(x),) for x in ids], schema="subset_id long"
+            )
+            return df.join(F.broadcast(id_df), on="subset_id", how="left_semi")
 
         while True:
             sizes = {
@@ -165,7 +185,7 @@ class MRHDBSCAN:
             big = [s for s in sizes if s not in set(small)]
 
             if small:
-                small_df = current.filter(F.col("subset_id").isin(small))
+                small_df = _filter_subsets(current, small)
                 edges = small_df.groupBy("subset_id").applyInPandas(
                     exact_kernel, schema=_EDGE_SCHEMA
                 )
@@ -173,17 +193,33 @@ class MRHDBSCAN:
             if not big:
                 break
 
-            big_df = current.filter(F.col("subset_id").isin(big))
-            # adapt the fraction upward for stalled subsets next pass
+            big_df = _filter_subsets(current, big)
             samples = stratified_sample_exact(
                 big_df,
                 "subset_id",
                 self.sample_fraction,
                 seed=self.seed + iteration,
-                max_per_key=self.max_local_size,
+                max_per_key=min(self.max_samples_per_subset, self.max_local_size),
             )
-            assigned = nearest_representative(
-                big_df, samples, key_col="subset_id", metric=self.distance
+            # driver-bounded sample collect (the reference ships samples
+            # in the FirstStep closure the same way, Main.java:140-169)
+            sample_rows = samples.select(
+                "subset_id", "sample_ord", "point_id", "features"
+            ).collect()
+            by_subset: dict[int, list] = {}
+            for r in sample_rows:
+                by_subset.setdefault(int(r["subset_id"]), []).append(
+                    (int(r["sample_ord"]), int(r["point_id"]), r["features"])
+                )
+            packed = {}
+            for s, rows in by_subset.items():
+                rows.sort()
+                packed[s] = (
+                    np.array([p for _, p, _ in rows], dtype=np.int64),
+                    np.array([f for _, _, f in rows], dtype=np.float64),
+                )
+            assigned = nearest_representative_bulk(
+                big_df, packed, metric=self.distance
             ).localCheckpoint()
             bubbles = bubble_aggregate(assigned, dim)
             model_out = (

@@ -1,0 +1,71 @@
+"""Sources & sinks for the clustering surface.
+
+S1/S2: whitespace/CSV numeric text → (point_id, features), fixing the
+reference's per-partition id collision (B4,
+源代码/mappers/MapperDataset_github.java:9-21 — its id counter restarts
+per task). Ids here come from ``zipWithIndex`` (dense, global) or
+``monotonically_increasing_id`` (sparse, cheaper — default).
+
+S3/S4/S5/S6: parquet checkpoint sink/source and the documented CSV
+output contracts (源代码/main/Main.java:556-612).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_points_text(
+    spark: SparkSession,
+    path: str,
+    sep: str = r"\s+",
+    dense_ids: bool = False,
+) -> DataFrame:
+    """Parse a numeric text file (one object per line, sep-separated)
+    into (point_id, features ARRAY<DOUBLE>)."""
+    lines = spark.read.text(path).filter(F.length(F.trim("value")) > 0)
+    feats = F.transform(
+        F.split(F.trim(F.col("value")), sep), lambda s: s.cast("double")
+    )
+    if dense_ids:
+        rdd = lines.rdd.zipWithIndex().map(lambda t: (t[1], t[0]["value"]))
+        df = spark.createDataFrame(rdd, schema="point_id long, value string")
+        return df.select(
+            "point_id",
+            F.transform(F.split(F.trim("value"), sep), lambda s: s.cast("double")).alias(
+                "features"
+            ),
+        )
+    return lines.select(
+        F.monotonically_increasing_id().alias("point_id"), feats.alias("features")
+    )
+
+
+def checkpoint_parquet(df: DataFrame, path: str) -> DataFrame:
+    """The reference's object-file checkpoint (S3/S4) as parquet —
+    used between driver iterations when lineage must be cut across
+    restarts (localCheckpoint covers the in-session case)."""
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def write_flat_partition(labels: DataFrame, path: str) -> None:
+    """Flat partition CSV (point_id, label) — Main.java:572-578 contract."""
+    labels.orderBy("point_id").write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_cluster_tree(tree: DataFrame, path: str) -> None:
+    """Cluster-tree CSV (label,birth,death,stability,parent) —
+    Main.java:566-571 contract."""
+    tree.select(
+        "label", "birth_level", "death_level", "stability", "n_points", "parent"
+    ).orderBy("label").write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_outlier_scores(scores: DataFrame, path: str) -> None:
+    """Outlier-score CSV sorted ascending by (score, core_distance,
+    point_id) — OutlierScore.java:34-48 ordering."""
+    scores.orderBy("score", "core_distance", "point_id").write.mode("overwrite").option(
+        "header", True
+    ).csv(path)

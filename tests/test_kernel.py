@@ -258,3 +258,24 @@ def test_local_bubble_model_two_clusters():
     # inter-cluster edges connect the groups with global ids
     assert len(m.inter_w) >= 1
     assert ((m.inter_src < 108) != (m.inter_dst < 108)).all()
+
+
+def test_grouped_mst_matches_direct():
+    # duplicate-heavy data: collapsed path must reproduce the direct
+    # MST's weight multiset and the downstream hierarchy/labels
+    rng = np.random.default_rng(11)
+    base = rng.normal(0, 5, size=(30, 3))
+    reps = rng.integers(1, 8, size=30)
+    X = np.repeat(base, reps, axis=0)
+    ids = np.arange(len(X), dtype=np.int64)
+    from bubbles.kernels.hdbscan_kernel import mst_edges_grouped
+
+    core = core_distances(X, 4)
+    ds, dd, dw = mst_edges(X, core, self_edges=True, ids=ids)
+    gs, gd, gw = mst_edges_grouped(X, ids, 4)
+    assert len(gw) == len(dw)
+    assert np.allclose(np.sort(gw), np.sort(dw))
+    direct = build_hierarchy(ds, dd, dw, np.ones(len(X)), 5)
+    grouped = build_hierarchy(gs, gd, gw, np.ones(len(X)), 5)
+    assert ari(direct.labels, grouped.labels) == pytest.approx(1.0)
+    assert np.allclose(np.sort(direct.noise_level), np.sort(grouped.noise_level))
