@@ -360,6 +360,7 @@ def build_hierarchy(
     w: np.ndarray,
     vertex_weights: np.ndarray,
     min_cluster_size: int,
+    constraints: list | None = None,
 ) -> HierarchyResult:
     """Cluster tree + flat EOM labels + noise levels over an edge set.
 
@@ -367,6 +368,19 @@ def build_hierarchy(
     the bubble cardinalities ``nB`` for the bubble-level one
     (HdbscanDataBubbles.java:330-337 counts members by summing nB).
     Vertices are 0..len(vertex_weights)-1 (caller maps global ids).
+
+    ``constraints``: optional [(kind, a, b), ...] with kind 'ml'
+    (must-link) or 'cl' (cannot-link) over local vertex ids (X14,
+    源代码/hdbscanstar/Constraint.java:14-60). Scoring follows
+    HDBSCANStar.calculateNumConstraintsSatisfied (:738-789) evaluated
+    per cluster over its member subtree: ML grants +2 to every
+    cluster containing both endpoints; CL grants +1 to every cluster
+    containing exactly one (incl. the case where the other endpoint
+    is already noise); a CL endpoint that turned noise exactly at a
+    cluster's birth level credits the parent's propagated count
+    (the reference's virtual-child rule, Cluster.java:145-157).
+    Selection prefers higher constraint satisfaction, breaking ties
+    by stability (Cluster.propagate, Cluster.java:98-142).
     """
     n = len(vertex_weights)
     vw = np.asarray(vertex_weights, dtype=np.float64)
@@ -450,9 +464,44 @@ def build_hierarchy(
         else:
             C.death = W  # everything went noise
 
-    # --- EOM selection (Cluster.propagate, parent wins ties ≥) ---
+    # --- constraint satisfaction per cluster (X14) ---
+    n_constr = {lbl: 0 for lbl in clusters}
+    virt_constr = {lbl: 0 for lbl in clusters}
+    if constraints:
+        parent_map = {lbl: c.parent for lbl, c in clusters.items()}
+
+        def chain(x: int) -> set:
+            out = set()
+            lbl = int(last_cluster[x])
+            while lbl != 0:
+                out.add(lbl)
+                lbl = parent_map[lbl]
+            return out
+
+        for kind, a, b in constraints:
+            ca, cb = chain(int(a)), chain(int(b))
+            if kind == "ml":
+                for lbl in ca & cb:
+                    n_constr[lbl] += 2
+            else:
+                for lbl in ca ^ cb:
+                    n_constr[lbl] += 1
+                # virtual-child credit (HDBSCANStar.java:766-782): a CL
+                # endpoint that went noise exactly when its parent split
+                # credits the parent's propagated count
+                for x in (int(a), int(b)):
+                    P = int(last_cluster[x])
+                    W = noise_level[x]
+                    if W > 0 and P in clusters and any(
+                        clusters[ch].birth == W for ch in clusters[P].children
+                    ):
+                        virt_constr[P] += 1
+
+    # --- EOM selection (Cluster.propagate: constraints first, then
+    # stability with parent winning ties ≥) ---
     # process labels descending = children before parents
     prop_stab = {lbl: 0.0 for lbl in clusters}
+    prop_constr = dict(virt_constr)
     prop_desc = {lbl: [] for lbl in clusters}
     min_death = {}
     for lbl in sorted(clusters, reverse=True):
@@ -461,17 +510,27 @@ def build_hierarchy(
             min_death[lbl] = C.death
             choice = [lbl]
             chosen_stab = C.stability
+            chosen_constr = n_constr[lbl]
         else:
             min_death[lbl] = min(min_death[ch] for ch in C.children)
-            # NaN stability (root) compares False → descendants win
-            if C.stability >= prop_stab[lbl]:
+            if n_constr[lbl] > prop_constr[lbl]:
+                take_self = True
+            elif n_constr[lbl] < prop_constr[lbl]:
+                take_self = False
+            else:
+                # NaN stability (root) compares False → descendants win
+                take_self = C.stability >= prop_stab[lbl]
+            if take_self:
                 choice = [lbl]
                 chosen_stab = C.stability
+                chosen_constr = n_constr[lbl]
             else:
                 choice = prop_desc[lbl]
                 chosen_stab = prop_stab[lbl]
+                chosen_constr = prop_constr[lbl]
         if C.parent != 0:
             prop_stab[C.parent] += chosen_stab
+            prop_constr[C.parent] += chosen_constr
             prop_desc[C.parent].extend(choice)
         else:
             prop_desc[lbl] = choice if lbl != 1 else prop_desc[lbl]
@@ -556,7 +615,9 @@ def hdbscan_exact(
     metric: str = "euclidean",
     ids: np.ndarray | None = None,
     self_edges: bool = True,
+    constraints: list | None = None,
 ) -> ExactResult:
+    """``constraints``: [(kind, id_a, id_b), ...] in GLOBAL ids."""
     X = np.asarray(X, dtype=np.float64)
     n = X.shape[0]
     if ids is None:
@@ -567,7 +628,16 @@ def hdbscan_exact(
     id_to_local = {int(g): i for i, g in enumerate(ids)}
     lu = np.fromiter((id_to_local[int(x)] for x in src), np.int64, len(src))
     lv = np.fromiter((id_to_local[int(x)] for x in dst), np.int64, len(dst))
-    res = build_hierarchy(lu, lv, w, np.ones(n), min_cluster_size)
+    local_constraints = None
+    if constraints:
+        local_constraints = [
+            (k, id_to_local[int(a)], id_to_local[int(b)])
+            for k, a, b in constraints
+            if int(a) in id_to_local and int(b) in id_to_local
+        ]
+    res = build_hierarchy(
+        lu, lv, w, np.ones(n), min_cluster_size, constraints=local_constraints
+    )
     scores = glosh_scores(res, core)
     return ExactResult(
         labels=res.labels,

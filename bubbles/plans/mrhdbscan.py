@@ -142,7 +142,10 @@ class MRHDBSCAN:
         self.id_col = id_col
 
     # ------------------------------------------------------------------
-    def fit(self, df: DataFrame) -> MRHDBSCANModel:
+    def fit(self, df: DataFrame, constraints: DataFrame | None = None) -> MRHDBSCANModel:
+        """``constraints``: optional DataFrame(point_a, point_b, kind)
+        with kind in ('ml','cl') (X14, 源代码/main/Main.java:590-597
+        format); applied during global cluster selection."""
         spark = df.sparkSession
         dim = len(df.select(self.features_col).first()[0])
         current = df.select(
@@ -272,10 +275,23 @@ class MRHDBSCAN:
             all_edges = all_edges.unionByName(e)
         all_edges = all_edges.localCheckpoint()
 
-        return self._global_step(spark, all_edges, iteration)
+        constr = None
+        if constraints is not None:
+            constr = [
+                (r["kind"], int(r["point_a"]), int(r["point_b"]))
+                for r in constraints.select("kind", "point_a", "point_b").collect()
+            ]
+            bad_kinds = {k for k, _, _ in constr} - {"ml", "cl"}
+            if bad_kinds:
+                raise ValueError(
+                    f"constraint kind must be 'ml' or 'cl', got {sorted(bad_kinds)}"
+                )
+        return self._global_step(spark, all_edges, iteration, constr)
 
     # ------------------------------------------------------------------
-    def _global_step(self, spark, all_edges: DataFrame, iteration: int) -> MRHDBSCANModel:
+    def _global_step(
+        self, spark, all_edges: DataFrame, iteration: int, constraints=None
+    ) -> MRHDBSCANModel:
         """Stage C/D replacement: one driver-side bottom-up dendrogram
         over the merged edge relation (paper §3.3.3 bottom-up option;
         the reference's top-down loop is broken, bug B7)."""
@@ -287,7 +303,17 @@ class MRHDBSCAN:
         idx = {int(g): i for i, g in enumerate(verts)}
         lu = np.fromiter((idx[int(x)] for x in src), np.int64, len(src))
         lv = np.fromiter((idx[int(x)] for x in dst), np.int64, len(dst))
-        res = hk.build_hierarchy(lu, lv, w, np.ones(len(verts)), self.min_cluster_size)
+        local_constraints = None
+        if constraints:
+            local_constraints = [
+                (k, idx[int(a)], idx[int(b)])
+                for k, a, b in constraints
+                if int(a) in idx and int(b) in idx
+            ]
+        res = hk.build_hierarchy(
+            lu, lv, w, np.ones(len(verts)), self.min_cluster_size,
+            constraints=local_constraints,
+        )
         # core distance per point = its self-edge weight (exact for
         # points from the exact leaf path)
         core = np.zeros(len(verts))

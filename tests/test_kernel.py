@@ -279,3 +279,32 @@ def test_grouped_mst_matches_direct():
     grouped = build_hierarchy(gs, gd, gw, np.ones(len(X)), 5)
     assert ari(direct.labels, grouped.labels) == pytest.approx(1.0)
     assert np.allclose(np.sort(direct.noise_level), np.sort(grouped.noise_level))
+
+
+def test_constraints_flip_selection():
+    # Tree: root -> ({a ∪ b}, c); {a ∪ b} -> (a, b). The root is never
+    # selectable (HDBSCANStar.findProminentClusters takes the root's
+    # propagated descendants), so constraints are tested on the
+    # mid-level parent (X14, Cluster.propagate priority).
+    rng = np.random.default_rng(4)
+    a = rng.normal(0.0, 0.3, size=(30, 2))
+    b = rng.normal(3.0, 0.3, size=(30, 2))
+    c = rng.normal(80.0, 0.3, size=(30, 2))
+    X = np.vstack([a, b, c])
+    base = hdbscan_exact(X, min_pts=4, min_cluster_size=5)
+    n_base = len(np.unique(base.labels[base.labels > 0]))
+    assert n_base == 3  # a, b, c all selected by stability
+
+    # must-link across a and b: only their common parent {a ∪ b}
+    # satisfies it -> parent now wins -> 2 clusters total
+    ml = [("ml", 0, 30)]
+    res_ml = hdbscan_exact(X, min_pts=4, min_cluster_size=5, constraints=ml)
+    assert len(np.unique(res_ml.labels[res_ml.labels > 0])) == 2
+    # a and b share a label now
+    assert res_ml.labels[0] == res_ml.labels[30] != 0
+
+    # cannot-link across a and b: children satisfy it, parent does
+    # not -> selection stays at 3 clusters
+    cl = [("cl", 0, 30)]
+    res_cl = hdbscan_exact(X, min_pts=4, min_cluster_size=5, constraints=cl)
+    assert len(np.unique(res_cl.labels[res_cl.labels > 0])) == 3

