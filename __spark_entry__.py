@@ -201,6 +201,56 @@ def x1_systematic_sample(spark, sf_dir):
     )
 
 
+def p2_p3_key_filters(spark, sf_dir):
+    """P2/P3 (Main.java:172-212): route rows by a sentinel key — here
+    lineitem rows split on return flag with the edge-branch counted."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.filter(F.col("l_returnflag") == "R")  # the 'key == -1' branch
+    points = li.filter(F.col("l_returnflag") != "R")
+    return edges.groupBy(F.lit("edge").alias("branch")).agg(
+        F.count("*").alias("n")
+    ).unionByName(
+        points.groupBy(F.lit("point").alias("branch")).agg(F.count("*").alias("n"))
+    )
+
+
+def j5_knn_join(spark, sf_dir):
+    """J5 (CoreDistanceMapper.java:57-110): broadcast kNN of suppliers
+    among customers in acctbal space."""
+    from bubbles.operators.nearest import knn_join
+
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("point_id"),
+        F.array(F.col("s_acctbal")).cast("array<double>").alias("features"),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("point_id"),
+        F.array(F.col("c_acctbal")).cast("array<double>").alias("features"),
+    )
+    out = knn_join(sup, cust, k=3, right_id="point_id")
+    return out.select(
+        F.col("point_id").alias("s_suppkey"),
+        F.col("neighbor_id").alias("c_custkey"),
+        F.col("rank").alias("rnk"),
+    )
+
+
+def glosh_outliers(spark, sf_dir):
+    """GLOSH outlier scores (F12) through the full model — rows-only
+    (iterative kernel)."""
+    from bubbles import MRHDBSCAN
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    pts = emb.select(
+        F.col("vec_id").alias("point_id"),
+        F.col("embedding").cast("array<double>").alias("features"),
+    )
+    model = MRHDBSCAN(min_pts=4, min_cluster_size=10, max_local_size=2000).fit(pts)
+    return model.outlier_scores.select(
+        "point_id", F.round("score", 6).alias("score")
+    )
+
+
 def x6_connected_components(spark, sf_dir):
     from bubbles.operators.components import connected_components
 
@@ -378,6 +428,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_topk_per_group": w1_topk_per_group,
         "w5_sample_ordinals": w5_sample_ordinals,
         "x1_systematic_sample": x1_systematic_sample,
+        "p2_p3_key_filters": p2_p3_key_filters,
+        "j5_knn_join": j5_knn_join,
+        "glosh_outliers": glosh_outliers,
         "x6_connected_components": x6_connected_components,
         "f_distances": f_distances,
         "dedup_exact": dedup_exact_q,
@@ -676,6 +729,20 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem WHERE l_orderkey % 20 = 3
         """,
         "x6_connected_components": _CC_SQL,
+        "p2_p3_key_filters": """
+            SELECT 'edge' AS branch, count(*) AS n FROM lineitem WHERE l_returnflag = 'R'
+            UNION ALL
+            SELECT 'point' AS branch, count(*) AS n FROM lineitem WHERE l_returnflag != 'R'
+        """,
+        "j5_knn_join": """
+            SELECT s_suppkey, c_custkey, rnk FROM (
+              SELECT s_suppkey, c_custkey,
+                     row_number() OVER (PARTITION BY s_suppkey
+                       ORDER BY abs(s_acctbal - c_acctbal), c_custkey) AS rnk
+              FROM supplier CROSS JOIN customer
+              WHERE s_suppkey != c_custkey
+            ) WHERE rnk <= 3
+        """,
         "f_distances": _F_DIST_SQL,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,

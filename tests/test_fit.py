@@ -83,3 +83,29 @@ def test_fit_stalled_subset_terminates(spark):
     got = model.labels.orderBy("point_id").toPandas()
     assert len(got) == 150
     assert ari(got["label"].to_numpy(), np.repeat([0, 1], 75)) == pytest.approx(1.0)
+
+
+def test_fit_gauss_mixture_quality(spark):
+    # paper-protocol quality gate (BASELINE.md): Gauss1-style 10-D,
+    # 20-cluster mixture through the recursive path; the paper's DB
+    # variant scores 0.864 — we require >= 0.85 at test scale
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.quality import gauss_mixture
+
+    X, y = gauss_mixture(12000)
+    df = to_df(spark, X)
+    from bubbles import MRHDBSCAN
+
+    model = MRHDBSCAN(
+        min_pts=4,
+        min_cluster_size=20,
+        sample_fraction=0.1,
+        max_local_size=2048,
+        seed=42,
+    ).fit(df)
+    labels = model.labels.orderBy("point_id").toPandas()["label"].to_numpy()
+    assert model.n_iterations >= 1
+    score = ari(labels, y)
+    assert score >= 0.85, f"ARI {score} below paper DB-variant level"

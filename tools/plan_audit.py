@@ -1,0 +1,165 @@
+"""Physical-plan audit: verify Catalyst properties we rely on at
+scale — predicate pushdown into parquet, column pruning, broadcast
+joins for small sides, whole-stage codegen coverage, no redundant
+exchanges. Writes PLANS.md.
+
+Usage: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as m
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    checks = []
+
+    def check(name, cond, detail):
+        checks.append((name, bool(cond), detail))
+
+    # 1. q1: filter pushed to parquet scan + pruned columns
+    q1 = m.queries()["q1_pricing_summary"](spark, sf_dir)
+    p = plan_of(q1)
+    check(
+        "q1 filter pushdown",
+        "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p,
+        "shipdate predicate reaches the parquet scan",
+    )
+    sel = re.search(r"FileScan parquet \[([^\]]*)\]", p)
+    ncols = len(sel.group(1).split(",")) if sel else 99
+    check(
+        "q1 column pruning",
+        ncols <= 7,
+        f"scan reads {ncols} of 11 lineitem columns",
+    )
+    check(
+        "q1 partial aggregation",
+        "HashAggregate" in p and p.count("HashAggregate") >= 2,
+        "partial+final hash aggregate",
+    )
+    # codegen markers (*(n)) only appear in the AQE-final plan
+    q1.collect()
+    p_final = plan_of(q1)
+    check(
+        "q1 codegen",
+        "*(" in p_final or "WholeStageCodegen" in p_final,
+        "whole-stage codegen spans in the AQE-final plan",
+    )
+
+    # 2. j2: dimension joins are broadcast, fact side never shuffled
+    #    before the aggregate
+    j2 = m.queries()["j2_model_lookup"](spark, sf_dir)
+    p = plan_of(j2)
+    check(
+        "j2 broadcast joins",
+        p.count("BroadcastHashJoin") == 2 and "SortMergeJoin" not in p,
+        "supplier and nation both broadcast; no sort-merge join",
+    )
+
+    # 3. j1 nearest-representative: sample side broadcast; point side
+    #    has ZERO exchanges (argmin is a projection)
+    from bubbles.operators.nearest import nearest_representative
+    from bubbles.operators.sampling import stratified_sample_exact
+
+    pts = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(
+            F.monotonically_increasing_id().alias("point_id"),
+            F.array("l_quantity", "l_discount").cast("array<double>").alias("features"),
+        )
+        .withColumn("subset_id", F.col("point_id") % 4)
+    )
+    reps = stratified_sample_exact(pts, "subset_id", 0.01)
+    p = plan_of(nearest_representative(pts, reps))
+    big_side = p.split("BroadcastExchange")[0]
+    check(
+        "j1 zero-shuffle argmin",
+        "BroadcastHashJoin" in p
+        and "Exchange hashpartitioning" not in big_side,
+        "points flow scan→project→broadcast-join→project, no exchange",
+    )
+
+    # 4. p6/p7: semi/anti joins stay broadcast at this scale
+    p = plan_of(m.queries()["p6_semi_join"](spark, sf_dir))
+    check("p6 semi join", "LeftSemi" in p, "left-semi join planned")
+    p = plan_of(m.queries()["p7_anti_join"](spark, sf_dir))
+    check("p7 anti join", "LeftAnti" in p, "left-anti join planned")
+
+    # 5. dedup_exact: single hash aggregate with partial side
+    p = plan_of(m.queries()["dedup_exact"](spark, sf_dir))
+    check(
+        "dedup_exact partial agg",
+        p.count("HashAggregate") >= 2,
+        "map-side partial aggregation on md5 key",
+    )
+
+    # 6. bubble aggregation: hash aggregate (not sort) + single shuffle
+    from bubbles.operators.bubble_agg import bubble_aggregate
+
+    assigned = pts.withColumn("bubble_id", F.col("point_id") % 100)
+    p = plan_of(bubble_aggregate(assigned, dim=2))
+    check(
+        "a2 hash aggregate",
+        "HashAggregate" in p and "SortAggregate" not in p,
+        "per-dimension sums hash-aggregate; no sort aggregate",
+    )
+    check(
+        "a2 single shuffle",
+        p.count("Exchange hashpartitioning") == 1,
+        "exactly one exchange (on the group key)",
+    )
+
+    # 7. w1 top-k: single shuffle then windowed rank
+    p = plan_of(m.queries()["w1_topk_per_group"](spark, sf_dir))
+    check(
+        "w1 single shuffle window",
+        p.count("Exchange hashpartitioning") == 1,
+        "one exchange for the window partition",
+    )
+
+    lines = [
+        "# PLANS — physical-plan audit (tools/plan_audit.py)",
+        "",
+        f"Run at `{sf_dir}`, Spark {spark.version}, AQE on. These properties",
+        "are what the 100 TB story rests on; re-run after operator changes.",
+        "",
+        "| check | ok | detail |",
+        "|---|---|---|",
+    ]
+    for name, ok, detail in checks:
+        lines.append(f"| {name} | {'✅' if ok else '❌'} | {detail} |")
+    fails = [c for c in checks if not c[1]]
+    lines.append("")
+    lines.append(
+        f"{len(checks) - len(fails)}/{len(checks)} checks pass."
+        + (f" FAILING: {[c[0] for c in fails]}" if fails else "")
+    )
+    open("PLANS.md", "w").write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+    spark.stop()
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
