@@ -414,38 +414,58 @@ def stream_windowed_counts(spark, sf_dir):
     )
 
 
+def _widen(fn):
+    """Cast int→long and float→double on every output column so the
+    Spark schema matches DuckDB's (BIGINT/DOUBLE everywhere)."""
+    from pyspark.sql import types as T
+
+    def wrapped(spark, sf_dir):
+        df = fn(spark, sf_dir)
+        cols = []
+        for f in df.schema.fields:
+            c = F.col(f.name)
+            if isinstance(f.dataType, (T.IntegerType, T.ShortType, T.ByteType)):
+                c = c.cast("long")
+            elif isinstance(f.dataType, T.FloatType):
+                c = c.cast("double")
+            cols.append(c.alias(f.name))
+        return df.select(*cols)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "q1_pricing_summary": q1_pricing_summary,
-        "a1_subset_sizes": a1_subset_sizes,
-        "a2_bubble_stats": a2_bubble_stats,
-        "a4_adjacency_list": a4_adjacency_list,
-        "a5_max_edge_per_key": a5_max_edge_per_key,
-        "j1_nearest_rep": j1_nearest_rep,
-        "j2_model_lookup": j2_model_lookup,
-        "p6_semi_join": p6_semi_join,
-        "p7_anti_join": p7_anti_join,
-        "w1_topk_per_group": w1_topk_per_group,
-        "w5_sample_ordinals": w5_sample_ordinals,
-        "x1_systematic_sample": x1_systematic_sample,
-        "p2_p3_key_filters": p2_p3_key_filters,
-        "j5_knn_join": j5_knn_join,
-        "glosh_outliers": glosh_outliers,
-        "x6_connected_components": x6_connected_components,
-        "f_distances": f_distances,
-        "dedup_exact": dedup_exact_q,
-        "dedup_minhash_lsh": dedup_minhash_lsh_q,
-        "dedup_simhash": dedup_simhash_q,
-        "ngram_jaccard": ngram_jaccard_q,
-        "ann_cosine_topk": ann_cosine_topk_q,
-        "text_profile": text_profile_q,
-        "events_windowed": events_windowed_q,
-        "events_sessionize": events_sessionize_q,
-        "multimodal_meta": multimodal_meta_q,
-        "cluster_embeddings": cluster_embeddings,
-        "multimodal_decode_fake": multimodal_decode_fake,
-        "lsh_ann_topk": lsh_ann_topk,
-        "stream_windowed_counts": stream_windowed_counts,
+        "q1_pricing_summary": _widen(q1_pricing_summary),
+        "a1_subset_sizes": _widen(a1_subset_sizes),
+        "a2_bubble_stats": _widen(a2_bubble_stats),
+        "a4_adjacency_list": _widen(a4_adjacency_list),
+        "a5_max_edge_per_key": _widen(a5_max_edge_per_key),
+        "j1_nearest_rep": _widen(j1_nearest_rep),
+        "j2_model_lookup": _widen(j2_model_lookup),
+        "p6_semi_join": _widen(p6_semi_join),
+        "p7_anti_join": _widen(p7_anti_join),
+        "w1_topk_per_group": _widen(w1_topk_per_group),
+        "w5_sample_ordinals": _widen(w5_sample_ordinals),
+        "x1_systematic_sample": _widen(x1_systematic_sample),
+        "p2_p3_key_filters": _widen(p2_p3_key_filters),
+        "j5_knn_join": _widen(j5_knn_join),
+        "glosh_outliers": _widen(glosh_outliers),
+        "x6_connected_components": _widen(x6_connected_components),
+        "f_distances": _widen(f_distances),
+        "dedup_exact": _widen(dedup_exact_q),
+        "dedup_minhash_lsh": _widen(dedup_minhash_lsh_q),
+        "dedup_simhash": _widen(dedup_simhash_q),
+        "ngram_jaccard": _widen(ngram_jaccard_q),
+        "ann_cosine_topk": _widen(ann_cosine_topk_q),
+        "text_profile": _widen(text_profile_q),
+        "events_windowed": _widen(events_windowed_q),
+        "events_sessionize": _widen(events_sessionize_q),
+        "multimodal_meta": _widen(multimodal_meta_q),
+        "cluster_embeddings": _widen(cluster_embeddings),
+        "multimodal_decode_fake": _widen(multimodal_decode_fake),
+        "lsh_ann_topk": _widen(lsh_ann_topk),
+        "stream_windowed_counts": _widen(stream_windowed_counts),
     }
 
 

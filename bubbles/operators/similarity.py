@@ -123,6 +123,70 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    df: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: bucket the corpus by nearest
+    centroid (deterministic hash-rank sample as centroids — one
+    k-means-assign step), probe each query's ``n_probe`` nearest
+    centroid buckets, exact-rank within candidates. The candidate
+    join is an equi-join on centroid id; corpus is scanned once for
+    assignment (broadcast centroids, no shuffle) and once per probe
+    match (shuffle bounded by bucket sizes)."""
+    from bubbles.operators.nearest import nearest_representative
+    from bubbles.operators.sampling import stratified_sample_exact
+
+    base = df.select(
+        F.col(id_col).alias("point_id"),
+        F.col(vec_col).cast("array<double>").alias("features"),
+        F.lit(0).alias("subset_id"),
+    )
+    cents = stratified_sample_exact(
+        base, "subset_id", 0.0, seed=seed, min_per_key=n_centroids
+    )
+    assigned = nearest_representative(base, cents, metric="cosine").select(
+        F.col("point_id").alias("neighbor_id"),
+        F.col("features").alias("__cv"),
+        F.col("bubble_id").alias("centroid"),
+    )
+    # each query probes its n_probe nearest centroids
+    c = cents.select(
+        F.col("point_id").alias("centroid"), F.col("features").alias("__cf")
+    )
+    qsim = _cos_sim(F.col("features"), F.col("__cf"))
+    w = Window.partitionBy("point_id").orderBy(F.desc("__qcs"), "centroid")
+    probes = (
+        base.crossJoin(F.broadcast(c))
+        .select(
+            F.col("point_id").alias("query_id"),
+            F.col("features").alias("__qv"),
+            "centroid",
+            qsim.alias("__qcs"),
+        )
+        .withColumn("point_id", F.col("query_id"))
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= n_probe)
+        .select("query_id", "__qv", "centroid")
+    )
+    cand = probes.join(assigned, on="centroid").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    sim = _cos_sim(F.col("__qv"), F.col("__cv"))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        cand.select("query_id", "neighbor_id", sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def embedding_cosine_dedup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

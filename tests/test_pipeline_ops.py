@@ -184,3 +184,20 @@ def test_stream_matches_batch(spark):
     assert len(g) == len(w)
     assert (g["n"].to_numpy() == w["n"].to_numpy()).all()
     np.testing.assert_allclose(g["sum_value"], w["sum_value"], rtol=1e-9)
+
+
+def test_ivf_topk_recall(spark):
+    from bubbles.operators.similarity import cosine_topk, ivf_topk
+
+    rng = np.random.default_rng(2)
+    V = rng.normal(size=(300, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(V)],
+        "vec_id long, embedding array<double>",
+    )
+    exact = cosine_topk(df, df, k=3).toPandas()
+    approx = ivf_topk(df, k=3, n_centroids=12, n_probe=5).toPandas()
+    e = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+    a = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
+    recall = len(e & a) / len(e)
+    assert recall > 0.5, f"IVF recall too low: {recall}"
