@@ -594,6 +594,65 @@ def glosh_scores(result: HierarchyResult, core: np.ndarray) -> np.ndarray:
     return scores
 
 
+def hierarchy_levels(result: HierarchyResult, max_cells: int = 50_000_000):
+    """Reconstruct the compact per-level label matrix — the reference's
+    hierarchy CSV contract (Main.java:556-565: one line per significant
+    level, ``level_weight, label_1..label_n``).
+
+    Rows are (level_weight, labels array) ordered by level descending.
+    Levels = distinct cluster birth levels (the significant levels in
+    the compact hierarchy: where new clusters appear). A point's label
+    at level W is the deepest cluster in its chain born at a weight
+    > W is wrong — clusters are *active* from their birth level down
+    to their death, so: label = deepest chain cluster with
+    birth ≥ W > death (root active everywhere); noise (0) once
+    W < noise_level(p) is reached, i.e. noise_level(p) > W.
+    Guarded by ``max_cells`` (n × levels) — this is an O(n·levels)
+    output intended for the exact path / small n.
+    """
+    clusters = result.clusters
+    n = len(result.last_cluster)
+    births = sorted(
+        {
+            float(c.birth)
+            for c in clusters.values()
+            if c.label != 1 and not np.isnan(c.birth)
+        },
+        reverse=True,
+    )
+    if not births:
+        return []
+    if n * len(births) > max_cells:
+        raise ValueError(
+            f"hierarchy matrix would have {n * len(births)} cells "
+            f"(> {max_cells}); raise max_cells explicitly if intended"
+        )
+    parent_of = {lbl: c.parent for lbl, c in clusters.items()}
+    birth_of = {lbl: c.birth for lbl, c in clusters.items()}
+    # per point: chain bottom-up (deepest first)
+    chains = []
+    for p in range(n):
+        ch = []
+        lbl = int(result.last_cluster[p])
+        while lbl != 0:
+            ch.append(lbl)
+            lbl = parent_of[lbl]
+        chains.append(ch)
+    out = []
+    for W in births:
+        labels = np.zeros(n, dtype=np.int64)
+        for p in range(n):
+            if result.noise_level[p] > W:
+                continue  # already noise at this level
+            for lbl in chains[p]:
+                b = birth_of[lbl]
+                if lbl == 1 or (not np.isnan(b) and b >= W):
+                    labels[p] = lbl
+                    break
+        out.append((W, labels))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # One-call exact pipeline (the applyInPandas leaf kernel and the test
 # oracle): X -> labels, tree, scores, mst.

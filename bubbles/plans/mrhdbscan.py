@@ -107,6 +107,24 @@ class MRHDBSCANModel:
     outlier_scores: DataFrame  # (point_id, score, core_distance)
     mst_edges: DataFrame  # (src, dst, weight) incl. self edges
     n_iterations: int = 0
+    _hier = None  # (HierarchyResult, verts) for hierarchy_levels()
+    _spark = None
+
+    def hierarchy_levels(self) -> DataFrame:
+        """Per-level label matrix as rows (level_weight, point_id,
+        label) — the reference's hierarchy CSV contract
+        (Main.java:556-565). O(n·levels); exact-path sized."""
+        if self._hier is None:
+            raise ValueError("hierarchy retention disabled")
+        res, verts = self._hier
+        levels = hk.hierarchy_levels(res)
+        rows = []
+        for w, labels in levels:
+            for p, lbl in zip(verts, labels):
+                rows.append((float(w), int(p), int(lbl)))
+        return self._spark.createDataFrame(
+            rows, schema="level_weight double, point_id long, label long"
+        )
 
 
 class MRHDBSCAN:
@@ -343,10 +361,13 @@ class MRHDBSCAN:
         scores_df = spark.createDataFrame(
             pd.DataFrame({"point_id": verts, "score": scores, "core_distance": core})
         )
-        return MRHDBSCANModel(
+        model = MRHDBSCANModel(
             labels=labels_df,
             cluster_tree=tree_df,
             outlier_scores=scores_df,
             mst_edges=all_edges,
             n_iterations=iteration,
         )
+        model._hier = (res, verts)
+        model._spark = spark
+        return model

@@ -109,3 +109,26 @@ def test_fit_gauss_mixture_quality(spark):
     assert model.n_iterations >= 1
     score = ari(labels, y)
     assert score >= 0.85, f"ARI {score} below paper DB-variant level"
+
+
+def test_fit_deterministic(spark, blob_data):
+    # FIXTURES.md §7: seeded fit is reproducible run-to-run
+    X, _ = blob_data
+    df = to_df(spark, X)
+    est = MRHDBSCAN(min_pts=4, min_cluster_size=8, max_local_size=60, seed=7)
+    a = est.fit(df).labels.orderBy("point_id").toPandas()
+    b = est.fit(df).labels.orderBy("point_id").toPandas()
+    assert (a["label"].to_numpy() == b["label"].to_numpy()).all()
+
+
+def test_model_hierarchy_levels(spark, blob_data):
+    X, _ = blob_data
+    model = MRHDBSCAN(min_pts=4, min_cluster_size=4, max_local_size=1000).fit(
+        to_df(spark, X)
+    )
+    h = model.hierarchy_levels().toPandas()
+    assert set(h.columns) == {"level_weight", "point_id", "label"}
+    assert h["point_id"].nunique() == len(X)
+    # levels descend
+    ws = sorted(h["level_weight"].unique(), reverse=True)
+    assert ws[0] > ws[-1]

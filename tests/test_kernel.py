@@ -308,3 +308,39 @@ def test_constraints_flip_selection():
     cl = [("cl", 0, 30)]
     res_cl = hdbscan_exact(X, min_pts=4, min_cluster_size=5, constraints=cl)
     assert len(np.unique(res_cl.labels[res_cl.labels > 0])) == 3
+
+
+def test_hierarchy_levels_contract():
+    from bubbles.kernels.hdbscan_kernel import (
+        build_hierarchy,
+        hierarchy_levels,
+    )
+
+    X, y = blobs(seed=6, n=60, centers=3, spread=15.0)
+    core = core_distances(X, 4)
+    src, dst, w = mst_edges(X, core, self_edges=True)
+    res = build_hierarchy(src, dst, w, np.ones(len(X)), 4)
+    levels = hierarchy_levels(res)
+    assert len(levels) >= 1
+    ws = [lv for lv, _ in levels]
+    assert ws == sorted(ws, reverse=True)  # descending levels
+    # top level: everything still in root or its first children (no noise)
+    top_w, top_labels = levels[0]
+    assert (top_labels != 0).all()
+    # at the deepest significant level the 3 blob clusters are distinct
+    _, bottom = levels[-1]
+    labeled = bottom[bottom > 0]
+    assert len(set(labeled)) >= 3
+    # label transitions respect the tree: each point's label sequence
+    # follows its chain (no jumps to non-ancestors)
+    parent = {lbl: c.parent for lbl, c in res.clusters.items()}
+    for p in range(len(X)):
+        seq = [lv_labels[p] for _, lv_labels in levels]
+        seq = [s for s in seq if s != 0]
+        for a, b in zip(seq, seq[1:]):
+            # consecutive labels: same or descend along the tree
+            x = b
+            while x not in (0, a):
+                x = parent.get(x, 0)
+            assert x == a or a == b
+
