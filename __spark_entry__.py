@@ -357,6 +357,44 @@ def events_sessionize_q(spark, sf_dir):
     )
 
 
+def rollup_revenue_q(spark, sf_dir):
+    """Rollup aggregation (relational breadth; grouping-sets twin in
+    DuckDB). Grouping columns coalesced to 'ALL' sentinels so the
+    value hash is stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+             F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "revenue",
+            "n",
+        )
+    )
+
+
+def events_asof_join_q(spark, sf_dir):
+    """As-of join: each click event picks up the user's most recent
+    prior-or-equal view event (backward ASOF, DuckDB-matching)."""
+    from bubbles.operators.asof import asof_join
+
+    ev = _events_us(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts_us", F.col("value").alias("view_value")
+    )
+    out = asof_join(clicks, views, on="ts_us", by="user_id", right_cols=["view_value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("view_value_right", 6).alias("last_view_value"),
+    )
+
+
 def multimodal_meta_q(spark, sf_dir):
     from bubbles.operators.multimodal import attach_media_meta
 
@@ -461,6 +499,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": _widen(text_profile_q),
         "events_windowed": _widen(events_windowed_q),
         "events_sessionize": _widen(events_sessionize_q),
+        "rollup_revenue": _widen(rollup_revenue_q),
+        "events_asof_join": _widen(events_asof_join_q),
         "multimodal_meta": _widen(multimodal_meta_q),
         "cluster_embeddings": _widen(cluster_embeddings),
         "multimodal_decode_fake": _widen(multimodal_decode_fake),
@@ -780,6 +820,22 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "events_sessionize": _SESSION_SQL,
+        "rollup_revenue": """
+            SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                   coalesce(l_linestatus, 'ALL') AS ls,
+                   round(sum(l_extendedprice), 4) AS revenue,
+                   count(*) AS n
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "events_asof_join": """
+            SELECT c.event_id, c.user_id,
+                   round(v.value, 6) AS last_view_value
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN
+                 (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
+            ON c.user_id = v.user_id AND c.ts >= v.ts
+        """,
         "multimodal_meta": """
             SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
                    md5(text) AS content_hash

@@ -36,14 +36,18 @@ class SlowCluster:
 def slow_hierarchy(u, v, w, vertex_weights, mcl):
     """Returns (clusters dict, last_cluster, noise_level) with the same
     contract as build_hierarchy (before EOM selection)."""
+    from collections import Counter
+
     n = len(vertex_weights)
     vw = np.asarray(vertex_weights, float)
-    adj = [set() for _ in range(n)]
+    # multiset adjacency: the Java UndirectedGraph keeps parallel edges
+    # as duplicate list entries and removes one occurrence at a time
+    adj = [Counter() for _ in range(n)]
     edges = sorted(range(len(w)), key=lambda e: w[e])
     for e in edges:
         if u[e] != v[e]:
-            adj[u[e]].add(v[e])
-            adj[v[e]].add(u[e])
+            adj[u[e]][v[e]] += 1
+            adj[v[e]][u[e]] += 1
     # self-loop presence only affects "anyEdges", never membership;
     # track separately
     label_of = np.ones(n, dtype=int)
@@ -59,8 +63,12 @@ def slow_hierarchy(u, v, w, vertex_weights, mcl):
         while i >= 0 and w[edges[i]] == W:
             e = edges[i]
             a, b = u[e], v[e]
-            adj[a].discard(b)
-            adj[b].discard(a)
+            if a != b:
+                adj[a][b] -= 1
+                adj[b][a] -= 1
+                if adj[a][b] <= 0:
+                    del adj[a][b]
+                    del adj[b][a]
             i -= 1
             if label_of[a] == 0:
                 continue

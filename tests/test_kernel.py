@@ -344,3 +344,28 @@ def test_hierarchy_levels_contract():
                 x = parent.get(x, 0)
             assert x == a or a == b
 
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_hierarchy_on_arbitrary_graphs(seed):
+    # build_hierarchy accepts any edge multiset (the global step feeds
+    # it a union of trees + inter-edges, which has cycles); differential
+    # vs the slow top-down must hold there too
+    rng = np.random.default_rng(100 + seed)
+    n = 40
+    # random connected graph: a random spanning tree + extra edges + self edges
+    perm = rng.permutation(n)
+    tree_u = perm[1:]
+    tree_v = np.array([perm[rng.integers(0, i)] for i in range(1, n)])
+    extra = rng.integers(0, n, size=(25, 2))
+    u = np.concatenate([tree_u, extra[:, 0], np.arange(n)])
+    v = np.concatenate([tree_v, extra[:, 1], np.arange(n)])
+    w = np.round(rng.uniform(0.1, 3.0, size=len(u)), 1)  # ties likely
+    keep = np.ones(len(u), bool)  # keep self edges where u==v only at the tail
+    vw = rng.integers(1, 5, size=n).astype(float)
+    mcl = 6
+    fast = build_hierarchy(u, v, w, vw, mcl)
+    slow_clusters, slow_last, slow_noise = slow_hierarchy(u, v, w, vw, mcl)
+    assert canon_tree(fast.clusters) == canon_tree(slow_clusters)
+    assert np.allclose(fast.noise_level, slow_noise)
+    assert ari(fast.last_cluster, slow_last) == pytest.approx(1.0)

@@ -176,3 +176,23 @@ def test_output_writers(spark, tmp_path):
     write_outlier_scores(model.outlier_scores, str(tmp_path / "scores"))
     flat = spark.read.option("header", True).csv(str(tmp_path / "flat"))
     assert flat.count() == 60
+
+
+def test_asof_join_backward(spark):
+    from bubbles.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 205), (3, 20, 50)], "event_id long, user_id long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(10, 90, 1.0), (10, 205, 2.0), (10, 300, 3.0), (20, 60, 9.0)],
+        "user_id long, ts long, v double",
+    )
+    out = (
+        asof_join(left, right, on="ts", by="user_id", right_cols=["v"])
+        .toPandas()
+        .set_index("event_id")
+    )
+    assert out.loc[1, "v_right"] == 1.0  # 90 <= 100
+    assert out.loc[2, "v_right"] == 2.0  # exact tie 205 matches
+    assert np.isnan(out.loc[3, "v_right"])  # no prior right row (60 > 50)
