@@ -441,6 +441,25 @@ def lsh_ann_topk(spark, sf_dir):
     return lsh_topk(emb, k=3)
 
 
+def pivot_revenue_q(spark, sf_dir):
+    """Pivot: revenue per return flag by line status columns —
+    expressed as portable conditional aggregation (same SQL shape in
+    DuckDB)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("rf")).agg(
+        F.round(F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_extendedprice")).otherwise(0.0)), 4).alias("rev_o"),
+        F.round(F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_extendedprice")).otherwise(0.0)), 4).alias("rev_f"),
+    )
+
+
+def stream_stateful_totals(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState) —
+    rows-only (streaming)."""
+    from bubbles.streaming.events import run_stateful_to_memory
+
+    return run_stateful_to_memory(spark, sf_dir, name="drv_stateful_out")
+
+
 def stream_windowed_counts(spark, sf_dir):
     from bubbles.streaming.events import run_stream_to_memory
 
@@ -505,6 +524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_embeddings": _widen(cluster_embeddings),
         "multimodal_decode_fake": _widen(multimodal_decode_fake),
         "lsh_ann_topk": _widen(lsh_ann_topk),
+        "pivot_revenue": _widen(pivot_revenue_q),
+        "stream_stateful_totals": _widen(stream_stateful_totals),
         "stream_windowed_counts": _widen(stream_windowed_counts),
     }
 
@@ -835,6 +856,12 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN
                  (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
             ON c.user_id = v.user_id AND c.ts >= v.ts
+        """,
+        "pivot_revenue": """
+            SELECT l_returnflag AS rf,
+                   round(sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice ELSE 0 END), 4) AS rev_o,
+                   round(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice ELSE 0 END), 4) AS rev_f
+            FROM lineitem GROUP BY l_returnflag
         """,
         "multimodal_meta": """
             SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,

@@ -95,6 +95,54 @@ def session_stats(
     )
 
 
+def stateful_user_totals(events: DataFrame, timeout_ms: int = 0) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    running per-user event count and value total carried in explicit
+    state across micro-batches. The reference has no streaming at all
+    (SURVEY §2.8); this is the net-new stateful surface.
+
+    Emits one row per user per micro-batch with the updated totals.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stateful_to_memory(
+    spark: SparkSession, sf_dir: str, name: str = "stateful_out"
+):
+    """Drive the stateful operator over the parquet micro-batch."""
+    ev = read_events_stream(spark, sf_dir)
+    q = (
+        stateful_user_totals(ev)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
 def run_stream_to_memory(spark: SparkSession, sf_dir: str, name: str = "stream_out"):
     """Drive the streaming query synchronously to completion over the
     parquet micro-batch (local smoke path)."""

@@ -201,3 +201,27 @@ def test_ivf_topk_recall(spark):
     a = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
     recall = len(e & a) / len(e)
     assert recall > 0.5, f"IVF recall too low: {recall}"
+
+
+def test_stateful_streaming_user_totals(spark):
+    from bubbles.streaming.events import run_stateful_to_memory
+
+    got = run_stateful_to_memory(spark, "/root/testdata/sf0.001", name="t_state")
+    g = got.toPandas()
+    # batch twin: plain groupBy totals
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.schema(
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet("/root/testdata/sf0.001/events.parquet")
+    want = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
+        .toPandas()
+    )
+    # single micro-batch -> final state equals the batch aggregate
+    g2 = g.sort_values("user_id").reset_index(drop=True)
+    w2 = want.sort_values("user_id").reset_index(drop=True)
+    assert len(g2) == len(w2)
+    assert (g2["n_events"].to_numpy() == w2["n_events"].to_numpy()).all()
+    np.testing.assert_allclose(g2["total_value"], w2["total_value"], atol=1e-6)
