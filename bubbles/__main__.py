@@ -1,0 +1,97 @@
+"""CLI mirroring the reference driver's k=v argument contract
+(源代码/main/Main.java:417-528 checkInputParameters + the output file
+layout documented at :556-612), so a reference user can run the same
+invocation against this engine:
+
+    python -m bubbles file=dataset.txt minPts=4 minClSize=4 k=0.2 \
+        processing_units=4096 dist_function=euclidean \
+        [constraints=constraints.csv] [out=outdir] [master=local[*]]
+
+Outputs under <out>/ (default <file>_out/): flat partition, cluster
+tree, outlier scores (CSV, reference contracts), MST edges (parquet).
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def parse_args(argv: list[str]) -> dict:
+    args = {}
+    for a in argv:
+        if "=" not in a:
+            raise SystemExit(f"arguments are key=value (reference contract); got {a!r}")
+        k, v = a.split("=", 1)
+        args[k] = v
+    if "file" not in args:
+        raise SystemExit(
+            "usage: python -m bubbles file=<path> [minPts=4] [minClSize=4] "
+            "[k=0.2] [processing_units=4096] [dist_function=euclidean] "
+            "[constraints=<csv>] [out=<dir>] [master=local[*]]"
+        )
+    return args
+
+
+def main(argv=None):
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+
+    from pyspark.sql import SparkSession
+
+    from bubbles import MRHDBSCAN
+    from bubbles.sources.points import (
+        read_points_text,
+        write_cluster_tree,
+        write_flat_partition,
+        write_outlier_scores,
+    )
+
+    spark = (
+        SparkSession.builder.master(args.get("master", "local[*]"))
+        .appName("bubbles-cli")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    path = args["file"]
+    df = (
+        spark.read.parquet(path)
+        if path.endswith(".parquet")
+        else read_points_text(spark, path)
+    )
+    constraints = None
+    if "constraints" in args:
+        # reference format: pointA,pointB,{ml|cl} (Main.java:590-597)
+        constraints = (
+            spark.read.csv(args["constraints"])
+            .toDF("point_a", "point_b", "kind")
+            .selectExpr(
+                "cast(point_a as long) point_a",
+                "cast(point_b as long) point_b",
+                "kind",
+            )
+        )
+
+    model = MRHDBSCAN(
+        min_pts=int(args.get("minPts", 4)),
+        min_cluster_size=int(args.get("minClSize", 4)),
+        sample_fraction=float(args.get("k", 0.2)),
+        max_local_size=int(args.get("processing_units", 4096)),
+        distance=args.get("dist_function", "euclidean"),
+        seed=int(args.get("seed", 42)),
+    ).fit(df, constraints=constraints)
+
+    out = args.get("out", path.rsplit(".", 1)[0] + "_out")
+    write_flat_partition(model.labels, f"{out}/partition")
+    write_cluster_tree(model.cluster_tree, f"{out}/tree")
+    write_outlier_scores(model.outlier_scores, f"{out}/outlier_scores")
+    model.mst_edges.write.mode("overwrite").parquet(f"{out}/mst")
+    n = model.labels.count()
+    k = model.labels.filter("label > 0").select("label").distinct().count()
+    print(f"clustered {n} points into {k} clusters -> {out}/")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
