@@ -266,7 +266,13 @@ def x6_connected_components(spark, sf_dir):
 
 
 def f_distances(spark, sf_dir):
-    from bubbles.functions.distances import chebyshev, cosine, euclidean, manhattan
+    from bubbles.functions.distances import (
+        chebyshev,
+        cosine,
+        euclidean,
+        manhattan,
+        pearson,
+    )
 
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 15)
     a = emb.select(
@@ -286,6 +292,7 @@ def f_distances(spark, sf_dir):
             F.round(manhattan(va, vb), 6).alias("manhat"),
             F.round(chebyshev(va, vb), 6).alias("cheby"),
             F.round(cosine(va, vb), 6).alias("cos_dist"),
+            F.round(pearson(va, vb), 6).alias("pearson_dist"),
         )
     )
 
@@ -352,11 +359,18 @@ def events_windowed_q(spark, sf_dir):
 
 
 def events_sessionize_q(spark, sf_dir):
-    from bubbles.streaming.events import session_stats
+    """Sessionize. The compared value sum is exact integer micro-units
+    (round(value*1e6) per row, summed as BIGINT) — double sums are
+    order-dependent across engines, so a float column can flip the
+    driver's value hash on boundary rows even when both sides are
+    'equal' to 1e-9."""
+    from bubbles.streaming.events import sessionize_batch
 
     ev = _events_us(spark, sf_dir)
-    return session_stats(ev, gap_minutes=30, ts_col="ts_us", us=True).select(
-        "user_id", "session_seq", "n_events", "sum_value"
+    s = sessionize_batch(ev, gap_minutes=30, ts_col="ts_us", us=True)
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 1e6).cast("long")).alias("sum_value_micros"),
     )
 
 
@@ -656,9 +670,13 @@ WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
 q AS (SELECT * FROM e WHERE vec_id < 15),
 pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]))
-           / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
-              * sqrt(list_sum(list_transform(c.v, x -> x * x)))) AS sim
+         round(CASE WHEN sqrt(list_sum(list_transform(q.v, x -> x * x)))
+                         * sqrt(list_sum(list_transform(c.v, x -> x * x))) = 0
+                    THEN 0.0
+                    ELSE list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]))
+                         / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+                            * sqrt(list_sum(list_transform(c.v, x -> x * x))))
+               END, 6) AS sim
   FROM q CROSS JOIN e c
   WHERE q.vec_id != c.vec_id
 )
@@ -671,7 +689,8 @@ SELECT query_id, neighbor_id, rnk AS rank FROM (
 
 _F_DIST_SQL = """
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings WHERE vec_id < 15)
+           FROM embeddings WHERE vec_id < 15),
+m AS (SELECT vec_id, v, list_sum(v) / len(v) AS mu FROM e)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
   round(sqrt(list_sum(list_transform(list_zip(a.v, b.v),
         p -> (p[1]-p[2]) * (p[1]-p[2])))), 6) AS euclid,
@@ -679,8 +698,13 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
   round(list_max(list_transform(list_zip(a.v, b.v), p -> abs(p[1]-p[2]))), 6) AS cheby,
   round(1 - list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2]))
         / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
-           * sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) AS cos_dist
-FROM e a JOIN e b ON a.vec_id < b.vec_id
+           * sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) AS cos_dist,
+  round(1 - list_sum(list_transform(list_zip(a.v, b.v),
+          p -> (p[1] - a.mu) * (p[2] - b.mu)))
+        / (sqrt(list_sum(list_transform(a.v, x -> (x - a.mu) * (x - a.mu))))
+           * sqrt(list_sum(list_transform(b.v, x -> (x - b.mu) * (x - b.mu))))), 6)
+    AS pearson_dist
+FROM m a JOIN m b ON a.vec_id < b.vec_id
 """
 
 _CC_SQL = """
@@ -706,12 +730,16 @@ WITH s AS (
                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
               THEN 1 ELSE 0 END AS new_sess
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  -- order at microsecond resolution (epoch_us), matching the Spark
+  -- side's ts div 1000 truncation, so sub-µs data can't diverge
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
 )
-SELECT user_id, session_seq, count(*) AS n_events, round(sum(value), 6) AS sum_value
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_value_micros
 FROM (
   SELECT user_id, value,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                              ROWS UNBOUNDED PRECEDING) AS session_seq
   FROM s
 )
@@ -855,10 +883,12 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_join": """
             SELECT c.event_id, c.user_id,
                    round(v.value, 6) AS last_view_value
-            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+            FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                  FROM events WHERE event_type = 'click') c
             ASOF LEFT JOIN
-                 (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
-            ON c.user_id = v.user_id AND c.ts >= v.ts
+                 (SELECT user_id, epoch_us(ts) AS ts_us, value
+                  FROM events WHERE event_type = 'view') v
+            ON c.user_id = v.user_id AND c.ts_us >= v.ts_us
         """,
         "pivot_revenue": """
             SELECT l_returnflag AS rf,

@@ -33,6 +33,7 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         .withColumn("component", F.col("vertex"))
         .localCheckpoint()
     )
+    changed = -1
     for _ in range(max_iter):
         nb_min = (
             sym.join(labels, sym.b == labels.vertex)
@@ -72,4 +73,10 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         labels = jumped
         if changed == 0:
             break
+    if changed != 0:
+        # unconverged labels are silently wrong — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter"
+        )
     return labels

@@ -89,12 +89,13 @@ def minhash_lsh_pairs(
     """Candidate near-duplicate pairs (id_a < id_b) sharing at least
     one LSH band bucket. bands = num_hashes / band_size."""
     # small-file inputs arrive in 1-2 splits; spread the hash-heavy
-    # projection across the cluster first (no-op at real scale where
-    # the scan already has many splits)
-    spark = df.sparkSession
-    par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    # projection across the cluster first. Unconditional round-robin
+    # repartition: one shuffle of the raw (id, text) rows, which is
+    # tiny next to the shingle explosion it parallelizes — and it
+    # avoids touching df.rdd (which forces an RDD conversion of the
+    # DataFrame plan just to read the split count).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(par)
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle)
     n_bands = num_hashes // band_size
     bands = []

@@ -43,7 +43,10 @@ def cosine_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("__cv")
     )
-    sim = _cos_sim(F.col("__qv"), F.col("__cv"))
+    # rank on similarity rounded to 6dp (id tie-break): float noise in
+    # the 1e-7 tail differs between engines/accumulation orders, so an
+    # unrounded ordering key can flip ranks vs an external oracle
+    sim = F.round(_cos_sim(F.col("__qv"), F.col("__cv")), 6)
     pairs = (
         q.crossJoin(F.broadcast(c))
         .filter(F.col("query_id") != F.col("neighbor_id"))
