@@ -580,28 +580,60 @@ FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
 WHERE a.doc_id < b.doc_id
 """
 
-_SIMHASH_BITS = "\n".join(
-    f"sum(CASE WHEN substr(md5(tok), {i + 1}, 1) IN "
-    f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s{i},"
-    for i in range(16)
-).rstrip(",")
+# 64-bit SimHash twin: bit i = sign-sum over bit i of the first 16 hex
+# digits of md5(token); four 16-bit bands; canonical = min id over any
+# shared band (same groupBy-bucket-min shape as the engine).
+_SIMHASH_HEX = "0123456789abcdef"
+_SIMHASH_MASKS = (8, 4, 2, 1)
+
+_SIMHASH_BITS = ",\n         ".join(
+    "sum(CASE WHEN substr(d, {dg}, 1) IN ({chars}) THEN 1 ELSE -1 END) AS s{i}".format(
+        dg=i // 4 + 1,
+        chars=",".join(
+            f"'{h}'" for h in _SIMHASH_HEX if int(h, 16) & _SIMHASH_MASKS[i % 4]
+        ),
+        i=i,
+    )
+    for i in range(64)
+)
+
+_SIMHASH_BANDS = ",\n    ".join(
+    "CAST("
+    + " + ".join(
+        f"(CASE WHEN s{b * 16 + j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16)
+    )
+    + f" AS BIGINT) AS sim_b{b}"
+    for b in range(4)
+)
 
 _SIMHASH_SQL = f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
   FROM documents
 ),
+digs AS (SELECT doc_id, md5(tok) AS d FROM toks),
 bits AS (
   SELECT doc_id, {_SIMHASH_BITS}
-  FROM toks GROUP BY doc_id
+  FROM digs GROUP BY doc_id
 ),
 sigs AS (
   SELECT doc_id,
-    CAST({' + '.join(f'(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)' for i in range(16))} AS BIGINT) AS simhash
+    {_SIMHASH_BANDS}
   FROM bits
+),
+bands AS (
+  SELECT doc_id, 0 AS band, sim_b0 AS v FROM sigs
+  UNION ALL SELECT doc_id, 1, sim_b1 FROM sigs
+  UNION ALL SELECT doc_id, 2, sim_b2 FROM sigs
+  UNION ALL SELECT doc_id, 3, sim_b3 FROM sigs
+),
+bmin AS (SELECT band, v, min(doc_id) AS bmin FROM bands GROUP BY band, v),
+canon AS (
+  SELECT bands.doc_id AS doc_id, CAST(min(bmin) AS BIGINT) AS canonical_id
+  FROM bands JOIN bmin USING (band, v) GROUP BY bands.doc_id
 )
-SELECT doc_id, simhash, min(doc_id) OVER (PARTITION BY simhash) AS canonical_id
-FROM sigs
+SELECT s.doc_id, s.sim_b0, s.sim_b1, s.sim_b2, s.sim_b3, c.canonical_id
+FROM sigs s JOIN canon c ON s.doc_id = c.doc_id
 """
 
 _TEXT_PROFILE_SQL = """

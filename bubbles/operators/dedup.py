@@ -7,18 +7,20 @@ hash-match them:
 * hashes are ``md5`` hex strings (identical in Spark and DuckDB),
 * MinHash h_i(s) = min over shingles of md5(i || '|' || s)
   (lexicographic min over hex = a proper random permutation proxy),
-* SimHash uses the top bit of each of the 16 hex digits of
-  md5(token) — a 16-bit signature expressible with substr both sides.
+* SimHash is 64-bit (all four bits of the first 16 hex digits of
+  md5(token)), banded into four 16-bit lanes — substr-expressible
+  both sides; near-dups (Hamming ≤ 3) share at least one band.
 
 Scale notes: exact dedup is one hash-aggregate (map-side partial).
 MinHash/LSH shuffles only (doc_id × bands) rows — candidate pairs
 come from equi-joining small band buckets, never a cross join.
-SimHash bucket join is an equi-join on the 16-bit signature.
+SimHash canonicalization is a groupBy bucket-min + equi-join on the
+band value (no window — skew-safe for mega-buckets).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bubbles.operators.text import char_ngrams
@@ -121,34 +123,81 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(text: Column, id_col_unused=None) -> Column:
-    """16-bit SimHash: bit i = sign of Σ_tokens (±1 by the high bit of
-    hex digit i of md5(token))."""
-    toks = F.split(F.lower(text), r"\s+")
+_HEX = "0123456789abcdef"
+_BIT_MASKS = (8, 4, 2, 1)  # bits of one hex digit, high to low
 
-    def _bit_fn(i: int):
-        return lambda acc, t: acc + F.when(
-            F.substring(F.md5(t), i + 1, 1).isin(
-                "8", "9", "a", "b", "c", "d", "e", "f"
-            ),
-            1,
-        ).otherwise(-1)
 
-    bit_sums = [F.aggregate(toks, F.lit(0), _bit_fn(i)) for i in range(16)]
-    out = F.lit(0)
-    for i, s in enumerate(bit_sums):
-        out = out + F.when(s > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return out.cast("long")
+def _hex_chars_with_bit(mask: int) -> list:
+    return [h for h in _HEX if int(h, 16) & mask]
+
+
+def simhash64_bands(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sim_b0..sim_b3) — 64-bit SimHash split into four 16-bit
+    band values. Bit i = sign of Σ_tokens (±1 by bit i of
+    md5(token)'s first 16 hex digits); band b packs bits
+    [16b, 16b+15].
+
+    Shape: explode tokens → project the md5 digest ONCE → one hash
+    aggregate with 64 signed-sum accumulators (map-side partial).
+    Catalyst does not CSE a shared md5 across 64 aggregate()
+    expressions, so the array-HOF formulation would recompute the
+    digest per bit — this computes it once per token."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("__t"),
+    )
+    digs = toks.select(id_col, F.md5(F.col("__t")).alias("__d"))
+    sums = []
+    for i in range(64):
+        dg, m = divmod(i, 4)
+        chars = _hex_chars_with_bit(_BIT_MASKS[m])
+        sums.append(
+            F.sum(
+                F.when(F.substring(F.col("__d"), dg + 1, 1).isin(*chars), 1)
+                .otherwise(-1)
+            ).alias(f"__s{i}")
+        )
+    bits = digs.groupBy(id_col).agg(*sums)
+    band_cols = []
+    for b in range(4):
+        v = F.lit(0)
+        for j in range(16):
+            v = v + F.when(F.col(f"__s{b * 16 + j}") > 0, F.lit(1 << j)).otherwise(
+                F.lit(0)
+            )
+        band_cols.append(v.cast("long").alias(f"sim_b{b}"))
+    return bits.select(F.col(id_col), *band_cols)
 
 
 def simhash_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, simhash, canonical_id) — docs sharing a 16-bit signature
-    bucket get the bucket's min id as canonical."""
-    sigs = df.select(F.col(id_col), simhash(F.col(text_col)).alias("simhash"))
-    w = Window.partitionBy("simhash")
-    return sigs.withColumn("canonical_id", F.min(id_col).over(w))
+    """(id, sim_b0..sim_b3, canonical_id) — canonical = min doc id
+    among docs sharing ANY of the four 16-bit bands (pigeonhole: two
+    64-bit signatures within Hamming distance 3 must agree on at
+    least one band).
+
+    Scale shape: bucket minima come from a groupBy (map-side partial
+    aggregation), NOT a window — 10⁹ near-identical docs collapse to
+    one (band, value, min_id) row at the combiner instead of
+    serializing one giant window partition; the join back is
+    AQE-skew-splittable."""
+    sigs = simhash64_bands(df, text_col, id_col)
+    bands = None
+    for b in range(4):
+        sel = sigs.select(
+            F.col(id_col), F.lit(b).alias("band"), F.col(f"sim_b{b}").alias("v")
+        )
+        bands = sel if bands is None else bands.unionByName(sel)
+    bucket_min = bands.groupBy("band", "v").agg(F.min(id_col).alias("__bmin"))
+    canon = (
+        bands.join(bucket_min, on=["band", "v"])
+        .groupBy(id_col)
+        .agg(F.min("__bmin").alias("canonical_id"))
+    )
+    return sigs.join(canon, on=id_col)
 
 
 def ngram_jaccard_pairs(

@@ -43,10 +43,29 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
 def test_simhash_exact_dups_same_bucket(spark, docs):
     from bubbles.operators.dedup import simhash_dedup
 
+    bands = ["sim_b0", "sim_b1", "sim_b2", "sim_b3"]
     out = simhash_dedup(docs).toPandas().set_index("doc_id")
-    assert out.loc[0, "simhash"] == out.loc[1, "simhash"]
+    assert (out.loc[0, bands] == out.loc[1, bands]).all()
     assert out.loc[1, "canonical_id"] == 0
-    assert out.loc[0, "simhash"] != out.loc[4, "simhash"]
+    # unrelated content should differ in at least one 16-bit band
+    assert (out.loc[0, bands] != out.loc[4, bands]).any()
+
+
+def test_simhash_mega_bucket_no_window_skew(spark):
+    from bubbles.operators.dedup import simhash_dedup
+
+    # thousands of identical docs land in ONE bucket per band; the
+    # groupBy bucket-min shape collapses them at the map-side combiner
+    # instead of sorting one giant window partition
+    n = 5000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("same boilerplate text repeated on every page").alias("text"),
+    )
+    out = simhash_dedup(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert out.filter(F.col("canonical_id") == 0).count() == n
 
 
 def test_ngram_jaccard(spark, docs):
