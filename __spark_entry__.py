@@ -458,6 +458,16 @@ def lsh_ann_topk(spark, sf_dir):
     return lsh_topk(emb, k=3)
 
 
+def ivf_ann_topk(spark, sf_dir):
+    """IVF ANN (rows-only — centroid choice is a seeded systematic
+    sample, not SQL-expressible; recall is pytest-checked against the
+    brute-force baseline)."""
+    from bubbles.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return ivf_topk(emb, k=3, n_centroids=12, n_probe=4)
+
+
 def pivot_revenue_q(spark, sf_dir):
     """Pivot: revenue per return flag by line status columns —
     expressed as portable conditional aggregation (same SQL shape in
@@ -541,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_embeddings": _widen(cluster_embeddings),
         "multimodal_decode_fake": _widen(multimodal_decode_fake),
         "lsh_ann_topk": _widen(lsh_ann_topk),
+        "ivf_ann_topk": _widen(ivf_ann_topk),
         "pivot_revenue": _widen(pivot_revenue_q),
         "stream_stateful_totals": _widen(stream_stateful_totals),
         "stream_windowed_counts": _widen(stream_windowed_counts),
@@ -569,12 +580,18 @@ sig AS (
          min(substr(md5('1|' || g), 25, 8)) AS mh7
   FROM sh GROUP BY doc_id
 ),
-buckets AS (
+buckets0 AS (
   SELECT doc_id, 0 AS band,
          md5(mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3) AS bucket FROM sig
   UNION ALL SELECT doc_id, 1,
          md5(mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7) FROM sig
-)
+),
+-- bucket-size cap (same as the engine's max_bucket_size=64): an
+-- over-common bucket is boilerplate, not a dedup signal
+small AS (
+  SELECT band, bucket FROM buckets0 GROUP BY band, bucket HAVING count(*) <= 64
+),
+buckets AS (SELECT b.* FROM buckets0 b JOIN small USING (band, bucket))
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
 WHERE a.doc_id < b.doc_id

@@ -61,6 +61,24 @@ def main():
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
+    # IVF ANN at corpus scale: every embedding row is both corpus and
+    # query (the training-data-pipeline shape); centroid count sized so
+    # buckets stay ~200 rows -> candidate join fan-out is bounded
+    from bubbles.operators.similarity import ivf_topk
+
+    t0 = time.time()
+    emb_full = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_vec = emb_full.count()
+    n_cent = max(16, int((n_vec / 200) ** 0.5) ** 2)  # ~sqrt sizing, min 16
+    ivf = ivf_topk(emb_full, k=5, n_centroids=n_cent, n_probe=4)
+    n_ivf = ivf.count()
+    timings["ivf_ann_topk_full"] = round(time.time() - t0, 3)
+    print(
+        f"# ivf_ann_topk_full: {timings['ivf_ann_topk_full']}s "
+        f"({n_ivf} rows, {n_vec} vecs, {n_cent} centroids)",
+        file=sys.stderr,
+    )
+
     # clustering headline: MR-HDBSCAN (bubbles variant) on the full
     # embeddings table — the BASELINE.md comparable (Skin 245k×4 ≈ 60 s
     # for the paper's DB variant; here 50k×64 at sf0.1)

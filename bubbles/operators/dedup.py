@@ -87,9 +87,17 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     band_size: int = 4,
     shingle: int = 5,
+    max_bucket_size: int = 64,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) sharing at least
-    one LSH band bucket. bands = num_hashes / band_size."""
+    one LSH band bucket. bands = num_hashes / band_size.
+
+    ``max_bucket_size`` drops buckets with more members before the
+    self-join: a bucket shared by thousands of docs is boilerplate,
+    not a dedup signal, and its self-join is quadratic (a single
+    10⁵-doc bucket is 10¹⁰ candidate pairs). Exact duplicates in a
+    dropped bucket are still caught by ``exact_dedup`` — the cap only
+    bounds the NEAR-dup candidate generation. Set 0/None to disable."""
     # small-file inputs arrive in 1-2 splits; spread the hash-heavy
     # projection across the cluster first. Unconditional round-robin
     # repartition: one shuffle of the raw (id, text) rows, which is
@@ -113,6 +121,16 @@ def minhash_lsh_pairs(
     buckets = bands[0]
     for b in bands[1:]:
         buckets = buckets.unionByName(b)
+    if max_bucket_size:
+        # groupBy count (map-side partial) + equi-join back: skew-safe,
+        # no window; the join is AQE-splittable
+        small = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.count("*").alias("__bn"))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        buckets = buckets.join(small, on=["band", "bucket"])
     a = buckets.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
     b2 = buckets.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"))
     return (

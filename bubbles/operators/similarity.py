@@ -28,6 +28,26 @@ def _cos_sim(a, b):
     return F.when(den == 0, F.lit(0.0)).otherwise(dot(a, b) / den)
 
 
+@F.pandas_udf("double")
+def _cos_sim_arrow(a, b):
+    """Arrow-vectorized cosine similarity (rounded to 6dp for stable
+    rank ordering). The column-expression twin ``_cos_sim`` evaluates
+    the higher-order dot per element interpreted — fine for small
+    oracle queries, ~100× too slow on millions of candidate pairs;
+    this batches through numpy."""
+    import numpy as np
+    import pandas as pd
+
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    A = np.asarray(a.tolist(), dtype=np.float64)
+    B = np.asarray(b.tolist(), dtype=np.float64)
+    num = np.einsum("ij,ij->i", A, B)
+    den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+    sim = np.where(den == 0.0, 0.0, num / np.where(den == 0.0, 1.0, den))
+    return pd.Series(np.round(sim, 6))
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -101,14 +121,30 @@ def lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int = 4096,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors: union candidates from
     ``tables`` independent LSH tables (equi-join per bucket), then
-    exact rank within candidates."""
+    exact rank within candidates.
+
+    ``max_bucket_size`` drops over-full buckets before the per-bucket
+    self-join (its cost is Σ bucket²; one degenerate bucket of b docs
+    is b² candidate pairs). Queries living in a dropped bucket still
+    get candidates from the other ``tables-1`` independent tables —
+    the cap trades a little recall on dense regions for a hard bound
+    on join fan-out. Set 0/None to disable."""
     dim = len(df.select(vec_col).first()[0])
     cand = None
     for t in range(tables):
         b = lsh_bucket(df, dim, planes, seed, t, id_col, vec_col)
+        if max_bucket_size:
+            small = (
+                b.groupBy("bucket")
+                .agg(F.count("*").alias("__bn"))
+                .filter(F.col("__bn") <= max_bucket_size)
+                .select("bucket")
+            )
+            b = b.join(small, on="bucket")
         a = b.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "bucket")
         c = b.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "bucket")
         p = a.join(c, on="bucket").filter(F.col("query_id") != F.col("neighbor_id")).select(
@@ -116,7 +152,7 @@ def lsh_topk(
         )
         cand = p if cand is None else cand.unionByName(p)
     cand = cand.dropDuplicates(["query_id", "neighbor_id"])
-    sim = _cos_sim(F.col("__qv"), F.col("__cv"))
+    sim = _cos_sim_arrow(F.col("__qv"), F.col("__cv"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
         cand.select("query_id", "neighbor_id", sim.alias("cos_sim"))
@@ -134,15 +170,24 @@ def ivf_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int = 4096,
 ) -> DataFrame:
     """IVF-style approximate top-k: bucket the corpus by nearest
     centroid (deterministic hash-rank sample as centroids — one
     k-means-assign step), probe each query's ``n_probe`` nearest
     centroid buckets, exact-rank within candidates. The candidate
     join is an equi-join on centroid id; corpus is scanned once for
-    assignment (broadcast centroids, no shuffle) and once per probe
-    match (shuffle bounded by bucket sizes)."""
-    from bubbles.operators.nearest import nearest_representative
+    assignment (broadcast centroids + mapInPandas numpy argmin — the
+    vectorized Arrow path, ~100× faster than the interpreted
+    higher-order-function projection at corpus scale) and once per
+    probe match (shuffle bounded by bucket sizes).
+
+    ``max_bucket_size`` bounds each centroid's inverted list to its
+    closest members (rep_dist rank) so a hot centroid can't make the
+    probe join quadratic."""
+    import numpy as np
+
+    from bubbles.operators.nearest import nearest_representative_bulk
     from bubbles.operators.sampling import stratified_sample_exact
 
     base = df.select(
@@ -153,16 +198,37 @@ def ivf_topk(
     cents = stratified_sample_exact(
         base, "subset_id", 0.0, seed=seed, min_per_key=n_centroids
     )
-    assigned = nearest_representative(base, cents, metric="cosine").select(
+    # centroids are driver-bounded (n_centroids rows) — same bounded
+    # collect pattern as fit()'s sample lists
+    crows = sorted(
+        cents.select("sample_ord", "point_id", "features").collect(),
+        key=lambda r: r.sample_ord,
+    )
+    cdict = {
+        0: (
+            np.array([r.point_id for r in crows], dtype=np.int64),
+            np.array([r.features for r in crows], dtype=np.float64),
+        )
+    }
+    assigned = nearest_representative_bulk(base, cdict, metric="cosine").select(
         F.col("point_id").alias("neighbor_id"),
         F.col("features").alias("__cv"),
         F.col("bubble_id").alias("centroid"),
+        "rep_dist",
     )
+    if max_bucket_size:
+        wb = Window.partitionBy("centroid").orderBy("rep_dist", "neighbor_id")
+        assigned = (
+            assigned.withColumn("__m", F.row_number().over(wb))
+            .filter(F.col("__m") <= max_bucket_size)
+            .drop("__m")
+        )
+    assigned = assigned.drop("rep_dist")
     # each query probes its n_probe nearest centroids
     c = cents.select(
         F.col("point_id").alias("centroid"), F.col("features").alias("__cf")
     )
-    qsim = _cos_sim(F.col("features"), F.col("__cf"))
+    qsim = _cos_sim_arrow(F.col("features"), F.col("__cf"))
     w = Window.partitionBy("point_id").orderBy(F.desc("__qcs"), "centroid")
     probes = (
         base.crossJoin(F.broadcast(c))
@@ -180,7 +246,7 @@ def ivf_topk(
     cand = probes.join(assigned, on="centroid").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    sim = _cos_sim(F.col("__qv"), F.col("__cv"))
+    sim = _cos_sim_arrow(F.col("__qv"), F.col("__cv"))
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
         cand.select("query_id", "neighbor_id", sim.alias("cos_sim"))

@@ -40,6 +40,33 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
     assert (3, 4) not in pairs and (4, 5) not in pairs
 
 
+def test_minhash_bucket_cap_bounds_degenerate_corpus(spark):
+    from bubbles.operators.dedup import minhash_lsh_pairs
+
+    # 3000 identical docs = one mega-bucket = ~4.5M candidate pairs
+    # without the cap; with it the bucket is dropped (boilerplate is
+    # exact_dedup's job) and the query completes without quadratic
+    # fan-out. A small genuine near-dup group below the cap must
+    # still pair up.
+    boiler = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical boilerplate page footer text").alias("text"),
+    )
+    near = spark.createDataFrame(
+        [
+            (100001, "a genuinely unique document about density clustering"),
+            (100002, "a genuinely unique document about density clustering!"),
+        ],
+        "doc_id long, text string",
+    )
+    out = minhash_lsh_pairs(
+        boiler.unionByName(near), max_bucket_size=64
+    ).toPandas()
+    pairs = set(map(tuple, out[["id_a", "id_b"]].values))
+    assert (100001, 100002) in pairs
+    assert all(a >= 100001 for a, _ in pairs), "mega-bucket must be dropped"
+
+
 def test_simhash_exact_dups_same_bucket(spark, docs):
     from bubbles.operators.dedup import simhash_dedup
 
