@@ -1,0 +1,176 @@
+"""Distributed contraction of per-subset merge forests (X12 scale path).
+
+Phase 1 of the contracted global dendrogram (SCALE.md "global-step"
+analysis): each leaf subset's single-linkage merge forest is built
+locally (inside ``applyInPandas``) and every maximal *pure* subtree —
+one containing no cross-edge endpoint — whose mass is below
+``min_cluster_size`` collapses to a single weighted virtual vertex
+attached at its separation weight. Top-down, such a subtree detaches
+from the global hierarchy exactly at that weight with mass below the
+cluster threshold, so all of its members turn noise there and its
+internal structure is unreachable by any cross edge: replacing it by
+one virtual vertex preserves cluster births/deaths, stabilities,
+per-point noise levels and GLOSH bit-for-bit (see
+tests/test_contracted.py differentials vs the driver path).
+
+The reference's global stage collects every edge to the driver
+(源代码/main/Main.java:350-411, Stage C/D); this kernel bounds the
+driver input to retained events (cross-edge chains + >=mcl crown
+events) instead of ~2n edges.
+
+Virtual siblings that detach at the *same* event are coalesced into
+bins of total mass < min_cluster_size — exact, since stability is
+linear in mass and all members share the event's noise level.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from bubbles.kernels.hdbscan_kernel import _merge_forest
+
+# phase-1 tagged output rows:
+#   kind 0  membership    a=point_id  b=rep_id  w=self/core weight
+#   kind 1  reduced edge  a=src       b=dst     w=weight (a==b self edge)
+#   kind 2  vertex weight a=rep_id    b=0       w=contracted mass
+CONTRACT_SCHEMA = "kind int, a long, b long, w double"
+
+
+def contract_subset_edges(
+    src: np.ndarray,
+    dst: np.ndarray,
+    w: np.ndarray,
+    boundary,
+    min_cluster_size: int,
+):
+    """Contract one subset's edge set. Returns four arrays matching
+    ``CONTRACT_SCHEMA``. ``boundary`` is the global set of cross-edge
+    endpoint ids (driver-bounded: one per inter-cluster edge)."""
+    verts = np.unique(np.concatenate([src, dst]))
+    n = len(verts)
+    pos = {int(g): i for i, g in enumerate(verts)}
+    lu = np.fromiter((pos[int(x)] for x in src), np.int64, len(src))
+    lv = np.fromiter((pos[int(x)] for x in dst), np.int64, len(dst))
+    children, merge_w, roots, self_w = _merge_forest(lu, lv, w, n)
+    nc = len(children)
+    total = n + nc
+
+    mass = np.ones(total)
+    pure = np.zeros(total, dtype=bool)
+    minid = np.empty(total, dtype=np.int64)
+    minid[:n] = verts
+    for i in range(n):
+        pure[i] = int(verts[i]) not in boundary
+    for k in range(nc):  # children only reference lower node ids
+        ch = children[k]
+        mass[n + k] = sum(mass[c] for c in ch)
+        pure[n + k] = all(pure[c] for c in ch)
+        minid[n + k] = min(minid[c] for c in ch)
+
+    out_k: list[int] = []
+    out_a: list[int] = []
+    out_b: list[int] = []
+    out_w: list[float] = []
+    assign = np.empty(n, dtype=np.int64)
+
+    def emit(kind: int, a: int, b: int, ww: float) -> None:
+        out_k.append(kind)
+        out_a.append(a)
+        out_b.append(b)
+        out_w.append(ww)
+
+    def contract_to(node: int, rep: int) -> None:
+        st = [node]
+        while st:
+            x = st.pop()
+            if x < n:
+                assign[x] = rep
+            else:
+                st.extend(children[x - n])
+
+    mcl = min_cluster_size
+    stack: list[tuple[int, bool]] = []
+    for root in roots:
+        if pure[root] and mass[root] < mcl:
+            # whole component is pure and sub-threshold: its members all
+            # turn noise at the component's top merge weight (or the
+            # lone vertex's self weight) — one virtual vertex suffices
+            rep = int(minid[root])
+            wtop = merge_w[root - n] if root >= n else float(self_w[root])
+            emit(2, rep, 0, float(mass[root]))
+            if wtop > 0:
+                emit(1, rep, rep, float(wtop))
+            contract_to(root, rep)
+        else:
+            stack.append((root, True))
+
+    while stack:
+        node, is_root = stack.pop()
+        if node < n:
+            # retained leaf (a boundary vertex); keep its self edge only
+            # when isolated so the driver sees the same noise event
+            emit(2, int(verts[node]), 0, 1.0)
+            if is_root and self_w[node] > 0:
+                emit(1, int(verts[node]), int(verts[node]), float(self_w[node]))
+            assign[node] = verts[node]
+            continue
+        W = float(merge_w[node - n])
+        kids = children[node - n]
+        reps: list[int] = []
+        virt: list[int] = []
+        for c in kids:
+            if pure[c] and mass[c] < mcl:
+                virt.append(c)
+            else:
+                reps.append(int(minid[c]))
+                stack.append((c, False))
+        # coalesce same-event virtual siblings while total mass < mcl
+        virt.sort(key=lambda c: int(minid[c]))
+        cur: list[int] = []
+        cm = 0.0
+        bins: list[tuple[list[int], float]] = []
+        for c in virt:
+            if cur and cm + mass[c] >= mcl:
+                bins.append((cur, cm))
+                cur, cm = [], 0.0
+            cur.append(c)
+            cm += float(mass[c])
+        if cur:
+            bins.append((cur, cm))
+        for group, gm in bins:
+            rep = int(min(minid[c] for c in group))
+            emit(2, rep, 0, gm)
+            for c in group:
+                contract_to(c, rep)
+            reps.append(rep)
+        hub = reps[0]
+        for r in reps[1:]:
+            emit(1, hub, r, W)
+
+    # membership: every point of the subset -> its retained representative,
+    # carrying the point's self-edge (core-distance) weight
+    mk = np.zeros(n, dtype=np.int32)
+    return (
+        np.concatenate([np.asarray(out_k, np.int32), mk]),
+        np.concatenate([np.asarray(out_a, np.int64), verts.astype(np.int64)]),
+        np.concatenate([np.asarray(out_b, np.int64), assign]),
+        np.concatenate([np.asarray(out_w, np.float64), self_w.astype(np.float64)]),
+    )
+
+
+def make_contract_kernel(boundary_bc, min_cluster_size: int):
+    """``applyInPandas`` wrapper; ``boundary_bc`` is a Spark broadcast
+    of the frozenset of cross-edge endpoint ids."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        k, a, b, ww = contract_subset_edges(
+            pdf["src"].to_numpy(np.int64),
+            pdf["dst"].to_numpy(np.int64),
+            pdf["weight"].to_numpy(np.float64),
+            boundary_bc.value,
+            min_cluster_size,
+        )
+        return pd.DataFrame({"kind": k, "a": a, "b": b, "w": ww})
+
+    return kernel

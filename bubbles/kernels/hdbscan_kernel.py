@@ -410,7 +410,7 @@ def build_hierarchy(
     last_cluster = np.zeros(n, dtype=np.int64)
     noise_level = np.zeros(n, dtype=np.float64)
 
-    root_cl = ClusterNode(label=1, parent=0, birth=np.nan, n_points=float(sub_w.sum()))
+    root_cl = ClusterNode(label=1, parent=0, birth=np.nan, n_points=float(vw.sum()))
     clusters[1] = root_cl
     next_label = 2
 
@@ -571,19 +571,25 @@ def build_hierarchy(
     )
 
 
-def glosh_scores(result: HierarchyResult, core: np.ndarray) -> np.ndarray:
-    """GLOSH outlier scores (HDBSCANStar.java:653-686):
-    score = 1 - eps_max(lastCluster)/eps(point), 0 when eps == 0,
-    where eps_max is the propagated lowest child death level."""
+def cluster_min_death(result: HierarchyResult) -> dict:
+    """Per-cluster eps_max: the propagated lowest descendant death
+    level (Cluster.propagate's lowestChildDeath, Cluster.java:98-142)."""
     clusters = result.clusters
-    min_death = {}
+    min_death: dict[int, float] = {}
     for lbl in sorted(clusters, reverse=True):
         C = clusters[lbl]
         if not C.children:
             min_death[lbl] = C.death
         else:
-            md = min(min_death[ch] for ch in C.children)
-            min_death[lbl] = md
+            min_death[lbl] = min(min_death[ch] for ch in C.children)
+    return min_death
+
+
+def glosh_scores(result: HierarchyResult, core: np.ndarray) -> np.ndarray:
+    """GLOSH outlier scores (HDBSCANStar.java:653-686):
+    score = 1 - eps_max(lastCluster)/eps(point), 0 when eps == 0,
+    where eps_max is the propagated lowest child death level."""
+    min_death = cluster_min_death(result)
     n = len(result.noise_level)
     scores = np.zeros(n)
     for i in range(n):

@@ -40,7 +40,7 @@ from bubbles.operators.bubble_agg import bubble_aggregate
 from bubbles.operators.nearest import nearest_representative_bulk
 from bubbles.operators.sampling import stratified_sample_exact
 
-_EDGE_SCHEMA = "src long, dst long, weight double"
+_EDGE_SCHEMA = "subset_id long, src long, dst long, weight double"
 _MODEL_SCHEMA = "subset_id long, kind int, a long, b long, w double"
 
 
@@ -59,7 +59,8 @@ def _make_exact_edges_kernel(min_pts: int, metric: str):
         else:
             core = hk.core_distances(X, min_pts, metric)
             src, dst, w = hk.mst_edges(X, core, metric, self_edges=True, ids=ids)
-        return pd.DataFrame({"src": src, "dst": dst, "weight": w})
+        sid = np.full(len(src), int(pdf["subset_id"].iloc[0]), dtype=np.int64)
+        return pd.DataFrame({"subset_id": sid, "src": src, "dst": dst, "weight": w})
 
     return kernel
 
@@ -108,12 +109,16 @@ class MRHDBSCANModel:
     mst_edges: DataFrame  # (src, dst, weight) incl. self edges
     n_iterations: int = 0
     _hier = None  # (HierarchyResult, verts) for hierarchy_levels()
+    _membership = None  # contracted mode: DataFrame(point_id, rep_id, core)
     _spark = None
 
     def hierarchy_levels(self) -> DataFrame:
         """Per-level label matrix as rows (level_weight, point_id,
         label) — the reference's hierarchy CSV contract
-        (Main.java:556-565). O(n·levels); exact-path sized."""
+        (Main.java:556-565). Driver cost is O(retained·levels); in
+        contracted mode the per-point expansion happens in a
+        distributed broadcast join (contracted members share their
+        representative's trajectory exactly — see contract_kernel)."""
         if self._hier is None:
             raise ValueError("hierarchy retention disabled")
         res, verts = self._hier
@@ -122,9 +127,16 @@ class MRHDBSCANModel:
         for w, labels in levels:
             for p, lbl in zip(verts, labels):
                 rows.append((float(w), int(p), int(lbl)))
-        return self._spark.createDataFrame(
-            rows, schema="level_weight double, point_id long, label long"
+        if self._membership is None:
+            return self._spark.createDataFrame(
+                rows, schema="level_weight double, point_id long, label long"
+            )
+        rep_levels = self._spark.createDataFrame(
+            rows, schema="level_weight double, rep_id long, label long"
         )
+        return self._membership.join(
+            F.broadcast(rep_levels), on="rep_id"
+        ).select("level_weight", "point_id", "label")
 
 
 class MRHDBSCAN:
@@ -147,7 +159,10 @@ class MRHDBSCAN:
         max_iterations: int = 20,
         features_col: str = "features",
         id_col: str = "point_id",
+        global_mode: str = "contracted",
     ):
+        if global_mode not in ("driver", "contracted"):
+            raise ValueError("global_mode must be 'driver' or 'contracted'")
         self.min_pts = min_pts
         self.min_cluster_size = min_cluster_size
         self.sample_fraction = sample_fraction
@@ -158,6 +173,7 @@ class MRHDBSCAN:
         self.max_iterations = max_iterations
         self.features_col = features_col
         self.id_col = id_col
+        self.global_mode = global_mode
 
     # ------------------------------------------------------------------
     def fit(self, df: DataFrame, constraints: DataFrame | None = None) -> MRHDBSCANModel:
@@ -177,7 +193,8 @@ class MRHDBSCAN:
             self.min_pts, self.min_cluster_size, self.distance, self.max_local_size
         )
 
-        edge_parts: list[DataFrame] = []
+        leaf_parts: list[DataFrame] = []  # (subset_id, src, dst, weight)
+        cross_parts: list[DataFrame] = []  # (src, dst, weight) inter-cluster
         stalls: dict[int, int] = {0: 0}
         next_subset_id = 1
         iteration = 0
@@ -210,7 +227,7 @@ class MRHDBSCAN:
                 edges = small_df.groupBy("subset_id").applyInPandas(
                     exact_kernel, schema=_EDGE_SCHEMA
                 )
-                edge_parts.append(edges.localCheckpoint())
+                leaf_parts.append(edges.localCheckpoint())
             if not big:
                 break
 
@@ -248,7 +265,7 @@ class MRHDBSCAN:
                 .applyInPandas(model_kernel, schema=_MODEL_SCHEMA)
                 .localCheckpoint()
             )
-            edge_parts.append(
+            cross_parts.append(
                 model_out.filter(F.col("kind") == 1).select(
                     F.col("a").alias("src"), F.col("b").alias("dst"), F.col("w").alias("weight")
                 )
@@ -288,10 +305,15 @@ class MRHDBSCAN:
             )
             iteration += 1
 
-        all_edges = edge_parts[0]
-        for e in edge_parts[1:]:
-            all_edges = all_edges.unionByName(e)
-        all_edges = all_edges.localCheckpoint()
+        leaf_edges = leaf_parts[0]
+        for e in leaf_parts[1:]:
+            leaf_edges = leaf_edges.unionByName(e)
+        cross_edges = None
+        if cross_parts:
+            cross_edges = cross_parts[0]
+            for e in cross_parts[1:]:
+                cross_edges = cross_edges.unionByName(e)
+            cross_edges = cross_edges.localCheckpoint()
 
         constr = None
         if constraints is not None:
@@ -304,7 +326,14 @@ class MRHDBSCAN:
                 raise ValueError(
                     f"constraint kind must be 'ml' or 'cl', got {sorted(bad_kinds)}"
                 )
-        return self._global_step(spark, all_edges, iteration, constr)
+        if self.global_mode == "contracted":
+            return self._global_step_contracted(
+                spark, leaf_edges, cross_edges, iteration, constr
+            )
+        all_edges = leaf_edges.drop("subset_id")
+        if cross_edges is not None:
+            all_edges = all_edges.unionByName(cross_edges)
+        return self._global_step(spark, all_edges.localCheckpoint(), iteration, constr)
 
     # ------------------------------------------------------------------
     def _global_step(
@@ -342,22 +371,7 @@ class MRHDBSCAN:
         labels_df = spark.createDataFrame(
             pd.DataFrame({"point_id": verts, "label": res.labels.astype(np.int64)})
         )
-        tree_rows = [
-            (
-                int(c.label),
-                int(c.parent),
-                float(c.birth),
-                float(c.death),
-                float(c.stability),
-                float(c.n_points),
-            )
-            for c in res.clusters.values()
-        ]
-        tree_df = spark.createDataFrame(
-            tree_rows,
-            schema="label long, parent long, birth_level double, death_level double, "
-            "stability double, n_points double",
-        )
+        tree_df = _tree_df(spark, res)
         scores_df = spark.createDataFrame(
             pd.DataFrame({"point_id": verts, "score": scores, "core_distance": core})
         )
@@ -371,3 +385,141 @@ class MRHDBSCAN:
         model._hier = (res, verts)
         model._spark = spark
         return model
+
+    # ------------------------------------------------------------------
+    def _global_step_contracted(
+        self, spark, leaf_edges: DataFrame, cross_edges, iteration, constraints=None
+    ) -> MRHDBSCANModel:
+        """Scale path for Stage C/D (SCALE.md global-step analysis,
+        replacing the reference's all-edges driver collect,
+        源代码/main/Main.java:350-411): per-subset merge forests are
+        contracted distributively (``contract_kernel``), the driver
+        builds the hierarchy over retained events + cross edges only,
+        and per-point labels/noise/GLOSH come back through ONE
+        broadcast join against the distributed membership relation —
+        no O(n) collect anywhere."""
+        from bubbles.kernels.contract_kernel import (
+            CONTRACT_SCHEMA,
+            make_contract_kernel,
+        )
+
+        if cross_edges is not None:
+            # driver-bounded: one row per inter-cluster edge (O(#bubbles))
+            cpdf = cross_edges.toPandas()
+        else:
+            cpdf = pd.DataFrame({"src": [], "dst": [], "weight": []})
+        boundary = frozenset(map(int, cpdf["src"])) | frozenset(map(int, cpdf["dst"]))
+        bc = spark.sparkContext.broadcast(boundary)
+        phase1 = (
+            leaf_edges.groupBy("subset_id")
+            .applyInPandas(
+                make_contract_kernel(bc, self.min_cluster_size),
+                schema=CONTRACT_SCHEMA,
+            )
+            .localCheckpoint()
+        )
+        membership = phase1.filter(F.col("kind") == 0).select(
+            F.col("a").alias("point_id"),
+            F.col("b").alias("rep_id"),
+            F.col("w").alias("core_distance"),
+        )
+        red = phase1.filter(F.col("kind") > 0).toPandas()
+        e1 = red[red["kind"] == 1]
+        src = np.concatenate(
+            [e1["a"].to_numpy(np.int64), cpdf["src"].to_numpy(np.int64)]
+        )
+        dst = np.concatenate(
+            [e1["b"].to_numpy(np.int64), cpdf["dst"].to_numpy(np.int64)]
+        )
+        wts = np.concatenate(
+            [e1["w"].to_numpy(np.float64), cpdf["weight"].to_numpy(np.float64)]
+        )
+        verts = np.unique(np.concatenate([src, dst]))
+        idx = {int(g): i for i, g in enumerate(verts)}
+        lu = np.fromiter((idx[int(x)] for x in src), np.int64, len(src))
+        lv = np.fromiter((idx[int(x)] for x in dst), np.int64, len(dst))
+        vw = np.ones(len(verts))
+        v2 = red[red["kind"] == 2]
+        for a, m in zip(v2["a"].to_numpy(np.int64), v2["w"].to_numpy(np.float64)):
+            vw[idx[int(a)]] = m
+
+        local_constraints = None
+        if constraints:
+            cpoints = sorted(
+                {int(a) for _, a, _ in constraints} | {int(b) for _, _, b in constraints}
+            )
+            rep_of = {
+                int(r["point_id"]): int(r["rep_id"])
+                for r in membership.filter(
+                    F.col("point_id").isin(cpoints)
+                ).collect()
+            }
+            local_constraints = [
+                (k, idx[rep_of[int(a)]], idx[rep_of[int(b)]])
+                for k, a, b in constraints
+                if int(a) in rep_of and int(b) in rep_of
+            ]
+        res = hk.build_hierarchy(
+            lu, lv, wts, vw, self.min_cluster_size, constraints=local_constraints
+        )
+        min_death = hk.cluster_min_death(res)
+        eps_max = np.fromiter(
+            (min_death[int(c)] for c in res.last_cluster), np.float64, len(verts)
+        )
+        rep_df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "rep_id": verts,
+                    "label": res.labels.astype(np.int64),
+                    "noise_level": res.noise_level,
+                    "eps_max": eps_max,
+                }
+            )
+        )
+        joined = membership.join(F.broadcast(rep_df), on="rep_id")
+        labels_df = joined.select("point_id", "label")
+        # GLOSH (HDBSCANStar.java:653-686): contracted members share
+        # their representative's noise level and deepest cluster exactly
+        scores_df = joined.select(
+            "point_id",
+            F.when(
+                F.col("noise_level") > 0,
+                F.lit(1.0) - F.col("eps_max") / F.col("noise_level"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("score"),
+            "core_distance",
+        )
+        all_edges = leaf_edges.drop("subset_id")
+        if cross_edges is not None:
+            all_edges = all_edges.unionByName(cross_edges)
+        model = MRHDBSCANModel(
+            labels=labels_df,
+            cluster_tree=_tree_df(spark, res),
+            outlier_scores=scores_df,
+            mst_edges=all_edges,
+            n_iterations=iteration,
+        )
+        model._hier = (res, verts)
+        model._membership = membership
+        model._spark = spark
+        return model
+
+
+def _tree_df(spark, res) -> DataFrame:
+    rows = [
+        (
+            int(c.label),
+            int(c.parent),
+            float(c.birth),
+            float(c.death),
+            float(c.stability),
+            float(c.n_points),
+        )
+        for c in res.clusters.values()
+    ]
+    return spark.createDataFrame(
+        rows,
+        schema="label long, parent long, birth_level double, death_level double, "
+        "stability double, n_points double",
+    )
