@@ -1,15 +1,22 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
+Each query runs SPARK_GRAFT_BENCH_REPS times (default 3) in-process
+and reports the per-query MEDIAN — single cold runs at this scale
+swing +/-50% (cf. BENCH_r02 vs r03 on byte-identical code), so
+round-over-round deltas are only meaningful on medians.
+
 Prints exactly one JSON line:
   {"metric": "...", "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1}
+   "queries": {name: median_sec, ...}, "runs": {name: [sec, ...]},
+   "reps": 3, "sf": 0.1}
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -19,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     from pyspark.sql import SparkSession
@@ -40,6 +48,20 @@ def main():
 
     import __spark_entry__ as entry_mod
 
+    timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
+
+    def bench(name: str, thunk):
+        runs = []
+        info = ""
+        for _ in range(reps):
+            t0 = time.time()
+            info = thunk()
+            runs.append(round(time.time() - t0, 3))
+        all_runs[name] = runs
+        timings[name] = statistics.median(runs)
+        print(f"# {name}: median {timings[name]}s of {runs} ({info})", file=sys.stderr)
+
     qs = entry_mod.queries()
     # headline set: engine-defining queries, not every oracle check
     headline = [
@@ -53,62 +75,49 @@ def main():
         "events_sessionize",
         "x6_connected_components",
     ]
-    timings: dict[str, float] = {}
     for name in headline:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        n = df.count()  # force full execution
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        bench(name, lambda name=name: f"{qs[name](spark, sf_dir).count()} rows")
 
     # IVF ANN at corpus scale: every embedding row is both corpus and
     # query (the training-data-pipeline shape); centroid count sized so
     # buckets stay ~200 rows -> candidate join fan-out is bounded
     from bubbles.operators.similarity import ivf_topk
 
-    t0 = time.time()
     emb_full = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n_vec = emb_full.count()
     n_cent = max(16, int((n_vec / 200) ** 0.5) ** 2)  # ~sqrt sizing, min 16
-    ivf = ivf_topk(emb_full, k=5, n_centroids=n_cent, n_probe=4)
-    n_ivf = ivf.count()
-    timings["ivf_ann_topk_full"] = round(time.time() - t0, 3)
-    print(
-        f"# ivf_ann_topk_full: {timings['ivf_ann_topk_full']}s "
-        f"({n_ivf} rows, {n_vec} vecs, {n_cent} centroids)",
-        file=sys.stderr,
-    )
+
+    def run_ivf():
+        n = ivf_topk(emb_full, k=5, n_centroids=n_cent, n_probe=4).count()
+        return f"{n} rows, {n_vec} vecs, {n_cent} centroids"
+
+    bench("ivf_ann_topk_full", run_ivf)
 
     # clustering headline: MR-HDBSCAN (bubbles variant) on the full
     # embeddings table — the BASELINE.md comparable (Skin 245k×4 ≈ 60 s
     # for the paper's DB variant; here 50k×64 at sf0.1)
     from bubbles import MRHDBSCAN
 
-    t0 = time.time()
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    pts = emb.select(
+    pts = emb_full.select(
         F.col("vec_id").alias("point_id"),
         F.col("embedding").cast("array<double>").alias("features"),
     )
-    model = MRHDBSCAN(
-        min_pts=4,
-        min_cluster_size=50,
-        sample_fraction=0.05,
-        max_local_size=4096,
-        max_samples_per_subset=768,
-        seed=42,
-    ).fit(pts)
-    n_pts = model.labels.count()
-    timings["mrhdbscan_embeddings"] = round(time.time() - t0, 3)
-    print(
-        f"# mrhdbscan_embeddings: {timings['mrhdbscan_embeddings']}s "
-        f"({n_pts} pts, {model.n_iterations} iters)",
-        file=sys.stderr,
-    )
+
+    def run_emb():
+        model = MRHDBSCAN(
+            min_pts=4,
+            min_cluster_size=50,
+            sample_fraction=0.05,
+            max_local_size=4096,
+            max_samples_per_subset=768,
+            seed=42,
+        ).fit(pts)
+        return f"{model.labels.count()} pts, {model.n_iterations} iters"
+
+    bench("mrhdbscan_embeddings", run_emb)
 
     # distributed-path clustering headline: 600k lineitem rows in a
     # 4-d engineered feature space (Skin-scale, cf. BASELINE.md)
-    t0 = time.time()
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     lpts = li.select(
         F.monotonically_increasing_id().alias("point_id"),
@@ -119,21 +128,19 @@ def main():
             F.col("l_tax") * F.lit(120.0),
         ).alias("features"),
     )
-    lmodel = MRHDBSCAN(
-        min_pts=4,
-        min_cluster_size=200,
-        sample_fraction=0.05,
-        max_local_size=4096,
-        max_samples_per_subset=768,
-        seed=42,
-    ).fit(lpts)
-    n_l = lmodel.labels.count()
-    timings["mrhdbscan_lineitem"] = round(time.time() - t0, 3)
-    print(
-        f"# mrhdbscan_lineitem: {timings['mrhdbscan_lineitem']}s "
-        f"({n_l} pts, {lmodel.n_iterations} iters)",
-        file=sys.stderr,
-    )
+
+    def run_li():
+        lmodel = MRHDBSCAN(
+            min_pts=4,
+            min_cluster_size=200,
+            sample_fraction=0.05,
+            max_local_size=4096,
+            max_samples_per_subset=768,
+            seed=42,
+        ).fit(lpts)
+        return f"{lmodel.labels.count()} pts, {lmodel.n_iterations} iters"
+
+    bench("mrhdbscan_lineitem", run_li)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -143,6 +150,8 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": all_runs,
+                "reps": reps,
                 "sf": sf,
             }
         )
