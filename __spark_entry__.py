@@ -950,7 +950,20 @@ def oracle_sql() -> dict[str, str]:
                    md5(text) AS content_hash
             FROM documents
         """,
-        # cluster_embeddings / multimodal_decode_fake / lsh_ann_topk /
-        # stream_windowed_counts: non-SQL-expressible (iterative kernels,
-        # stubbed codec, seeded projections, streaming) → rows-only.
+        # streaming twins: the parquet file source delivers the events
+        # table as ONE micro-batch (single file, complete/update mode),
+        # so the streaming sinks equal their batch aggregations exactly
+        # — the watermark never discards anything in a single batch.
+        "stream_windowed_counts": """
+            SELECT CAST((epoch_us(ts) // 300000000) * 300 AS BIGINT) AS win_epoch,
+                   event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "stream_stateful_totals": """
+            SELECT user_id, count(*) AS n_events,
+                   round(sum(value), 6) AS total_value
+            FROM events GROUP BY user_id
+        """,
+        # cluster_embeddings / multimodal_decode_fake: non-SQL-expressible
+        # (iterative kernels, stubbed codec) → rows-only.
     }
