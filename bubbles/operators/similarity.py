@@ -122,6 +122,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_size: int = 4096,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors: union candidates from
     ``tables`` independent LSH tables (equi-join per bucket), then
@@ -132,8 +133,12 @@ def lsh_topk(
     is b² candidate pairs). Queries living in a dropped bucket still
     get candidates from the other ``tables-1`` independent tables —
     the cap trades a little recall on dense regions for a hard bound
-    on join fan-out. Set 0/None to disable."""
-    dim = len(df.select(vec_col).first()[0])
+    on join fan-out. Set 0/None to disable.
+
+    Pass ``dim`` to avoid the one-row inference job (``first()``)
+    per invocation."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     cand = None
     for t in range(tables):
         b = lsh_bucket(df, dim, planes, seed, t, id_col, vec_col)
@@ -162,6 +167,27 @@ def lsh_topk(
     )
 
 
+def _salted_topk_per_key(
+    df: DataFrame, key_col: str, order_cols: list, k: int, n_salts: int = 32
+) -> DataFrame:
+    """Skew-safe exact top-k per key: a per-(key, salt) pre-rank keeps
+    each salt partition's top k, then the final per-key rank runs over
+    at most ``n_salts·k`` survivors per key — a hard bound independent
+    of data skew (a hot key never lands its full group in one window
+    partition). Same rows as a single per-key ``row_number`` window."""
+    salt = F.pmod(F.xxhash64(*order_cols), F.lit(n_salts))
+    w1 = Window.partitionBy(key_col, "__salt").orderBy(*order_cols)
+    w2 = Window.partitionBy(key_col).orderBy(*order_cols)
+    return (
+        df.withColumn("__salt", salt)
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .withColumn("__r2", F.row_number().over(w2))
+        .filter(F.col("__r2") <= k)
+        .drop("__salt", "__r1", "__r2")
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     k: int = 5,
@@ -171,6 +197,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_size: int = 4096,
+    centroid_ids: list | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: bucket the corpus by nearest
     centroid (deterministic hash-rank sample as centroids — one
@@ -183,8 +210,14 @@ def ivf_topk(
     probe match (shuffle bounded by bucket sizes).
 
     ``max_bucket_size`` bounds each centroid's inverted list to its
-    closest members (rep_dist rank) so a hot centroid can't make the
-    probe join quadratic."""
+    closest members (rep_dist rank) via a salted two-phase top-k so a
+    hot centroid can't make the probe join quadratic NOR concentrate
+    its whole inverted list in one window partition.
+
+    ``centroid_ids`` pins the centroids to explicit corpus ids (in
+    the given priority order for tie-breaks) instead of the seeded
+    hash-rank sample — fully SQL-expressible centroid choice (used by
+    the DuckDB oracle twin)."""
     import numpy as np
 
     from bubbles.operators.nearest import nearest_representative_bulk
@@ -195,15 +228,24 @@ def ivf_topk(
         F.col(vec_col).cast("array<double>").alias("features"),
         F.lit(0).alias("subset_id"),
     )
-    cents = stratified_sample_exact(
-        base, "subset_id", 0.0, seed=seed, min_per_key=n_centroids
-    )
     # centroids are driver-bounded (n_centroids rows) — same bounded
     # collect pattern as fit()'s sample lists
-    crows = sorted(
-        cents.select("sample_ord", "point_id", "features").collect(),
-        key=lambda r: r.sample_ord,
-    )
+    if centroid_ids is not None:
+        ord_of = {int(p): i for i, p in enumerate(centroid_ids)}
+        crows = sorted(
+            base.filter(F.col("point_id").isin([int(x) for x in centroid_ids]))
+            .select("point_id", "features")
+            .collect(),
+            key=lambda r: ord_of[int(r.point_id)],
+        )
+    else:
+        cents = stratified_sample_exact(
+            base, "subset_id", 0.0, seed=seed, min_per_key=n_centroids
+        )
+        crows = sorted(
+            cents.select("sample_ord", "point_id", "features").collect(),
+            key=lambda r: r.sample_ord,
+        )
     cdict = {
         0: (
             np.array([r.point_id for r in crows], dtype=np.int64),
@@ -217,16 +259,14 @@ def ivf_topk(
         "rep_dist",
     )
     if max_bucket_size:
-        wb = Window.partitionBy("centroid").orderBy("rep_dist", "neighbor_id")
-        assigned = (
-            assigned.withColumn("__m", F.row_number().over(wb))
-            .filter(F.col("__m") <= max_bucket_size)
-            .drop("__m")
+        assigned = _salted_topk_per_key(
+            assigned, "centroid", ["rep_dist", "neighbor_id"], max_bucket_size
         )
     assigned = assigned.drop("rep_dist")
     # each query probes its n_probe nearest centroids
-    c = cents.select(
-        F.col("point_id").alias("centroid"), F.col("features").alias("__cf")
+    c = df.sparkSession.createDataFrame(
+        [(int(r.point_id), list(r.features)) for r in crows],
+        schema="centroid long, __cf array<double>",
     )
     qsim = _cos_sim_arrow(F.col("features"), F.col("__cf"))
     w = Window.partitionBy("point_id").orderBy(F.desc("__qcs"), "centroid")

@@ -249,6 +249,54 @@ def test_ivf_topk_recall(spark):
     assert recall > 0.5, f"IVF recall too low: {recall}"
 
 
+def test_salted_topk_matches_plain_window_on_hot_key(spark):
+    from bubbles.operators.similarity import _salted_topk_per_key
+
+    # one hot key holding 90% of rows: the salted two-phase cap must
+    # return the same rows as a single per-key window, while its first
+    # (unbounded-input) window partitions on (key, salt) so no single
+    # window partition ever sees the whole hot group
+    rng = np.random.default_rng(3)
+    rows = [(0, int(i), float(d)) for i, d in enumerate(rng.random(900))]
+    rows += [(k, 1000 + k * 10 + j, float(rng.random())) for k in range(1, 6) for j in range(5)]
+    df = spark.createDataFrame(rows, "centroid long, neighbor_id long, rep_dist double")
+    out = _salted_topk_per_key(
+        df, "centroid", ["rep_dist", "neighbor_id"], k=50, n_salts=8
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan  # pre-rank runs on the salted partitioning
+    got = out.toPandas().sort_values(["centroid", "rep_dist", "neighbor_id"])
+    want = (
+        df.toPandas()
+        .sort_values(["rep_dist", "neighbor_id"])
+        .groupby("centroid")
+        .head(50)
+        .sort_values(["centroid", "rep_dist", "neighbor_id"])
+    )
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+
+def test_ivf_topk_explicit_centroids_matches_oracle_shape(spark):
+    from bubbles.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(4)
+    V = rng.normal(size=(100, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(V)],
+        "vec_id long, embedding array<double>",
+    )
+    cids = list(range(0, 100, 10))
+    out = ivf_topk(df, k=3, n_probe=3, centroid_ids=cids).toPandas()
+    # every query returns k ranked neighbors from its probed buckets
+    assert set(out["rank"]) == {1, 2, 3}
+    assert out.groupby("query_id")["rank"].count().max() == 3
+    # deterministic across invocations (fixed centroids, no sampling)
+    out2 = ivf_topk(df, k=3, n_probe=3, centroid_ids=cids).toPandas()
+    a = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = out2.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_stateful_streaming_user_totals(spark):
     from bubbles.streaming.events import run_stateful_to_memory
 
