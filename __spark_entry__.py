@@ -452,20 +452,24 @@ def multimodal_decode_fake(spark, sf_dir):
 
 
 def lsh_ann_topk(spark, sf_dir):
+    """LSH ANN — the seeded hyperplanes are deterministic literals, so
+    the DuckDB twin embeds the same plane arrays and replays the exact
+    bucket → candidate-join → rank pipeline in SQL."""
     from bubbles.operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
-    return lsh_topk(emb, k=3)
+    return lsh_topk(emb, k=3, dim=64)
 
 
 def ivf_ann_topk(spark, sf_dir):
-    """IVF ANN (rows-only — centroid choice is a seeded systematic
-    sample, not SQL-expressible; recall is pytest-checked against the
-    brute-force baseline)."""
+    """IVF ANN with explicit pinned centroids (every 25th vector) —
+    SQL-expressible centroid choice, so the DuckDB twin replays
+    assignment, probing and ranking exactly; recall is additionally
+    pytest-checked against the brute-force baseline."""
     from bubbles.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
-    return ivf_topk(emb, k=3, n_centroids=12, n_probe=4)
+    return ivf_topk(emb, k=3, n_probe=4, centroid_ids=list(range(0, 300, 25)))
 
 
 def pivot_revenue_q(spark, sf_dir):
@@ -756,6 +760,105 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM m a JOIN m b ON a.vec_id < b.vec_id
 """
 
+_COS_Q_N = """round(CASE WHEN sqrt(list_sum(list_transform(q.v, x -> x * x)))
+                    * sqrt(list_sum(list_transform(n.v, x -> x * x))) = 0 THEN 0.0
+               ELSE list_sum(list_transform(list_zip(q.v, n.v), p -> p[1] * p[2]))
+                    / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+                       * sqrt(list_sum(list_transform(n.v, x -> x * x)))) END, 6)"""
+
+
+def _lsh_ann_sql() -> str:
+    """DuckDB twin of ``lsh_topk(emb[vec_id<300], k=3, dim=64)``: the
+    engine's seeded hyperplanes (similarity._projection — pure mixing
+    of (seed, table, plane, dim), no shared random state) are baked in
+    as literal arrays, then bucket → cap → per-table self-join →
+    distinct candidates → rounded-cosine rank, same as the engine."""
+    from bubbles.operators.similarity import _projection
+
+    dim, planes, tables, seed = 64, 6, 3, 42
+    tbls = []
+    for t in range(tables):
+        proj = _projection(dim, planes, seed, t)
+        bexpr = "\n       + ".join(
+            "(CASE WHEN list_sum(list_transform(list_zip(v, "
+            f"[{', '.join(repr(x) for x in plane)}]::DOUBLE[]"
+            f"), p -> p[1] * p[2])) >= 0 THEN {1 << p} ELSE 0 END)"
+            for p, plane in enumerate(proj)
+        )
+        tbls.append(f"SELECT vec_id, v, {t} AS tbl,\n         {bexpr} AS bucket FROM e")
+    buckets = "\n  UNION ALL\n  ".join(tbls)
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 300),
+buckets AS (
+  {buckets}
+),
+small AS (SELECT tbl, bucket FROM buckets GROUP BY tbl, bucket HAVING count(*) <= 4096),
+bk AS (SELECT b.* FROM buckets b JOIN small USING (tbl, bucket)),
+cand AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id != b.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, {_COS_Q_N} AS sim
+  FROM cand c JOIN e q ON c.query_id = q.vec_id JOIN e n ON c.neighbor_id = n.vec_id
+)
+SELECT query_id, neighbor_id, rnk AS rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+"""
+
+
+_IVF_ANN_SQL = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 300),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
+sims AS (
+  SELECT e.vec_id, e.v, c.cid, c.cv,
+         CASE WHEN sqrt(list_sum(list_transform(e.v, x -> x * x)))
+                   * sqrt(list_sum(list_transform(c.cv, x -> x * x))) = 0 THEN 0.0
+              ELSE list_sum(list_transform(list_zip(e.v, c.cv), p -> p[1] * p[2]))
+                   / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) END AS s
+  FROM e CROSS JOIN c
+),
+-- assignment: unrounded cosine DISTANCE argmin, first centroid wins
+-- ties (the engine's strict-< scan in centroid_ids order = cid asc)
+assign AS (
+  SELECT vec_id AS neighbor_id, v AS nv, cid AS centroid FROM sims
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY 1.0 - s ASC, cid ASC) = 1
+),
+-- probing: top-4 centroids per query by 6dp-ROUNDED similarity
+-- (the engine's Arrow scorer rounds), centroid id breaking ties
+probes AS (
+  SELECT vec_id AS query_id, v AS qv, cid AS centroid FROM sims
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY round(s, 6) DESC, cid ASC) <= 4
+),
+cand AS (
+  SELECT p.query_id, a.neighbor_id, p.qv, a.nv
+  FROM probes p JOIN assign a USING (centroid)
+  WHERE p.query_id != a.neighbor_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(CASE WHEN sqrt(list_sum(list_transform(qv, x -> x * x)))
+                         * sqrt(list_sum(list_transform(nv, x -> x * x))) = 0 THEN 0.0
+               ELSE list_sum(list_transform(list_zip(qv, nv), p -> p[1] * p[2]))
+                    / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                       * sqrt(list_sum(list_transform(nv, x -> x * x)))) END, 6) AS sim
+  FROM cand
+)
+SELECT query_id, neighbor_id, rnk AS rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+"""
+
+
 _CC_SQL = """
 WITH RECURSIVE base AS (
   SELECT CAST(s_suppkey AS BIGINT) AS src, CAST(s_nationkey AS BIGINT) + 1000 AS dst
@@ -914,6 +1017,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _SIMHASH_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "ann_cosine_topk": _ANN_SQL,
+        "lsh_ann_topk": _lsh_ann_sql(),
+        "ivf_ann_topk": _IVF_ANN_SQL,
         "text_profile": _TEXT_PROFILE_SQL,
         "events_windowed": """
             SELECT CAST((epoch_us(ts) // 300000000) * 300 AS BIGINT) AS win_epoch,
