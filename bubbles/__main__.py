@@ -5,10 +5,15 @@ invocation against this engine:
 
     python -m bubbles file=dataset.txt minPts=4 minClSize=4 k=0.2 \
         processing_units=4096 dist_function=euclidean \
-        [constraints=constraints.csv] [out=outdir] [master=local[*]]
+        [constraints=constraints.csv] [compact={true,false}] \
+        [hierarchy={true,false}] [out=outdir] [master=local[*]]
 
 Outputs under <out>/ (default <file>_out/): flat partition, cluster
-tree, outlier scores (CSV, reference contracts), MST edges (parquet).
+tree, outlier scores, hierarchy (CSV, reference contracts — the
+hierarchy is non-compact/full by default and named compact_hierarchy
+under ``compact=true``, matching Main.java:556-565), MST edges
+(parquet). ``hierarchy=false`` skips the O(n·levels) hierarchy
+matrix for very large runs.
 """
 
 from __future__ import annotations
@@ -42,9 +47,13 @@ def main(argv=None):
         read_points_text,
         write_cluster_tree,
         write_flat_partition,
+        write_hierarchy,
         write_outlier_scores,
     )
 
+    # reuse an already-active session (embedded use, e.g. tests) and
+    # only stop what this invocation created
+    owns_session = SparkSession.getActiveSession() is None
     spark = (
         SparkSession.builder.master(args.get("master", "local[*]"))
         .appName("bubbles-cli")
@@ -87,10 +96,21 @@ def main(argv=None):
     write_cluster_tree(model.cluster_tree, f"{out}/tree")
     write_outlier_scores(model.outlier_scores, f"{out}/outlier_scores")
     model.mst_edges.write.mode("overwrite").parquet(f"{out}/mst")
+    if args.get("hierarchy", "true").lower() != "false":
+        # reference default is the full (non-compact) hierarchy; the
+        # compact flag keeps only cluster birth/death levels and names
+        # the output accordingly (Main.java help text + :556-565)
+        compact = args.get("compact", "false").lower() == "true"
+        name = "compact_hierarchy" if compact else "hierarchy"
+        try:
+            write_hierarchy(model.hierarchy_levels(full=not compact), f"{out}/{name}")
+        except ValueError as e:  # n·levels over the matrix guard
+            print(f"skipping hierarchy output: {e}")
     n = model.labels.count()
     k = model.labels.filter("label > 0").select("label").distinct().count()
     print(f"clustered {n} points into {k} clusters -> {out}/")
-    spark.stop()
+    if owns_session:
+        spark.stop()
 
 
 if __name__ == "__main__":

@@ -600,17 +600,24 @@ def glosh_scores(result: HierarchyResult, core: np.ndarray) -> np.ndarray:
     return scores
 
 
-def hierarchy_levels(result: HierarchyResult, max_cells: int = 50_000_000):
-    """Reconstruct the compact per-level label matrix — the reference's
+def hierarchy_levels(
+    result: HierarchyResult, max_cells: int = 50_000_000, full: bool = False
+):
+    """Reconstruct the per-level label matrix — the reference's
     hierarchy CSV contract (Main.java:556-565: one line per significant
     level, ``level_weight, label_1..label_n``).
 
     Rows are (level_weight, labels array) ordered by level descending.
-    Levels = distinct cluster birth levels (the significant levels in
-    the compact hierarchy: where new clusters appear). A point's label
-    at level W is the deepest cluster in its chain born at a weight
-    > W is wrong — clusters are *active* from their birth level down
-    to their death, so: label = deepest chain cluster with
+    Compact (default): levels = distinct cluster birth levels (where
+    clusters are born — the reference's ``compact=true`` hierarchy; a
+    death-by-split shares its children's birth level). ``full=True``
+    additionally includes every distinct noise level — all levels
+    where any object changes clusters or becomes noise, the
+    reference's default non-compact hierarchy (a one-big-child merge
+    with no noise changes nothing and gets no line in either mode).
+
+    A point's label at level W: clusters are *active* from their birth
+    level down to their death, so: label = deepest chain cluster with
     birth ≥ W > death (root active everywhere); noise (0) once
     W < noise_level(p) is reached, i.e. noise_level(p) > W.
     Guarded by ``max_cells`` (n × levels) — this is an O(n·levels)
@@ -618,14 +625,14 @@ def hierarchy_levels(result: HierarchyResult, max_cells: int = 50_000_000):
     """
     clusters = result.clusters
     n = len(result.last_cluster)
-    births = sorted(
-        {
-            float(c.birth)
-            for c in clusters.values()
-            if c.label != 1 and not np.isnan(c.birth)
-        },
-        reverse=True,
-    )
+    levels = {
+        float(c.birth)
+        for c in clusters.values()
+        if c.label != 1 and not np.isnan(c.birth)
+    }
+    if full:
+        levels |= {float(w) for w in result.noise_level if w > 0}
+    births = sorted(levels, reverse=True)
     if not births:
         return []
     if n * len(births) > max_cells:

@@ -112,17 +112,20 @@ class MRHDBSCANModel:
     _membership = None  # contracted mode: DataFrame(point_id, rep_id, core)
     _spark = None
 
-    def hierarchy_levels(self) -> DataFrame:
+    def hierarchy_levels(self, full: bool = False) -> DataFrame:
         """Per-level label matrix as rows (level_weight, point_id,
         label) — the reference's hierarchy CSV contract
-        (Main.java:556-565). Driver cost is O(retained·levels); in
-        contracted mode the per-point expansion happens in a
-        distributed broadcast join (contracted members share their
-        representative's trajectory exactly — see contract_kernel)."""
+        (Main.java:556-565). ``full=True`` adds the noise levels (the
+        reference's default non-compact hierarchy); default is the
+        compact one (cluster birth levels only). Driver cost is
+        O(retained·levels); in contracted mode the per-point expansion
+        happens in a distributed broadcast join (contracted members
+        share their representative's trajectory exactly — see
+        contract_kernel)."""
         if self._hier is None:
             raise ValueError("hierarchy retention disabled")
         res, verts = self._hier
-        levels = hk.hierarchy_levels(res)
+        levels = hk.hierarchy_levels(res, full=full)
         rows = []
         for w, labels in levels:
             for p, lbl in zip(verts, labels):

@@ -63,6 +63,39 @@ def write_cluster_tree(tree: DataFrame, path: str) -> None:
     ).orderBy("label").write.mode("overwrite").option("header", True).csv(path)
 
 
+def write_hierarchy(levels: DataFrame, path: str) -> None:
+    """Hierarchy CSV — Main.java:556-565 contract: one line per
+    significant level, ``<scale>,<label obj 1>,...,<label obj n>``
+    ordered by scale descending, labels ordered by object id, noise
+    labelled zero. ``levels`` is the long-form (level_weight,
+    point_id, label) relation from ``model.hierarchy_levels()``; the
+    per-level line assembly is a single groupBy (one shuffle) and the
+    result is one row per level — small — so the single-file sort is
+    driver-cheap."""
+    lines = (
+        levels.groupBy("level_weight")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("point_id", "label"))),
+                    lambda s: s["label"].cast("string"),
+                ),
+            ).alias("labels")
+        )
+        .select(
+            F.col("level_weight"),
+            F.concat_ws(
+                ",", F.col("level_weight").cast("string"), F.col("labels")
+            ).alias("value"),
+        )
+        .repartition(1)
+        .sortWithinPartitions(F.desc("level_weight"))
+        .select("value")
+    )
+    lines.write.mode("overwrite").text(path)
+
+
 def write_outlier_scores(scores: DataFrame, path: str) -> None:
     """Outlier-score CSV sorted ascending by (score, core_distance,
     point_id) — OutlierScore.java:34-48 ordering."""

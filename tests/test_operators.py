@@ -178,6 +178,53 @@ def test_output_writers(spark, tmp_path):
     assert flat.count() == 60
 
 
+def test_cli_writes_hierarchy_csv(spark, tmp_path):
+    """python -m bubbles end-to-end on an Iris-sized text input: the
+    reference's primary documented output (<scale>,<label_1..n> lines,
+    Main.java:556-565) lands as <out>/hierarchy, and compact=true
+    writes the birth-levels-only variant as <out>/compact_hierarchy."""
+    import glob
+
+    from bubbles.__main__ import main
+    from tests.test_kernel import blobs
+
+    X, _ = blobs(seed=5, n=150, centers=3, spread=15.0)
+    p = tmp_path / "iris_like.txt"
+    p.write_text("\n".join(" ".join(f"{v:.6f}" for v in row) for row in X))
+
+    def read_lines(d):
+        files = glob.glob(f"{d}/part-*")
+        assert files, f"no output under {d}"
+        return [
+            ln
+            for f in files
+            for ln in open(f).read().splitlines()
+            if ln.strip()
+        ]
+
+    out_full = tmp_path / "out_full"
+    main([f"file={p}", "minPts=4", "minClSize=4", f"out={out_full}",
+          "master=local[4]"])
+    full = read_lines(out_full / "hierarchy")
+    # each line: scale + one label per object, scales strictly descending
+    scales = []
+    for ln in full:
+        cells = ln.split(",")
+        assert len(cells) == 1 + 150
+        scales.append(float(cells[0]))
+        assert all(c.lstrip("-").isdigit() for c in cells[1:])
+    assert scales == sorted(scales, reverse=True)
+
+    out_c = tmp_path / "out_compact"
+    main([f"file={p}", "minPts=4", "minClSize=4", f"out={out_c}",
+          "compact=true", "master=local[4]"])
+    compact = read_lines(out_c / "compact_hierarchy")
+    assert 0 < len(compact) <= len(full)
+    # compact levels are a subset of full levels
+    fs = {ln.split(",")[0] for ln in full}
+    assert {ln.split(",")[0] for ln in compact} <= fs
+
+
 def test_asof_join_backward(spark):
     from bubbles.operators.asof import asof_join
 
