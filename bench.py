@@ -51,10 +51,10 @@ def main():
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
 
-    def bench(name: str, thunk):
+    def bench(name: str, thunk, n_runs: int | None = None):
         runs = []
         info = ""
-        for _ in range(reps):
+        for _ in range(n_runs or reps):
             t0 = time.time()
             info = thunk()
             runs.append(round(time.time() - t0, 3))
@@ -141,6 +141,34 @@ def main():
         return f"{lmodel.labels.count()} pts, {lmodel.n_iterations} iters"
 
     bench("mrhdbscan_lineitem", run_li)
+
+    # the reference's real dataset (Skin_NonSkin 245k×4, BASELINE.md
+    # Skin DB row: 60.19 s, the paper's bubbles variant on its cluster)
+    # end-to-end through the text-ingest path — single cold rep,
+    # matching how the paper measured its runtime table
+    skin_path = "/root/reference/数据集/Skin_NonSkin.txt"
+    if os.path.exists(skin_path):
+
+        def run_skin():
+            lines = spark.read.text(skin_path).filter(F.length(F.trim("value")) > 0)
+            cols = F.split(F.trim("value"), r"\s+")
+            spts = lines.select(
+                F.monotonically_increasing_id().alias("point_id"),
+                F.slice(F.transform(cols, lambda s: s.cast("double")), 1, 3).alias(
+                    "features"
+                ),
+            ).localCheckpoint()
+            m = MRHDBSCAN(
+                min_pts=4,
+                min_cluster_size=4000,
+                sample_fraction=0.1,
+                max_local_size=4096,
+                max_samples_per_subset=768,
+                seed=42,
+            ).fit(spts)
+            return f"{m.labels.count()} pts (paper DB baseline 60.19s)"
+
+        bench("skin_nonskin_fit", run_skin, n_runs=1)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -37,10 +37,11 @@ def ari(a, b):
     C = np.zeros((len(ua), len(ub)), dtype=np.int64)
     np.add.at(C, (ia, ib), 1)
     comb = lambda x: x * (x - 1) // 2  # noqa: E731
-    sum_c = comb(C).sum()
-    sum_a = comb(C.sum(axis=1)).sum()
-    sum_b = comb(C.sum(axis=0)).sum()
-    expected = sum_a * sum_b / comb(n) if n > 1 else 0
+    sum_c = float(comb(C.astype(np.float64)).sum())
+    sum_a = float(comb(C.sum(axis=1).astype(np.float64)).sum())
+    sum_b = float(comb(C.sum(axis=0).astype(np.float64)).sum())
+    # float throughout: int64 pair-count products overflow past ~200k rows
+    expected = sum_a * sum_b / comb(float(n)) if n > 1 else 0
     max_idx = (sum_a + sum_b) / 2
     if max_idx == expected:
         return 1.0
