@@ -1069,6 +1069,18 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS total_value
             FROM events GROUP BY user_id
         """,
-        # cluster_embeddings / multimodal_decode_fake: non-SQL-expressible
-        # (iterative kernels, stubbed codec) → rows-only.
+        # fake-decode twin: the deterministic byte-histogram projection
+        # (operators/multimodal.py) over ASCII text, where chars == bytes
+        # so ord(substr()) yields the byte value; f0 = fraction of bytes
+        # congruent 0 mod 8 (empty media → 0)
+        "multimodal_decode_fake": """
+            SELECT doc_id AS media_id,
+                   round(CAST(len(list_filter(range(1, length(text) + 1),
+                         i -> ord(substr(text, CAST(i AS INT), 1)) % 8 = 0)) AS DOUBLE)
+                         / greatest(octet_length(encode(text)), 1), 6) AS f0
+            FROM documents
+        """,
+        # cluster_embeddings / glosh_outliers: non-SQL-expressible
+        # (iterative clustering kernels) → rows-only; covered by the
+        # pytest differential suite instead.
     }
