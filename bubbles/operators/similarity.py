@@ -258,10 +258,19 @@ def ivf_topk(
         F.col("bubble_id").alias("centroid"),
         "rep_dist",
     )
-    if max_bucket_size:
-        assigned = _salted_topk_per_key(
-            assigned, "centroid", ["rep_dist", "neighbor_id"], max_bucket_size
-        )
+    # the cap can only bind when the corpus outnumbers it (one cheap
+    # count action saves two window stages on small corpora); when it
+    # does, the rank windows see only slim (centroid, id, dist) rows —
+    # never the vector payload — and the vectors come back through an
+    # equi-join on the unique id, which cannot skew
+    if max_bucket_size and base.count() > max_bucket_size:
+        kept = _salted_topk_per_key(
+            assigned.select("neighbor_id", "centroid", "rep_dist"),
+            "centroid",
+            ["rep_dist", "neighbor_id"],
+            max_bucket_size,
+        ).select("neighbor_id", "centroid")
+        assigned = assigned.join(kept, on=["neighbor_id", "centroid"])
     assigned = assigned.drop("rep_dist")
     # each query probes its n_probe nearest centroids
     c = df.sparkSession.createDataFrame(

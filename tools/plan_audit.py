@@ -138,6 +138,38 @@ def main():
         "one exchange for the window partition",
     )
 
+    # 8. IVF inverted-list cap: the unbounded-input pre-rank window
+    # partitions on (key, salt) so a hot centroid can't concentrate
+    # its whole list in one window partition
+    from bubbles.operators.similarity import _salted_topk_per_key
+
+    capped = _salted_topk_per_key(
+        assigned.select(
+            F.col("bubble_id").alias("centroid"),
+            F.col("point_id").alias("neighbor_id"),
+            F.col("point_id").cast("double").alias("rep_dist"),
+        ),
+        "centroid",
+        ["rep_dist", "neighbor_id"],
+        100,
+    )
+    p = plan_of(capped)
+    check(
+        "ivf salted cap",
+        "__salt" in p and p.count("windowspecdefinition") == 2,
+        "two-phase top-k: salted pre-rank (plus Spark's own partial "
+        "WindowGroupLimit) bounds the per-key window input",
+    )
+
+    # 9. LSH ANN: candidates come from equi-joins on bucket signatures,
+    # never a cartesian product
+    p = plan_of(m.queries()["lsh_ann_topk"](spark, sf_dir))
+    check(
+        "lsh no cartesian",
+        "CartesianProduct" not in p,
+        "bucket equi-joins only; no cross join in the candidate stage",
+    )
+
     lines = [
         "# PLANS — physical-plan audit (tools/plan_audit.py)",
         "",
