@@ -51,10 +51,18 @@ def main():
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
 
+    import gc
+
     def bench(name: str, thunk, n_runs: int | None = None):
         runs = []
         info = ""
         for _ in range(n_runs or reps):
+            # reclaim the previous run's unreferenced localCheckpoint
+            # blocks OUTSIDE the timed window — accumulated blocks
+            # otherwise trigger GC pauses mid-measurement and make
+            # later queries read 2-8x slower than their solo time
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
             t0 = time.time()
             info = thunk()
             runs.append(round(time.time() - t0, 3))

@@ -132,3 +132,29 @@ def test_model_hierarchy_levels(spark, blob_data):
     # levels descend
     ws = sorted(h["level_weight"].unique(), reverse=True)
     assert ws[0] > ws[-1]
+
+
+def test_model_hierarchy_levels_full_vs_compact(spark, blob_data):
+    X, _ = blob_data
+    model = MRHDBSCAN(min_pts=4, min_cluster_size=4, max_local_size=1000).fit(
+        to_df(spark, X)
+    )
+    compact = model.hierarchy_levels().toPandas()
+    full = model.hierarchy_levels(full=True).toPandas()
+    cw = set(compact["level_weight"].unique())
+    fw = set(full["level_weight"].unique())
+    # full = compact birth levels plus every noise level
+    assert cw <= fw
+    assert len(fw) > len(cw)
+    # on shared levels the label matrices agree exactly
+    key = ["level_weight", "point_id"]
+    shared = full[full["level_weight"].isin(cw)].sort_values(key).reset_index(drop=True)
+    comp = compact.sort_values(key).reset_index(drop=True)
+    assert shared.equals(comp)
+    # at the very bottom full level, any point with a positive noise
+    # level has gone noise (label 0) at some full-only level
+    scores = model.outlier_scores.toPandas()
+    noisy = scores[scores["score"] > 0]
+    if len(noisy):
+        zero_labels = full[full["label"] == 0]
+        assert zero_labels["point_id"].nunique() >= noisy["point_id"].nunique() // 2
