@@ -314,6 +314,14 @@ def dedup_minhash_lsh_q(spark, sf_dir):
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
 
 
+def dedup_near_groups_q(spark, sf_dir):
+    """Transitive near-dup grouping: MinHash-LSH pair graph →
+    connected components → canonical (min) doc id per group."""
+    from bubbles.operators.dedup import near_dup_groups
+
+    return near_dup_groups(_t(spark, sf_dir, "documents"))
+
+
 def dedup_simhash_q(spark, sf_dir):
     from bubbles.operators.dedup import simhash_dedup
 
@@ -543,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_distances": _widen(f_distances),
         "dedup_exact": _widen(dedup_exact_q),
         "dedup_minhash_lsh": _widen(dedup_minhash_lsh_q),
+        "dedup_near_groups": _widen(dedup_near_groups_q),
         "dedup_simhash": _widen(dedup_simhash_q),
         "ngram_jaccard": _widen(ngram_jaccard_q),
         "ann_cosine_topk": _widen(ann_cosine_topk_q),
@@ -1014,6 +1023,22 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)
         """,
         "dedup_minhash_lsh": _MINHASH_SQL,
+        "dedup_near_groups": f"""
+            WITH RECURSIVE pairs AS ({_MINHASH_SQL}),
+            sym AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ),
+            walk(v, r) AS (
+              SELECT src, dst FROM sym
+              UNION SELECT src, src FROM sym
+              UNION SELECT w.v, s.dst FROM walk w JOIN sym s ON w.r = s.src
+            ),
+            comp AS (SELECT v, min(r) AS component FROM walk GROUP BY v)
+            SELECT d.doc_id,
+                   CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS canonical_id
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
+        """,
         "dedup_simhash": _SIMHASH_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "ann_cosine_topk": _ANN_SQL,

@@ -141,6 +141,36 @@ def minhash_lsh_pairs(
     )
 
 
+def near_dup_groups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **lsh_kwargs,
+) -> DataFrame:
+    """(doc_id, canonical_id): transitive near-duplicate grouping —
+    the full pipeline shape a training-data dedup pass needs. MinHash
+    LSH candidate pairs form an undirected similarity graph whose
+    connected components (min-label propagation + pointer jumping,
+    operators.components) pick each group's minimum doc id as
+    canonical; documents in no pair are their own canonical. Keeping
+    `canonical_id == doc_id` rows (one per group) implements
+    keep-first dedup; everything is equi-joins and aggregations — no
+    window, no cross join."""
+    from bubbles.operators.components import connected_components
+
+    pairs = minhash_lsh_pairs(df, text_col, id_col, **lsh_kwargs)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    cc = connected_components(edges).withColumnRenamed("vertex", id_col)
+    return (
+        df.select(id_col)
+        .join(cc, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("canonical_id"),
+        )
+    )
+
+
 _HEX = "0123456789abcdef"
 _BIT_MASKS = (8, 4, 2, 1)  # bits of one hex digit, high to low
 

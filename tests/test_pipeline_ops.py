@@ -67,6 +67,25 @@ def test_minhash_bucket_cap_bounds_degenerate_corpus(spark):
     assert all(a >= 100001 for a, _ in pairs), "mega-bucket must be dropped"
 
 
+def test_near_dup_groups_transitive(spark, docs):
+    from bubbles.operators.dedup import minhash_lsh_pairs, near_dup_groups
+
+    out = near_dup_groups(docs).toPandas().set_index("doc_id")["canonical_id"]
+    assert len(out) == 7  # every document gets a canonical id
+    # exact dup pair collapses to the min id
+    assert out[0] == 0 and out[1] == 0
+    # singletons are their own canonical
+    pairs = minhash_lsh_pairs(docs).toPandas()
+    paired = set(pairs["id_a"]) | set(pairs["id_b"])
+    for d in set(out.index) - paired:
+        assert out[d] == d
+    # transitivity: both ends of every candidate pair share a group,
+    # and the canonical is the group minimum
+    for _, r in pairs.iterrows():
+        assert out[r.id_a] == out[r.id_b]
+        assert out[r.id_a] <= min(r.id_a, r.id_b)
+
+
 def test_simhash_exact_dups_same_bucket(spark, docs):
     from bubbles.operators.dedup import simhash_dedup
 
