@@ -499,6 +499,19 @@ def stream_stateful_totals(spark, sf_dir):
     return run_stateful_to_memory(spark, sf_dir, name="drv_stateful_out")
 
 
+def stream_session_windows(spark, sf_dir):
+    """Native stateful session windows (F.session_window) over the
+    events stream; session start = first event time."""
+    from bubbles.streaming.events import run_sessions_to_memory
+
+    return run_sessions_to_memory(spark, sf_dir, name="drv_sessions_out").select(
+        F.unix_micros("sess_start").alias("sess_start_us"),
+        "user_id",
+        "n_events",
+        "sum_value",
+    )
+
+
 def stream_windowed_counts(spark, sf_dir):
     from bubbles.streaming.events import run_stream_to_memory
 
@@ -568,6 +581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_revenue": _widen(pivot_revenue_q),
         "stream_stateful_totals": _widen(stream_stateful_totals),
         "stream_windowed_counts": _widen(stream_windowed_counts),
+        "stream_session_windows": _widen(stream_session_windows),
     }
 
 
@@ -1093,6 +1107,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*) AS n_events,
                    round(sum(value), 6) AS total_value
             FROM events GROUP BY user_id
+        """,
+        # session-window twin. Boundary semantics differ from the
+        # lag-based sessionize: Spark's session interval is half-open
+        # [start, last_ts + gap), so an event at EXACTLY gap distance
+        # starts a new session -> the twin splits on >= (not >)
+        "stream_session_windows": """
+            WITH s AS (
+              SELECT user_id, event_id, value, epoch_us(ts) AS us,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+            ),
+            g AS (
+              SELECT user_id, us, value,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS seq
+              FROM s
+            )
+            SELECT CAST(min(us) AS BIGINT) AS sess_start_us, user_id,
+                   count(*) AS n_events, round(sum(value), 6) AS sum_value
+            FROM g GROUP BY user_id, seq
         """,
         # fake-decode twin: the deterministic byte-histogram projection
         # (operators/multimodal.py) over ASCII text, where chars == bytes

@@ -95,6 +95,44 @@ def session_stats(
     )
 
 
+def session_counts_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based session aggregation with Spark's native stateful
+    session windows (``F.session_window``): a session closes when no
+    event arrives for ``gap_minutes``; the watermark bounds state and
+    finalizes sessions. Batch twin: ``session_stats`` (lag + running
+    sum) — same groups, with the window start equal to the session's
+    first event time."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", f"{gap_minutes} minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.col("session_window.start").alias("sess_start"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_sessions_to_memory(
+    spark: SparkSession, sf_dir: str, name: str = "sessions_out"
+):
+    """Drive the session-window query over the parquet micro-batch.
+    Complete mode + a single batch emits each session exactly once
+    (session-window aggregations don't support update mode)."""
+    q = (
+        session_counts_stream(read_events_stream(spark, sf_dir))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
 def stateful_user_totals(events: DataFrame, timeout_ms: int = 0) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     running per-user event count and value total carried in explicit

@@ -338,3 +338,48 @@ def test_stateful_streaming_user_totals(spark):
     assert len(g2) == len(w2)
     assert (g2["n_events"].to_numpy() == w2["n_events"].to_numpy()).all()
     np.testing.assert_allclose(g2["total_value"], w2["total_value"], atol=1e-6)
+
+
+def test_session_window_stream_matches_batch(spark):
+    from bubbles.streaming.events import run_sessions_to_memory
+
+    got = run_sessions_to_memory(spark, "/root/testdata/sf0.001", name="t_sess")
+    g = got.toPandas()
+    # batch twin with session_window's half-open boundary (an event at
+    # EXACTLY gap distance starts a new session -> split on >=)
+    from pyspark.sql import Window
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (
+        spark.read.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("us", F.expr("ts div 1000"))
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    want = (
+        ev.withColumn(
+            "__new", F.when(gap.isNull() | (gap >= 30 * 60 * 1_000_000), 1).otherwise(0)
+        )
+        .withColumn("seq", F.sum("__new").over(w))
+        .groupBy("user_id", "seq")
+        .agg(
+            F.min("us").alias("sess_start_us"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .toPandas()
+    )
+    g["sess_start_us"] = (
+        g["sess_start"].astype("datetime64[us]").astype(np.int64)
+    )
+    cols = ["user_id", "sess_start_us", "n_events"]
+    g2 = g.sort_values(cols).reset_index(drop=True)
+    w2 = want.sort_values(cols).reset_index(drop=True)
+    assert len(g2) == len(w2)
+    for c in cols:
+        assert (g2[c].to_numpy() == w2[c].to_numpy()).all()
+    np.testing.assert_allclose(g2["sum_value"], w2["sum_value"], atol=1e-6)
