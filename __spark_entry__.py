@@ -343,6 +343,16 @@ def ann_cosine_topk_q(spark, sf_dir):
     return cosine_topk(emb.filter(F.col("vec_id") < 15), emb, k=5)
 
 
+def dedup_embedding_q(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs over the full embeddings
+    table (500–50k vectors depending on SF) — brute-force broadcast
+    variant; the LSH-bucketed scale path is lsh_topk (same module)."""
+    from bubbles.operators.similarity import embedding_cosine_dedup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_cosine_dedup_pairs(emb, threshold=0.40)
+
+
 def text_profile_q(spark, sf_dir):
     from bubbles.operators.text import text_profile
 
@@ -567,6 +577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near_groups": _widen(dedup_near_groups_q),
         "dedup_simhash": _widen(dedup_simhash_q),
         "ngram_jaccard": _widen(ngram_jaccard_q),
+        "dedup_embedding": _widen(dedup_embedding_q),
         "ann_cosine_topk": _widen(ann_cosine_topk_q),
         "text_profile": _widen(text_profile_q),
         "events_windowed": _widen(events_windowed_q),
@@ -1056,6 +1067,18 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _SIMHASH_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "ann_cosine_topk": _ANN_SQL,
+        "dedup_embedding": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            )
+            SELECT * FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_dot_product(a.v, b.v)
+                           / (sqrt(list_dot_product(a.v, a.v))
+                              * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+            ) WHERE cos_sim >= 0.40
+        """,
         "lsh_ann_topk": _lsh_ann_sql(),
         "ivf_ann_topk": _IVF_ANN_SQL,
         "text_profile": _TEXT_PROFILE_SQL,

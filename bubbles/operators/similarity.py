@@ -313,10 +313,12 @@ def embedding_cosine_dedup_pairs(
 ) -> DataFrame:
     """Near-duplicate vector pairs (a < b) with cosine ≥ threshold —
     brute-force variant (broadcast); swap in lsh_topk candidates at
-    scale."""
+    scale. The similarity is rounded to 6dp BEFORE thresholding so the
+    kept set is stable across engines/accumulation orders (float noise
+    in the 1e-7 tail must not flip a boundary pair)."""
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("__a"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("__b"))
-    sim = _cos_sim(F.col("__a"), F.col("__b"))
+    sim = F.round(_cos_sim_arrow(F.col("__a"), F.col("__b")), 6)
     return (
         a.crossJoin(F.broadcast(b))
         .filter(F.col("id_a") < F.col("id_b"))
