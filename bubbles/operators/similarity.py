@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
 
 from bubbles.functions.distances import dot, norm
 
@@ -28,7 +29,9 @@ def _cos_sim(a, b):
     return F.when(den == 0, F.lit(0.0)).otherwise(dot(a, b) / den)
 
 
-@F.pandas_udf("double")
+# DoubleType() (not the DDL string "double") so importing this module
+# never needs an active SparkSession to parse the return type.
+@F.pandas_udf(DoubleType())
 def _cos_sim_arrow(a, b):
     """Arrow-vectorized cosine similarity (rounded to 6dp for stable
     rank ordering). The column-expression twin ``_cos_sim`` evaluates

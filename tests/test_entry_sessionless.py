@@ -1,0 +1,37 @@
+"""The driver contract: ``queries()`` and ``oracle_sql()`` must be
+callable BEFORE any SparkSession exists — the driver may enumerate the
+query map or the oracle SQL first and create the session after.
+
+Regression: a module-level ``@pandas_udf("double")`` (DDL-string
+return type) parses the type via the active session and raised
+SESSION_OR_CONTEXT_NOT_EXISTS at import; explicit DataType objects
+don't. Run in a subprocess so an already-created test session can't
+mask the failure."""
+
+import subprocess
+import sys
+
+_SNIPPET = """
+import __spark_entry__ as e
+qs = e.queries()
+os_ = e.oracle_sql()
+assert len(qs) >= 38, len(qs)
+assert set(os_) <= set(qs), sorted(set(os_) - set(qs))
+# every oracle key pairs with a query; only the iterative clustering
+# queries may be rows-only
+missing = set(qs) - set(os_)
+assert missing <= {"cluster_embeddings", "glosh_outliers"}, sorted(missing)
+print("OK", len(qs), len(os_))
+"""
+
+
+def test_entry_maps_enumerable_without_session():
+    res = subprocess.run(
+        [sys.executable, "-c", _SNIPPET],
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert res.returncode == 0, res.stderr
+    assert res.stdout.startswith("OK")
