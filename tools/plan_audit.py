@@ -170,6 +170,43 @@ def main():
         "bucket equi-joins only; no cross join in the candidate stage",
     )
 
+    # 10. sessionize: the gap/session derivation runs its windows over
+    # ONE user_id exchange — adding session stats must not re-shuffle
+    p = plan_of(m.queries()["events_sessionize"](spark, sf_dir))
+    check(
+        "sessionize single shuffle",
+        p.count("Exchange hashpartitioning") == 1,
+        "lag/gap/session-id windows share one user_id exchange",
+    )
+
+    # 11. as-of join: union + struct forward-fill — no join operator at
+    # all, ONE exchange on the partition key
+    p = plan_of(m.queries()["events_asof_join"](spark, sf_dir))
+    check(
+        "asof no join operator",
+        "Join" not in p and p.count("Exchange hashpartitioning") == 1,
+        "union + last() forward-fill over one key exchange; no join, no cartesian",
+    )
+
+    # 12. SimHash canonicalization: bucket minima via groupBy, never a
+    # window — a mega-bucket of near-identical docs must not serialize
+    # into one window partition
+    p = plan_of(m.queries()["dedup_simhash"](spark, sf_dir))
+    check(
+        "simhash no window",
+        "windowspecdefinition" not in p,
+        "canonical id from groupBy bucket-min + equi-join; no window in the plan",
+    )
+
+    # 13. MinHash LSH: band-bucket candidate generation is equi-joins
+    # with a partial-aggregated bucket-size cap — no cartesian product
+    p = plan_of(m.queries()["dedup_minhash_lsh"](spark, sf_dir))
+    check(
+        "minhash no cartesian",
+        "CartesianProduct" not in p and p.count("HashAggregate") >= 2,
+        "banded equi-joins + partial-agg bucket cap; no cross join",
+    )
+
     lines = [
         "# PLANS — physical-plan audit (tools/plan_audit.py)",
         "",
