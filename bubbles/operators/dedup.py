@@ -192,6 +192,11 @@ def simhash64_bands(
     Catalyst does not CSE a shared md5 across 64 aggregate()
     expressions, so the array-HOF formulation would recompute the
     digest per bit — this computes it once per token."""
+    # spread the token explosion + per-token digests across the cluster
+    # first (same unconditional round-robin as minhash_lsh_pairs: one
+    # shuffle of slim (id, text) rows, tiny next to the md5-per-token
+    # map work it parallelizes)
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("__t"),
@@ -259,6 +264,7 @@ def ngram_jaccard_pairs(
     explode + equi-join on the shingle (never a cross join; shuffle
     is (doc, shingle) rows). Intended for candidate verification
     after LSH — run on bounded subsets."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     sh = df.select(
         F.col(id_col), F.explode(F.array_distinct(char_ngrams(F.col(text_col), n))).alias("g")
     )

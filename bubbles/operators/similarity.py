@@ -142,6 +142,13 @@ def lsh_topk(
     per invocation."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
+    # a single-file corpus arrives in one split; the per-row bucket
+    # projections (tables × planes × dim aggregate expressions) would
+    # then run on one core. Widen only when under-split — at scale the
+    # split count already exceeds the core count and this is a no-op.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     cand = None
     for t in range(tables):
         b = lsh_bucket(df, dim, planes, seed, t, id_col, vec_col)
@@ -231,6 +238,12 @@ def ivf_topk(
         F.col(vec_col).cast("array<double>").alias("features"),
         F.lit(0).alias("subset_id"),
     )
+    # widen an under-split corpus (same rationale as lsh_topk): the
+    # centroid-assignment mapInPandas inherits the scan's split count,
+    # and a one-file corpus would pin the whole numpy argmin on one core
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par)
     # centroids are driver-bounded (n_centroids rows) — same bounded
     # collect pattern as fit()'s sample lists
     if centroid_ids is not None:

@@ -26,6 +26,9 @@ twice is processed exactly regardless of size.
 
 from __future__ import annotations
 
+import os
+import sys
+import time
 from dataclasses import dataclass
 
 import numpy as np
@@ -49,17 +52,27 @@ def _features_matrix(col: pd.Series) -> np.ndarray:
 
 
 def _make_exact_edges_kernel(min_pts: int, metric: str):
+    profile = bool(os.environ.get("SPARK_GRAFT_PROFILE"))
+
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.time() if profile else 0.0
         X = _features_matrix(pdf["features"])
         ids = pdf["point_id"].to_numpy(np.int64)
         uniq = np.unique(X, axis=0)
-        if len(uniq) < 0.7 * len(X):
+        grouped = len(uniq) < 0.7 * len(X)
+        if grouped:
             # duplicate-heavy subset: collapsed O(m²) variant
             src, dst, w = hk.mst_edges_grouped(X, ids, min_pts, metric)
         else:
             core = hk.core_distances(X, min_pts, metric)
             src, dst, w = hk.mst_edges(X, core, metric, self_edges=True, ids=ids)
         sid = np.full(len(src), int(pdf["subset_id"].iloc[0]), dtype=np.int64)
+        if profile:
+            print(
+                f"##k exact pid={os.getpid()} t0={t0:.3f} n={len(ids)}"
+                f" uniq={len(uniq)} grouped={grouped} {time.time() - t0:.3f}s",
+                file=sys.stderr,
+            )
         return pd.DataFrame({"subset_id": sid, "src": src, "dst": dst, "weight": w})
 
     return kernel
@@ -184,12 +197,35 @@ class MRHDBSCAN:
         with kind in ('ml','cl') (X14, 源代码/main/Main.java:590-597
         format); applied during global cluster selection."""
         spark = df.sparkSession
+        profile = bool(os.environ.get("SPARK_GRAFT_PROFILE"))
+        _t = [time.time()]
+
+        def _tick(phase: str):
+            # per-phase wall timing (SPARK_GRAFT_PROFILE=1): every
+            # printed phase ends on a Spark action, so the elapsed time
+            # is real work, not lazy-plan construction
+            if profile:
+                now = time.time()
+                print(f"## fit {phase}: {now - _t[0]:.2f}s", file=sys.stderr)
+                _t[0] = now
+
         dim = len(df.select(self.features_col).first()[0])
+        par = spark.sparkContext.defaultParallelism
         current = df.select(
             F.col(self.id_col).cast("long").alias("point_id"),
             F.col(self.features_col).cast("array<double>").alias("features"),
             F.lit(0).cast("long").alias("subset_id"),
-        ).localCheckpoint()
+        )
+        # A small input arrives in fewer splits than cores (one parquet
+        # file = 1-2 splits) and every per-point stage downstream —
+        # assignment mapInPandas, aggregation partials — inherits that
+        # width. Widen once; at scale the split count already exceeds
+        # the core count and this is a no-op (the getNumPartitions read
+        # is driver-side plan inspection, no job).
+        if current.rdd.getNumPartitions() < par:
+            current = current.repartition(par)
+        current = current.localCheckpoint()
+        _tick("ingest checkpoint")
 
         exact_kernel = _make_exact_edges_kernel(self.min_pts, self.distance)
         model_kernel = _make_local_model_kernel(
@@ -217,6 +253,13 @@ class MRHDBSCAN:
                 r["subset_id"]: r["cnt"]
                 for r in current.groupBy("subset_id").agg(F.count("*").alias("cnt")).collect()
             }
+            _tick(f"it{iteration} sizes ({len(sizes)} subsets)")
+            if profile:
+                top = sorted(sizes.values(), reverse=True)[:12]
+                print(
+                    f"##   sizes: n={sum(sizes.values())} top12={top}",
+                    file=sys.stderr,
+                )
             force_exact = iteration >= self.max_iterations
             small = [
                 s
@@ -226,11 +269,20 @@ class MRHDBSCAN:
             big = [s for s in sizes if s not in set(small)]
 
             if small:
+                # pin the kernel stage's width with an explicit
+                # repartition (REPARTITION_BY_NUM — AQE never coalesces
+                # it): the O(m²) MST kernels are CPU-bound on a few MB
+                # of rows, and byte-based AQE coalescing otherwise
+                # merges the whole stage into one task (measured 7.4s →
+                # 1.6s at sf0.01). groupBy requires only clustering by
+                # subset_id, which the repartition already provides —
+                # no second exchange.
                 small_df = _filter_subsets(current, small)
-                edges = small_df.groupBy("subset_id").applyInPandas(
-                    exact_kernel, schema=_EDGE_SCHEMA
-                )
+                edges = small_df.repartition(par, "subset_id").groupBy(
+                    "subset_id"
+                ).applyInPandas(exact_kernel, schema=_EDGE_SCHEMA)
                 leaf_parts.append(edges.localCheckpoint())
+                _tick(f"it{iteration} exact leaves ({len(small)} subsets)")
             if not big:
                 break
 
@@ -247,6 +299,7 @@ class MRHDBSCAN:
             sample_rows = samples.select(
                 "subset_id", "sample_ord", "point_id", "features"
             ).collect()
+            _tick(f"it{iteration} sample collect ({len(sample_rows)} rows)")
             by_subset: dict[int, list] = {}
             for r in sample_rows:
                 by_subset.setdefault(int(r["subset_id"]), []).append(
@@ -262,12 +315,15 @@ class MRHDBSCAN:
             assigned = nearest_representative_bulk(
                 big_df, packed, metric=self.distance
             ).localCheckpoint()
+            _tick(f"it{iteration} assign checkpoint")
             bubbles = bubble_aggregate(assigned, dim)
             model_out = (
-                bubbles.groupBy("subset_id")
+                bubbles.repartition(min(par, len(big)), "subset_id")
+                .groupBy("subset_id")
                 .applyInPandas(model_kernel, schema=_MODEL_SCHEMA)
                 .localCheckpoint()
             )
+            _tick(f"it{iteration} bubble model")
             cross_parts.append(
                 model_out.filter(F.col("kind") == 1).select(
                     F.col("a").alias("src"), F.col("b").alias("dst"), F.col("w").alias("weight")
@@ -279,6 +335,7 @@ class MRHDBSCAN:
             # induce fresh global subset ids (reference Main.java:272-290
             # does the same renumbering on the driver)
             pairs = bubble_labels.select("subset_id", "label").distinct().collect()
+            _tick(f"it{iteration} relabel distinct")
             mapping = []
             new_stalls: dict[int, int] = {}
             per_parent: dict[int, int] = {}
@@ -306,6 +363,7 @@ class MRHDBSCAN:
                 )
                 .localCheckpoint()
             )
+            _tick(f"it{iteration} relabel checkpoint")
             iteration += 1
 
         leaf_edges = leaf_parts[0]
@@ -331,7 +389,7 @@ class MRHDBSCAN:
                 )
         if self.global_mode == "contracted":
             return self._global_step_contracted(
-                spark, leaf_edges, cross_edges, iteration, constr
+                spark, leaf_edges, cross_edges, iteration, constr, tick=_tick
             )
         all_edges = leaf_edges.drop("subset_id")
         if cross_edges is not None:
@@ -391,7 +449,13 @@ class MRHDBSCAN:
 
     # ------------------------------------------------------------------
     def _global_step_contracted(
-        self, spark, leaf_edges: DataFrame, cross_edges, iteration, constraints=None
+        self,
+        spark,
+        leaf_edges: DataFrame,
+        cross_edges,
+        iteration,
+        constraints=None,
+        tick=lambda phase: None,
     ) -> MRHDBSCANModel:
         """Scale path for Stage C/D (SCALE.md global-step analysis,
         replacing the reference's all-edges driver collect,
@@ -413,20 +477,27 @@ class MRHDBSCAN:
             cpdf = pd.DataFrame({"src": [], "dst": [], "weight": []})
         boundary = frozenset(map(int, cpdf["src"])) | frozenset(map(int, cpdf["dst"]))
         bc = spark.sparkContext.broadcast(boundary)
+        par = spark.sparkContext.defaultParallelism
         phase1 = (
-            leaf_edges.groupBy("subset_id")
+            # explicit width pin for the same reason as the leaf-kernel
+            # stage: the contraction replay is CPU-bound per subset and
+            # must not be AQE-coalesced into one task
+            leaf_edges.repartition(par, "subset_id")
+            .groupBy("subset_id")
             .applyInPandas(
                 make_contract_kernel(bc, self.min_cluster_size),
                 schema=CONTRACT_SCHEMA,
             )
             .localCheckpoint()
         )
+        tick("global contract checkpoint")
         membership = phase1.filter(F.col("kind") == 0).select(
             F.col("a").alias("point_id"),
             F.col("b").alias("rep_id"),
             F.col("w").alias("core_distance"),
         )
         red = phase1.filter(F.col("kind") > 0).toPandas()
+        tick(f"global reduced collect ({len(red)} rows)")
         e1 = red[red["kind"] == 1]
         src = np.concatenate(
             [e1["a"].to_numpy(np.int64), cpdf["src"].to_numpy(np.int64)]
@@ -465,6 +536,7 @@ class MRHDBSCAN:
         res = hk.build_hierarchy(
             lu, lv, wts, vw, self.min_cluster_size, constraints=local_constraints
         )
+        tick(f"global hierarchy ({len(verts)} verts)")
         min_death = hk.cluster_min_death(res)
         eps_max = np.fromiter(
             (min_death[int(c)] for c in res.last_cluster), np.float64, len(verts)
