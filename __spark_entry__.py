@@ -360,12 +360,13 @@ def text_profile_q(spark, sf_dir):
 
 
 def _events_us(spark, sf_dir):
-    """events with ts as integer microseconds (the driver parquet
-    stores TIMESTAMP(NANOS), which Spark's vectorized reader rejects;
-    nanosAsLong + integer div matches DuckDB's micro truncation)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = _t(spark, sf_dir, "events")
-    return ev.withColumn("ts_us", F.expr("ts div 1000"))
+    """events with ts as integer epoch microseconds (``ts_us``),
+    schema-adaptive across both generations of the driver parquet
+    (legacy TIMESTAMP(NANOS)-as-long and plain TIMESTAMP(MICROS));
+    matches DuckDB's ``epoch_us(ts)`` on naive-UTC wall times."""
+    from bubbles.streaming.events import read_events_batch
+
+    return read_events_batch(spark, sf_dir)
 
 
 def events_windowed_q(spark, sf_dir):

@@ -5,10 +5,13 @@ Batch/stream parity: each streaming query has a batch twin with
 identical semantics so the DuckDB oracle can check the rows (the
 driver runs the batch twin; tests run the stream against the twin).
 
-Timestamp note: the driver parquet stores TIMESTAMP(NANOS), which
-Spark's parquet reader rejects; all readers here use
-``spark.sql.legacy.parquet.nanosAsLong`` and convert to microseconds
-(``timestamp_micros``), matching DuckDB's nano→micro truncation.
+Timestamp note: the driver parquet has shipped two generations of
+``events.ts`` — TIMESTAMP(NANOS) (which Spark's vectorized reader
+only accepts as int64 via ``spark.sql.legacy.parquet.nanosAsLong``)
+and plain TIMESTAMP(MICROS)/NTZ. ``read_events_batch`` /
+``read_events_stream`` sniff the file schema and normalize both to a
+true TIMESTAMP ``ts`` plus integer-microsecond ``ts_us`` under a UTC
+session timezone, matching DuckDB's ``epoch_us`` on naive wall times.
 """
 
 from __future__ import annotations
@@ -20,19 +23,50 @@ EVENT_SCHEMA_NANOS = (
     "event_id long, ts long, user_id long, event_type string, "
     "value double, props string"
 )
+EVENT_SCHEMA_NTZ = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _events_ts_dtype(spark: SparkSession, sf_dir: str) -> str:
+    """Spark dtype of events.ts ('bigint' for legacy nanos files,
+    'timestamp'/'timestamp_ntz' for micro files). Metadata-only —
+    no data job is triggered."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"]
+
+
+def read_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch read of the events table with ``ts`` normalized to a true
+    TIMESTAMP and ``ts_us`` as integer epoch microseconds, for either
+    generation of the driver parquet."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumn("ts_us", F.expr("ts div 1000"))
+    else:
+        ev = ev.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    return ev.withColumn("ts", F.timestamp_micros("ts_us"))
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one file = one
     micro-batch locally; kafka/kinesis in production). The file
-    source needs a directory — glob-filter the single table file."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    source needs a directory — glob-filter the single table file.
+    The file-source schema must be declared up front, so sniff the
+    batch footer (metadata-only) to pick the right one."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    legacy = _events_ts_dtype(spark, sf_dir) == "bigint"
     raw = (
-        spark.readStream.schema(EVENT_SCHEMA_NANOS)
+        spark.readStream.schema(EVENT_SCHEMA_NANOS if legacy else EVENT_SCHEMA_NTZ)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if legacy:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_counts(events: DataFrame, minutes: int = 5) -> DataFrame:

@@ -232,18 +232,11 @@ def test_stream_matches_batch(spark):
         windowed_counts_batch,
     )
 
+    from bubbles.streaming.events import read_events_batch
+
     sf = "/root/testdata/sf0.001"
     got = run_stream_to_memory(spark, sf, name="t_stream").toPandas()
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = (
-        spark.read.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string"
-        )
-        .parquet(f"{sf}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
-    want = windowed_counts_batch(ev).toPandas()
+    want = windowed_counts_batch(read_events_batch(spark, sf)).toPandas()
     g = got.sort_values(["win_start", "event_type"]).reset_index(drop=True)
     w = want.sort_values(["win_start", "event_type"]).reset_index(drop=True)
     assert len(g) == len(w)
@@ -322,11 +315,9 @@ def test_stateful_streaming_user_totals(spark):
     got = run_stateful_to_memory(spark, "/root/testdata/sf0.001", name="t_state")
     g = got.toPandas()
     # batch twin: plain groupBy totals
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.schema(
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    ).parquet("/root/testdata/sf0.001/events.parquet")
+    from bubbles.streaming.events import read_events_batch
+
+    ev = read_events_batch(spark, "/root/testdata/sf0.001")
     want = (
         ev.groupBy("user_id")
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
@@ -349,14 +340,10 @@ def test_session_window_stream_matches_batch(spark):
     # EXACTLY gap distance starts a new session -> split on >=)
     from pyspark.sql import Window
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = (
-        spark.read.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string"
-        )
-        .parquet("/root/testdata/sf0.001/events.parquet")
-        .withColumn("us", F.expr("ts div 1000"))
+    from bubbles.streaming.events import read_events_batch
+
+    ev = read_events_batch(spark, "/root/testdata/sf0.001").withColumn(
+        "us", F.col("ts_us")
     )
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     gap = F.col("us") - F.lag("us").over(w)
