@@ -918,7 +918,7 @@ WITH s AS (
               THEN 1 ELSE 0 END AS new_sess
   FROM events
   -- order at microsecond resolution (epoch_us), matching the Spark
-  -- side's ts div 1000 truncation, so sub-µs data can't diverge
+  -- side's integer ts_us, so sub-µs data can't diverge
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
 )
 SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,

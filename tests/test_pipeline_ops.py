@@ -370,3 +370,43 @@ def test_session_window_stream_matches_batch(spark):
     for c in cols:
         assert (g2[c].to_numpy() == w2[c].to_numpy()).all()
     np.testing.assert_allclose(g2["sum_value"], w2["sum_value"], atol=1e-6)
+
+
+def test_events_reader_handles_both_ts_generations(spark, tmp_path):
+    # the driver testdata has shipped events.ts as TIMESTAMP(NANOS)
+    # (readable only as int64 nanos) and as plain TIMESTAMP(MICROS);
+    # the shared reader must normalize both to identical ts/ts_us
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bubbles.streaming.events import read_events_batch
+
+    base = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00.000001", "2024-01-01 12:34:56.789012",
+                 "2024-02-29 23:59:59.999999"]
+            ),
+            "user_id": [10, 11, 12],
+            "event_type": ["click", "view", "click"],
+            "value": [1.5, 2.5, 3.5],
+            "props": ["{}", "{}", "{}"],
+        }
+    )
+    for gen, unit in (("nanos", "ns"), ("micros", "us")):
+        d = tmp_path / gen
+        d.mkdir()
+        t = pa.Table.from_pandas(base)
+        i = t.schema.get_field_index("ts")
+        t = t.set_column(i, "ts", t.column("ts").cast(pa.timestamp(unit)))
+        pq.write_table(t, d / "events.parquet")
+    nano = read_events_batch(spark, str(tmp_path / "nanos"))
+    micro = read_events_batch(spark, str(tmp_path / "micros"))
+    assert dict(nano.dtypes)["ts"] == "timestamp" == dict(micro.dtypes)["ts"]
+    n = nano.select("event_id", "ts_us").toPandas().sort_values("event_id")
+    m = micro.select("event_id", "ts_us").toPandas().sort_values("event_id")
+    assert (n["ts_us"].to_numpy() == m["ts_us"].to_numpy()).all()
+    # absolute epoch is right (UTC wall clock), not just consistent
+    assert n["ts_us"].iloc[0] == 1704067200000001
