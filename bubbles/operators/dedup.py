@@ -108,19 +108,25 @@ def minhash_lsh_pairs(
     df = df.repartition(par)
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle)
     n_bands = num_hashes // band_size
-    bands = []
-    for b in range(n_bands):
-        cols = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
-        bands.append(
-            sig.select(
-                F.col(id_col),
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+    # one posexplode pass instead of a per-band union: a union of
+    # per-band projections defeats exchange reuse (column pruning makes
+    # each branch's partial aggregate distinct), so the whole shingle
+    # explode + digest + shuffle pipeline ran once PER BAND; exploding
+    # an array of band hashes computes the signatures exactly once
+    band_hashes = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"mh{b * band_size + j}") for j in range(band_size)],
+                )
             )
-        )
-    buckets = bands[0]
-    for b in bands[1:]:
-        buckets = buckets.unionByName(b)
+            for b in range(n_bands)
+        ]
+    )
+    buckets = sig.select(
+        F.col(id_col), F.posexplode(band_hashes).alias("band", "bucket")
+    )
     if max_bucket_size:
         # groupBy count (map-side partial) + equi-join back: skew-safe,
         # no window; the join is AQE-splittable
