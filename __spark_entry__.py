@@ -41,7 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
         F.col("vec_id").alias("point_id"),
         F.col("embedding").cast("array<double>").alias("features"),
     )
-    model = MRHDBSCAN(min_pts=4, min_cluster_size=10, max_local_size=2000).fit(pts)
+    model = MRHDBSCAN(min_pts=4, min_cluster_size=10, max_local_size=2000, dim=64).fit(pts)
     return model.labels.join(model.outlier_scores, on="point_id").select(
         "point_id", "label", F.round("score", 6).alias("glosh_score")
     )
@@ -248,7 +248,7 @@ def glosh_outliers(spark, sf_dir):
         F.col("vec_id").alias("point_id"),
         F.col("embedding").cast("array<double>").alias("features"),
     )
-    model = MRHDBSCAN(min_pts=4, min_cluster_size=10, max_local_size=2000).fit(pts)
+    model = MRHDBSCAN(min_pts=4, min_cluster_size=10, max_local_size=2000, dim=64).fit(pts)
     return model.outlier_scores.select(
         "point_id", F.round("score", 6).alias("score")
     )
@@ -454,7 +454,7 @@ def cluster_embeddings(spark, sf_dir):
         F.col("vec_id").alias("point_id"),
         F.col("embedding").cast("array<double>").alias("features"),
     )
-    model = MRHDBSCAN(min_pts=4, min_cluster_size=10, max_local_size=2000).fit(pts)
+    model = MRHDBSCAN(min_pts=4, min_cluster_size=10, max_local_size=2000, dim=64).fit(pts)
     return model.labels
 
 

@@ -135,6 +135,7 @@ def main():
             max_local_size=4096,
             max_samples_per_subset=768,
             seed=42,
+            dim=64,
         ).fit(pts)
         return f"{model.labels.count()} pts, {model.n_iterations} iters"
 
@@ -161,6 +162,7 @@ def main():
             max_local_size=4096,
             max_samples_per_subset=768,
             seed=42,
+            dim=4,
         ).fit(lpts)
         return f"{lmodel.labels.count()} pts, {lmodel.n_iterations} iters"
 
@@ -189,6 +191,7 @@ def main():
                 max_local_size=4096,
                 max_samples_per_subset=768,
                 seed=42,
+                dim=3,
             ).fit(spts)
             return f"{m.labels.count()} pts (paper DB baseline 60.19s)"
 

@@ -176,6 +176,7 @@ class MRHDBSCAN:
         features_col: str = "features",
         id_col: str = "point_id",
         global_mode: str = "contracted",
+        dim: int | None = None,
     ):
         if global_mode not in ("driver", "contracted"):
             raise ValueError("global_mode must be 'driver' or 'contracted'")
@@ -190,6 +191,9 @@ class MRHDBSCAN:
         self.features_col = features_col
         self.id_col = id_col
         self.global_mode = global_mode
+        # feature dimensionality; pass it to skip the one-row probe job
+        # at the start of fit (useful when fit is called in a loop)
+        self.dim = dim
 
     # ------------------------------------------------------------------
     def fit(self, df: DataFrame, constraints: DataFrame | None = None) -> MRHDBSCANModel:
@@ -209,7 +213,7 @@ class MRHDBSCAN:
                 print(f"## fit {phase}: {now - _t[0]:.2f}s", file=sys.stderr)
                 _t[0] = now
 
-        dim = len(df.select(self.features_col).first()[0])
+        dim = self.dim or len(df.select(self.features_col).first()[0])
         par = spark.sparkContext.defaultParallelism
         current = df.select(
             F.col(self.id_col).cast("long").alias("point_id"),

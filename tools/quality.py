@@ -62,6 +62,7 @@ def main():
         max_local_size=4096,
         max_samples_per_subset=1024,
         seed=42,
+        dim=10,
     ).fit(df)
     labels = model.labels.orderBy("point_id").toPandas()["label"].to_numpy()
     elapsed = time.time() - t0

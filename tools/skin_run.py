@@ -61,6 +61,7 @@ def main():
         max_local_size=4096,
         max_samples_per_subset=768,
         seed=42,
+        dim=3,
     ).fit(pts.select("point_id", "features"))
     joined = (
         pts.select("point_id", "true_label")
