@@ -198,6 +198,123 @@ def _salted_topk_per_key(
     )
 
 
+def _ivf_assign_probe(
+    base: DataFrame, cids, cmat, n_probe: int
+) -> DataFrame:
+    """(point_id, features, centroid, rep_dist, probes): nearest
+    centroid + distance (inverted-list side — dist argmin, first
+    centroid in priority order wins ties, matching
+    nearest_representative_bulk) and the n_probe nearest centroids
+    (query side — 6dp-rounded cosine desc, centroid id asc, matching
+    the former crossJoin + window ordering), from one numpy pass over
+    the point-x-centroid matrix. No shuffle; centroids ride a
+    broadcast variable."""
+    import numpy as np
+    import pandas as pd
+
+    from bubbles.kernels.hdbscan_kernel import ROW_DISTANCES
+
+    bc = base.sparkSession.sparkContext.broadcast((cids, cmat))
+    dist_rows = ROW_DISTANCES["cosine"]
+    n_probe_eff = min(n_probe, len(cids))
+
+    def gen(it):
+        ids, mat = bc.value
+        # id-sorted column view for the probe tie-break (centroid id
+        # asc under a stable desc-sim argsort); assignment keeps the
+        # original priority order
+        perm = np.argsort(ids)
+        ids_sorted = ids[perm]
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["features"]])
+            best_d = np.full(len(X), np.inf)
+            best_i = np.zeros(len(X), dtype=np.int64)
+            for j in range(len(ids)):
+                d = dist_rows(X, mat[j])
+                upd = d < best_d  # strict <: first centroid wins ties
+                best_d[upd] = d[upd]
+                best_i[upd] = j
+            num = X @ mat.T
+            den = (
+                np.linalg.norm(X, axis=1)[:, None]
+                * np.linalg.norm(mat, axis=1)[None, :]
+            )
+            sim = np.round(
+                np.where(den == 0.0, 0.0, num / np.where(den == 0.0, 1.0, den)), 6
+            )
+            top = np.argsort(-sim[:, perm], axis=1, kind="stable")[:, :n_probe_eff]
+            yield pd.DataFrame(
+                {
+                    "point_id": pdf["point_id"],
+                    "features": pdf["features"],
+                    "centroid": ids[best_i],
+                    "rep_dist": best_d,
+                    "probes": [r.tolist() for r in ids_sorted[top]],
+                }
+            )
+
+    return base.select("point_id", "features").mapInPandas(
+        gen,
+        schema=(
+            "point_id long, features array<double>, centroid long, "
+            "rep_dist double, probes array<long>"
+        ),
+    )
+
+
+def _ivf_score_bucket(k: int):
+    """Cogroup kernel: (probe rows with __qv) x (member rows with
+    __cv) for one (centroid, salt) bucket -> per-query top-k within
+    the bucket by (6dp cosine desc, neighbor id asc), self-matches
+    excluded — the same ordering the former join + global window used,
+    so the downstream global rank selects identical rows."""
+
+    def score(qpdf, mpdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "cos_sim": pd.Series([], dtype="float64"),
+            }
+        )
+        if len(qpdf) == 0 or len(mpdf) == 0:
+            return empty
+        Q = np.array([np.asarray(v, dtype=np.float64) for v in qpdf["__qv"]])
+        M = np.array([np.asarray(v, dtype=np.float64) for v in mpdf["__cv"]])
+        qids = qpdf["query_id"].to_numpy(dtype=np.int64)
+        nids = mpdf["neighbor_id"].to_numpy(dtype=np.int64)
+        order_n = np.argsort(nids)  # id-asc columns => stable tie-break
+        M = M[order_n]
+        nids = nids[order_n]
+        num = Q @ M.T
+        den = (
+            np.linalg.norm(Q, axis=1)[:, None] * np.linalg.norm(M, axis=1)[None, :]
+        )
+        sim = np.round(
+            np.where(den == 0.0, 0.0, num / np.where(den == 0.0, 1.0, den)), 6
+        )
+        kk = min(k + 1, sim.shape[1])  # +1 absorbs the one possible self-match
+        top = np.argsort(-sim, axis=1, kind="stable")[:, :kk]
+        simt = np.take_along_axis(sim, top, axis=1)
+        nt = nids[top]
+        keep = nt != qids[:, None]
+        keep &= np.cumsum(keep, axis=1) <= k
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(qids, keep.sum(axis=1)),
+                "neighbor_id": nt[keep],
+                "cos_sim": simt[keep],
+            }
+        )
+
+    return score
+
+
 def ivf_topk(
     df: DataFrame,
     k: int = 5,
@@ -230,7 +347,6 @@ def ivf_topk(
     the DuckDB oracle twin)."""
     import numpy as np
 
-    from bubbles.operators.nearest import nearest_representative_bulk
     from bubbles.operators.sampling import stratified_sample_exact
 
     base = df.select(
@@ -238,12 +354,17 @@ def ivf_topk(
         F.col(vec_col).cast("array<double>").alias("features"),
         F.lit(0).alias("subset_id"),
     )
-    # widen an under-split corpus (same rationale as lsh_topk): the
-    # centroid-assignment mapInPandas inherits the scan's split count,
-    # and a one-file corpus would pin the whole numpy argmin on one core
+    # width the assignment kernel to the DATA, not the core count: a
+    # Python/Arrow task costs ~100 ms of dispatch regardless of size,
+    # so 32 near-empty partitions × several kernel stages dwarf the
+    # actual numpy work on a small corpus. Target ~50k rows per task,
+    # capped at the core count; at scale the scan's own split count
+    # already exceeds the target and this never coalesces it.
+    n_rows = base.count()
     par = df.sparkSession.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < par:
-        base = base.repartition(par)
+    width = min(par, max(1, -(-n_rows // 50_000)))
+    if base.rdd.getNumPartitions() < width:
+        base = base.repartition(width)
     # centroids are driver-bounded (n_centroids rows) — same bounded
     # collect pattern as fit()'s sample lists
     if centroid_ids is not None:
@@ -262,16 +383,21 @@ def ivf_topk(
             cents.select("sample_ord", "point_id", "features").collect(),
             key=lambda r: r.sample_ord,
         )
-    cdict = {
-        0: (
-            np.array([r.point_id for r in crows], dtype=np.int64),
-            np.array([r.features for r in crows], dtype=np.float64),
-        )
-    }
-    assigned = nearest_representative_bulk(base, cdict, metric="cosine").select(
+    cids = np.array([r.point_id for r in crows], dtype=np.int64)
+    cmat = np.array([r.features for r in crows], dtype=np.float64)
+    # ONE mapInPandas pass computes both roles of the point-x-centroid
+    # similarity matrix: the nearest centroid (inverted-list side,
+    # identical semantics to nearest_representative_bulk: dist argmin,
+    # first-centroid-wins ties) AND the top-n_probe probe centroids
+    # (query side, identical ordering to the former crossJoin + window:
+    # 6dp-rounded cosine desc, centroid id asc). This replaces a
+    # broadcast crossJoin + Arrow udf + window shuffle with numpy work
+    # already resident in the assignment kernel.
+    both = _ivf_assign_probe(base, cids, cmat, n_probe)
+    assigned = both.select(
         F.col("point_id").alias("neighbor_id"),
         F.col("features").alias("__cv"),
-        F.col("bubble_id").alias("centroid"),
+        "centroid",
         "rep_dist",
     )
     # the cap can only bind when the corpus outnumbers it (one cheap
@@ -279,7 +405,7 @@ def ivf_topk(
     # does, the rank windows see only slim (centroid, id, dist) rows —
     # never the vector payload — and the vectors come back through an
     # equi-join on the unique id, which cannot skew
-    if max_bucket_size and base.count() > max_bucket_size:
+    if max_bucket_size and n_rows > max_bucket_size:
         kept = _salted_topk_per_key(
             assigned.select("neighbor_id", "centroid", "rep_dist"),
             "centroid",
@@ -288,34 +414,42 @@ def ivf_topk(
         ).select("neighbor_id", "centroid")
         assigned = assigned.join(kept, on=["neighbor_id", "centroid"])
     assigned = assigned.drop("rep_dist")
-    # each query probes its n_probe nearest centroids
-    c = df.sparkSession.createDataFrame(
-        [(int(r.point_id), list(r.features)) for r in crows],
-        schema="centroid long, __cf array<double>",
+    # each query probes its n_probe nearest centroids (computed in the
+    # same kernel pass; explode is a narrow transform, no shuffle)
+    probes = both.select(
+        F.col("point_id").alias("query_id"),
+        F.col("features").alias("__qv"),
+        F.explode("probes").alias("centroid"),
     )
-    qsim = _cos_sim_arrow(F.col("features"), F.col("__cf"))
-    w = Window.partitionBy("point_id").orderBy(F.desc("__qcs"), "centroid")
-    probes = (
-        base.crossJoin(F.broadcast(c))
-        .select(
-            F.col("point_id").alias("query_id"),
-            F.col("features").alias("__qv"),
-            "centroid",
-            qsim.alias("__qcs"),
+    # probe-bucket scoring via salted cogroup instead of an equi-join:
+    # the join materialized |probes_c| x |members_c| candidate ROWS each
+    # carrying BOTH 64-d vectors — ~1 GB of shuffle+Arrow per million
+    # candidates just to take dot products. The cogroup ships each
+    # centroid's member matrix once per salt, computes the similarity
+    # matrix in numpy, and emits only slim per-(query, centroid) top-k
+    # rows. The probe-side salt splits a hot centroid's query load
+    # across tasks (members replicated n_salts ways, bounded by
+    # max_bucket_size) so no single task sees a hot bucket's full load.
+    # Per-(query, centroid) top-k provably contains the global top-k: a
+    # neighbor beaten by k same-centroid candidates is beaten by those
+    # k globally too.
+    n_salts = 8
+    members = assigned.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
+    )
+    probes = probes.withColumn(
+        "__salt", F.pmod(F.xxhash64("query_id"), F.lit(n_salts)).cast("int")
+    )
+    scored = (
+        probes.groupBy("centroid", "__salt")
+        .cogroup(members.groupBy("centroid", "__salt"))
+        .applyInPandas(
+            _ivf_score_bucket(k), schema="query_id long, neighbor_id long, cos_sim double"
         )
-        .withColumn("point_id", F.col("query_id"))
-        .withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= n_probe)
-        .select("query_id", "__qv", "centroid")
     )
-    cand = probes.join(assigned, on="centroid").filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-    sim = _cos_sim_arrow(F.col("__qv"), F.col("__cv"))
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
-        cand.select("query_id", "neighbor_id", sim.alias("cos_sim"))
-        .withColumn("rank", F.row_number().over(w2))
+        scored.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
