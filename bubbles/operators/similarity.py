@@ -149,7 +149,16 @@ def lsh_topk(
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         df = df.repartition(par)
-    cand = None
+    # per-(table, bucket) scoring in a self-cogroup kernel instead of a
+    # per-bucket self-JOIN: the join materialized every candidate pair
+    # carrying both vectors (|bucket|² rows x 2 vectors of Arrow+shuffle
+    # volume); the cogroup ships each bucket's rows once, takes the
+    # all-pairs dot products in numpy, and emits only slim per-query
+    # top-k rows. Per-bucket top-k provably contains the global top-k
+    # (a neighbor beaten by k same-bucket candidates is beaten by k
+    # distinct neighbors globally), so dedup + global rank over the
+    # slim union selects identical rows.
+    scored = None
     for t in range(tables):
         b = lsh_bucket(df, dim, planes, seed, t, id_col, vec_col)
         if max_bucket_size:
@@ -160,18 +169,30 @@ def lsh_topk(
                 .select("bucket")
             )
             b = b.join(small, on="bucket")
-        a = b.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "bucket")
-        c = b.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "bucket")
-        p = a.join(c, on="bucket").filter(F.col("query_id") != F.col("neighbor_id")).select(
-            "query_id", "neighbor_id", "__qv", "__cv"
+        # rename the key on one side: a self-cogroup on the SAME
+        # attribute trips the ambiguous-self-join check (cogroup keys
+        # align positionally, names need not match)
+        q = b.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "bucket"
         )
-        cand = p if cand is None else cand.unionByName(p)
-    cand = cand.dropDuplicates(["query_id", "neighbor_id"])
-    sim = _cos_sim_arrow(F.col("__qv"), F.col("__cv"))
+        m = b.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            F.col("bucket").alias("__mbucket"),
+        )
+        s = (
+            q.groupBy("bucket")
+            .cogroup(m.groupBy("__mbucket"))
+            .applyInPandas(
+                _score_bucket_topk(k),
+                schema="query_id long, neighbor_id long, cos_sim double",
+            )
+        )
+        scored = s if scored is None else scored.unionByName(s)
+    scored = scored.dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
-        cand.select("query_id", "neighbor_id", sim.alias("cos_sim"))
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
@@ -264,12 +285,13 @@ def _ivf_assign_probe(
     )
 
 
-def _ivf_score_bucket(k: int):
-    """Cogroup kernel: (probe rows with __qv) x (member rows with
-    __cv) for one (centroid, salt) bucket -> per-query top-k within
-    the bucket by (6dp cosine desc, neighbor id asc), self-matches
-    excluded — the same ordering the former join + global window used,
-    so the downstream global rank selects identical rows."""
+def _score_bucket_topk(k: int):
+    """Cogroup kernel shared by the IVF and LSH paths: (query rows
+    with __qv) x (member rows with __cv) for one bucket -> per-query
+    top-k within the bucket by (6dp cosine desc, neighbor id asc),
+    self-matches excluded — the same ordering a candidate join + global
+    window would use, so the downstream global rank selects identical
+    rows."""
 
     def score(qpdf, mpdf):
         import numpy as np
@@ -291,26 +313,34 @@ def _ivf_score_bucket(k: int):
         order_n = np.argsort(nids)  # id-asc columns => stable tie-break
         M = M[order_n]
         nids = nids[order_n]
-        num = Q @ M.T
-        den = (
-            np.linalg.norm(Q, axis=1)[:, None] * np.linalg.norm(M, axis=1)[None, :]
-        )
-        sim = np.round(
-            np.where(den == 0.0, 0.0, num / np.where(den == 0.0, 1.0, den)), 6
-        )
-        kk = min(k + 1, sim.shape[1])  # +1 absorbs the one possible self-match
-        top = np.argsort(-sim, axis=1, kind="stable")[:, :kk]
-        simt = np.take_along_axis(sim, top, axis=1)
-        nt = nids[top]
-        keep = nt != qids[:, None]
-        keep &= np.cumsum(keep, axis=1) <= k
-        return pd.DataFrame(
-            {
-                "query_id": np.repeat(qids, keep.sum(axis=1)),
-                "neighbor_id": nt[keep],
-                "cos_sim": simt[keep],
-            }
-        )
+        mnorm = np.linalg.norm(M, axis=1)[None, :]
+        outs = []
+        # block the query side so the sim matrix stays ~32 MB even for
+        # a max_bucket_size x max_bucket_size bucket
+        for lo in range(0, len(Q), 1024):
+            Qb = Q[lo : lo + 1024]
+            qb_ids = qids[lo : lo + 1024]
+            num = Qb @ M.T
+            den = np.linalg.norm(Qb, axis=1)[:, None] * mnorm
+            sim = np.round(
+                np.where(den == 0.0, 0.0, num / np.where(den == 0.0, 1.0, den)), 6
+            )
+            kk = min(k + 1, sim.shape[1])  # +1 absorbs the possible self-match
+            top = np.argsort(-sim, axis=1, kind="stable")[:, :kk]
+            simt = np.take_along_axis(sim, top, axis=1)
+            nt = nids[top]
+            keep = nt != qb_ids[:, None]
+            keep &= np.cumsum(keep, axis=1) <= k
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qb_ids, keep.sum(axis=1)),
+                        "neighbor_id": nt[keep],
+                        "cos_sim": simt[keep],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
 
     return score
 
@@ -444,7 +474,7 @@ def ivf_topk(
         probes.groupBy("centroid", "__salt")
         .cogroup(members.groupBy("centroid", "__salt"))
         .applyInPandas(
-            _ivf_score_bucket(k), schema="query_id long, neighbor_id long, cos_sim double"
+            _score_bucket_topk(k), schema="query_id long, neighbor_id long, cos_sim double"
         )
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
