@@ -170,6 +170,17 @@ def main():
         "bucket equi-joins only; no cross join in the candidate stage",
     )
 
+    # 9b. ANN bucket scoring: candidates are scored inside a cogroup
+    # kernel emitting slim top-k rows — never a join materializing
+    # (query, member) vector pairs (SCALE.md ANN note)
+    p_lsh = plan_of(m.queries()["lsh_ann_topk"](spark, sf_dir))
+    p_ivf = plan_of(m.queries()["ivf_ann_topk"](spark, sf_dir))
+    check(
+        "ann cogroup scoring",
+        "FlatMapCoGroupsInPandas" in p_lsh and "FlatMapCoGroupsInPandas" in p_ivf,
+        "LSH and IVF buckets score in a cogroup kernel; no vector-pair join",
+    )
+
     # 10. sessionize: the gap/session derivation runs its windows over
     # ONE user_id exchange — adding session stats must not re-shuffle
     p = plan_of(m.queries()["events_sessionize"](spark, sf_dir))
