@@ -431,6 +431,15 @@ def events_asof_join_q(spark, sf_dir):
     )
 
 
+def dataset_split_q(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split over documents —
+    md5-bucketed, order/partitioning-independent, engine-replayable."""
+    from bubbles.operators.splits import assign_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return assign_split(docs).select("doc_id", "bucket", "split")
+
+
 def multimodal_meta_q(spark, sf_dir):
     from bubbles.operators.multimodal import attach_media_meta
 
@@ -594,6 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stateful_totals": _widen(stream_stateful_totals),
         "stream_windowed_counts": _widen(stream_windowed_counts),
         "stream_session_windows": _widen(stream_session_windows),
+        "dataset_split": _widen(dataset_split_q),
     }
 
 
@@ -1136,6 +1146,16 @@ def oracle_sql() -> dict[str, str]:
         # lag-based sessionize: Spark's session interval is half-open
         # [start, last_ts + gap), so an event at EXACTLY gap distance
         # starts a new session -> the twin splits on >= (not >)
+        # deterministic md5-bucket split — byte-identical replay:
+        # CAST('0x'||hex AS BIGINT) mirrors Spark's conv(hex,16,10)
+        "dataset_split": """
+            SELECT doc_id,
+                   CAST(CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS BIGINT) AS bucket,
+                   CASE WHEN CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+                        WHEN CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
         "stream_session_windows": """
             WITH s AS (
               SELECT user_id, event_id, value, epoch_us(ts) AS us,

@@ -410,3 +410,22 @@ def test_events_reader_handles_both_ts_generations(spark, tmp_path):
     assert (n["ts_us"].to_numpy() == m["ts_us"].to_numpy()).all()
     # absolute epoch is right (UTC wall clock), not just consistent
     assert n["ts_us"].iloc[0] == 1704067200000001
+
+
+def test_dataset_split_deterministic_and_total(spark):
+    from bubbles.operators.splits import assign_split
+
+    docs = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    out = assign_split(docs).toPandas()
+    # total, disjoint, deterministic across invocations
+    assert len(out) == 2000 and out["doc_id"].is_unique
+    again = assign_split(docs).toPandas().sort_values("doc_id")
+    assert (out.sort_values("doc_id")["split"].to_numpy() == again["split"].to_numpy()).all()
+    frac = out["split"].value_counts(normalize=True)
+    assert 0.75 < frac["train"] < 0.85
+    assert 0.05 < frac["val"] < 0.15
+    assert 0.05 < frac["test"] < 0.15
+    # buckets respect the cuts
+    assert (out.loc[out.split == "train", "bucket"] < 80).all()
+    assert (out.loc[out.split == "val", "bucket"].between(80, 89)).all()
+    assert (out.loc[out.split == "test", "bucket"] >= 90).all()
