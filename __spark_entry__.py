@@ -431,6 +431,26 @@ def events_asof_join_q(spark, sf_dir):
     )
 
 
+def corpus_language_stats_q(spark, sf_dir):
+    """Corpus rollup over the text-analysis profile: per detected
+    language, document/token counts and quality mass (exact integer
+    micro-units so the sum is order-independent across engines).
+    Pure projection + one partial-aggregated shuffle."""
+    from bubbles.operators.text import text_profile
+
+    tp = text_profile(_t(spark, sf_dir, "documents"))
+    return tp.groupBy("lang_guess").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.round(F.col("quality") * 1e6).cast("long")).alias(
+            "quality_micros_sum"
+        ),
+        F.sum(F.when(F.col("quality") >= 0.5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_high_quality"),
+    )
+
+
 def dataset_split_q(spark, sf_dir):
     """Deterministic 80/10/10 train/val/test split over documents —
     md5-bucketed, order/partitioning-independent, engine-replayable."""
@@ -604,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_counts": _widen(stream_windowed_counts),
         "stream_session_windows": _widen(stream_session_windows),
         "dataset_split": _widen(dataset_split_q),
+        "corpus_language_stats": _widen(corpus_language_stats_q),
     }
 
 
@@ -1146,6 +1167,16 @@ def oracle_sql() -> dict[str, str]:
         # lag-based sessionize: Spark's session interval is half-open
         # [start, last_ts + gap), so an event at EXACTLY gap distance
         # starts a new session -> the twin splits on >= (not >)
+        # corpus rollup over the (already oracle-verified) text profile
+        "corpus_language_stats": (
+            "WITH tp AS (" + _TEXT_PROFILE_SQL + """)
+            SELECT lang_guess, count(*) AS n_docs,
+                   sum(n_tokens) AS total_tokens,
+                   CAST(sum(CAST(round(quality * 1e6) AS BIGINT)) AS BIGINT) AS quality_micros_sum,
+                   CAST(sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality
+            FROM tp GROUP BY lang_guess
+            """
+        ),
         # deterministic md5-bucket split — byte-identical replay:
         # CAST('0x'||hex AS BIGINT) mirrors Spark's conv(hex,16,10)
         "dataset_split": """
