@@ -492,10 +492,11 @@ def embedding_cosine_dedup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Near-duplicate vector pairs (a < b) with cosine ≥ threshold —
-    brute-force variant (broadcast); swap in lsh_topk candidates at
-    scale. The similarity is rounded to 6dp BEFORE thresholding so the
-    kept set is stable across engines/accumulation orders (float noise
-    in the 1e-7 tail must not flip a boundary pair)."""
+    brute-force variant (broadcast), the exact correctness baseline;
+    ``embedding_cosine_dedup_pairs_lsh`` is the scale path. The
+    similarity is rounded to 6dp BEFORE thresholding so the kept set
+    is stable across engines/accumulation orders (float noise in the
+    1e-7 tail must not flip a boundary pair)."""
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("__a"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("__b"))
     sim = F.round(_cos_sim_arrow(F.col("__a"), F.col("__b")), 6)
@@ -505,3 +506,100 @@ def embedding_cosine_dedup_pairs(
         .select("id_a", "id_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def _score_bucket_pairs(threshold: float):
+    """Cogroup kernel: emit all intra-bucket pairs (id_a < id_b) with
+    6dp-rounded cosine ≥ threshold. Output is sparse (matches only);
+    the sim matrix itself is blocked to ~32 MB."""
+
+    def score(qpdf, mpdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cos_sim": pd.Series([], dtype="float64"),
+            }
+        )
+        if len(qpdf) == 0 or len(mpdf) == 0:
+            return empty
+        Q = np.array([np.asarray(v, dtype=np.float64) for v in qpdf["__qv"]])
+        M = np.array([np.asarray(v, dtype=np.float64) for v in mpdf["__cv"]])
+        qids = qpdf["query_id"].to_numpy(dtype=np.int64)
+        nids = mpdf["neighbor_id"].to_numpy(dtype=np.int64)
+        mnorm = np.linalg.norm(M, axis=1)[None, :]
+        outs = []
+        for lo in range(0, len(Q), 1024):
+            Qb = Q[lo : lo + 1024]
+            qb_ids = qids[lo : lo + 1024]
+            num = Qb @ M.T
+            den = np.linalg.norm(Qb, axis=1)[:, None] * mnorm
+            sim = np.round(
+                np.where(den == 0.0, 0.0, num / np.where(den == 0.0, 1.0, den)), 6
+            )
+            keep = (sim >= threshold) & (qb_ids[:, None] < nids[None, :])
+            ii, jj = np.nonzero(keep)
+            outs.append(
+                pd.DataFrame(
+                    {"id_a": qb_ids[ii], "id_b": nids[jj], "cos_sim": sim[ii, jj]}
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return score
+
+
+def embedding_cosine_dedup_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.95,
+    planes: int = 6,
+    tables: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int = 4096,
+    dim: int | None = None,
+) -> DataFrame:
+    """Scale path for embedding near-dup pairs: candidates come from
+    LSH bucket collisions (any of ``tables`` independent tables),
+    scored in the self-cogroup kernel, so cost is Σ bucket² numpy
+    flops with slim matches out — never an all-pairs join. Recall < 1
+    by construction (a pair must collide in ≥1 table); high-cosine
+    pairs collide with probability (1 - θ/π)^planes per table, so
+    near-dups at 0.95+ are nearly always recovered. Found pairs are
+    exact (same 6dp-rounded similarity as the brute-force baseline);
+    every returned pair is a true ≥-threshold pair."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    found = None
+    for t in range(tables):
+        b = lsh_bucket(df, dim, planes, seed, t, id_col, vec_col)
+        if max_bucket_size:
+            small = (
+                b.groupBy("bucket")
+                .agg(F.count("*").alias("__bn"))
+                .filter(F.col("__bn") <= max_bucket_size)
+                .select("bucket")
+            )
+            b = b.join(small, on="bucket")
+        q = b.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "bucket"
+        )
+        m = b.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            F.col("bucket").alias("__mbucket"),
+        )
+        s = (
+            q.groupBy("bucket")
+            .cogroup(m.groupBy("__mbucket"))
+            .applyInPandas(
+                _score_bucket_pairs(threshold),
+                schema="id_a long, id_b long, cos_sim double",
+            )
+        )
+        found = s if found is None else found.unionByName(s)
+    return found.dropDuplicates(["id_a", "id_b"])

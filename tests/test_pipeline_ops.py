@@ -429,3 +429,35 @@ def test_dataset_split_deterministic_and_total(spark):
     assert (out.loc[out.split == "train", "bucket"] < 80).all()
     assert (out.loc[out.split == "val", "bucket"].between(80, 89)).all()
     assert (out.loc[out.split == "test", "bucket"] >= 90).all()
+
+
+def test_embedding_dedup_lsh_subset_of_brute(spark):
+    from bubbles.operators.similarity import (
+        embedding_cosine_dedup_pairs,
+        embedding_cosine_dedup_pairs_lsh,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(120, 16))
+    # 30 near-duplicate rows: tiny perturbations of the first 30
+    dups = base[:30] + rng.normal(scale=0.01, size=(30, 16))
+    V = np.vstack([base, dups])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(V)],
+        "vec_id long, embedding array<double>",
+    )
+    brute = embedding_cosine_dedup_pairs(df, threshold=0.95).toPandas()
+    lsh = embedding_cosine_dedup_pairs_lsh(df, threshold=0.95, dim=16).toPandas()
+    bp = set(map(tuple, brute[["id_a", "id_b"]].values))
+    lp = set(map(tuple, lsh[["id_a", "id_b"]].values))
+    # soundness: every LSH pair is a true >=-threshold pair
+    assert lp <= bp
+    # recall on the planted near-dups (cosine ~0.9999)
+    planted = {(i, i + 120) for i in range(30)} & bp
+    assert planted, "planted dups must pass the brute threshold"
+    found = planted & lp
+    assert len(found) / len(planted) >= 0.9, (len(found), len(planted))
+    # similarities agree exactly on the found pairs
+    bm = {(a, b): s for a, b, s in brute.itertuples(index=False)}
+    for a, b, s in lsh.itertuples(index=False):
+        assert bm[(a, b)] == s
