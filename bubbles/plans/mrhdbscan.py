@@ -241,6 +241,7 @@ class MRHDBSCAN:
         stalls: dict[int, int] = {0: 0}
         next_subset_id = 1
         iteration = 0
+        n_leaf_subsets = 0
 
         def _filter_subsets(df, ids):
             # a literal isin() list blows up the plan once subsets are
@@ -281,11 +282,17 @@ class MRHDBSCAN:
                 # 1.6s at sf0.01). groupBy requires only clustering by
                 # subset_id, which the repartition already provides —
                 # no second exchange.
+                # width = min(cores, 2x subsets): beyond one task per
+                # subset extra partitions are empty yet still pay the
+                # ~100 ms Python dispatch floor; the 2x headroom keeps
+                # hash collisions (two CPU-heavy subsets in one task)
+                # unlikely when subsets are few
                 small_df = _filter_subsets(current, small)
-                edges = small_df.repartition(par, "subset_id").groupBy(
-                    "subset_id"
-                ).applyInPandas(exact_kernel, schema=_EDGE_SCHEMA)
+                edges = small_df.repartition(
+                    min(par, 2 * len(small)), "subset_id"
+                ).groupBy("subset_id").applyInPandas(exact_kernel, schema=_EDGE_SCHEMA)
                 leaf_parts.append(edges.localCheckpoint())
+                n_leaf_subsets += len(small)
                 _tick(f"it{iteration} exact leaves ({len(small)} subsets)")
             if not big:
                 break
@@ -393,7 +400,13 @@ class MRHDBSCAN:
                 )
         if self.global_mode == "contracted":
             return self._global_step_contracted(
-                spark, leaf_edges, cross_edges, iteration, constr, tick=_tick
+                spark,
+                leaf_edges,
+                cross_edges,
+                iteration,
+                constr,
+                tick=_tick,
+                n_subsets=n_leaf_subsets,
             )
         all_edges = leaf_edges.drop("subset_id")
         if cross_edges is not None:
@@ -460,6 +473,7 @@ class MRHDBSCAN:
         iteration,
         constraints=None,
         tick=lambda phase: None,
+        n_subsets: int | None = None,
     ) -> MRHDBSCANModel:
         """Scale path for Stage C/D (SCALE.md global-step analysis,
         replacing the reference's all-edges driver collect,
@@ -482,11 +496,14 @@ class MRHDBSCAN:
         boundary = frozenset(map(int, cpdf["src"])) | frozenset(map(int, cpdf["dst"]))
         bc = spark.sparkContext.broadcast(boundary)
         par = spark.sparkContext.defaultParallelism
+        width = par if n_subsets is None else min(par, 2 * max(1, n_subsets))
         phase1 = (
             # explicit width pin for the same reason as the leaf-kernel
             # stage: the contraction replay is CPU-bound per subset and
-            # must not be AQE-coalesced into one task
-            leaf_edges.repartition(par, "subset_id")
+            # must not be AQE-coalesced into one task — but no wider
+            # than ~2x the subset count (empty Python tasks still pay
+            # the dispatch floor)
+            leaf_edges.repartition(width, "subset_id")
             .groupBy("subset_id")
             .applyInPandas(
                 make_contract_kernel(bc, self.min_cluster_size),
