@@ -243,3 +243,54 @@ def test_asof_join_backward(spark):
     assert out.loc[1, "v_right"] == 1.0  # 90 <= 100
     assert out.loc[2, "v_right"] == 2.0  # exact tie 205 matches
     assert np.isnan(out.loc[3, "v_right"])  # no prior right row (60 > 50)
+
+
+def test_stratified_sample_matches_plain_window_rank(spark):
+    # the salted two-phase sampler must select the SAME rows and
+    # ordinals as a plain per-key rank over (xxhash64(id, seed), id)
+    # — including the single-key case (iteration 0 of fit holds the
+    # whole dataset under one key)
+    import random
+
+    from pyspark.sql import Window
+
+    from bubbles.operators.sampling import stratified_sample_exact
+
+    random.seed(5)
+    rows = [(i, random.randrange(4), float(i)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "point_id long, subset_id long, payload double")
+
+    def plain(d, fraction, max_per_key=None, seed=42):
+        w = Window.partitionBy("subset_id").orderBy(
+            F.xxhash64(F.col("point_id"), F.lit(seed)), "point_id"
+        )
+        n_keep = F.greatest(
+            F.lit(2),
+            F.ceil(F.count("*").over(Window.partitionBy("subset_id")) * F.lit(fraction)),
+        )
+        if max_per_key is not None:
+            n_keep = F.least(n_keep, F.lit(max_per_key))
+        return (
+            d.withColumn("__rn", F.row_number().over(w))
+            .withColumn("__keep", n_keep)
+            .filter(F.col("__rn") <= F.col("__keep"))
+            .withColumn("sample_ord", F.col("__rn") - 1)
+            .drop("__rn", "__keep")
+        )
+
+    cases = [
+        (df, 0.03, None),
+        (df, 0.5, 50),
+        (df.withColumn("subset_id", F.lit(0)), 0.05, 100),
+    ]
+    for d, frac, cap in cases:
+        want = sorted(
+            map(tuple, plain(d, frac, cap).select(
+                "subset_id", "point_id", "sample_ord", "payload").collect())
+        )
+        got = sorted(
+            map(tuple, stratified_sample_exact(
+                d, "subset_id", frac, max_per_key=cap).select(
+                "subset_id", "point_id", "sample_ord", "payload").collect())
+        )
+        assert got == want
