@@ -282,14 +282,16 @@ class MRHDBSCAN:
                 # 1.6s at sf0.01). groupBy requires only clustering by
                 # subset_id, which the repartition already provides —
                 # no second exchange.
-                # width = min(cores, 2x subsets): beyond one task per
-                # subset extra partitions are empty yet still pay the
-                # ~100 ms Python dispatch floor; the 2x headroom keeps
-                # hash collisions (two CPU-heavy subsets in one task)
-                # unlikely when subsets are few
+                # width = 2x min(cores, subsets): one task per subset
+                # is wasted dispatch when subsets are few (empty Python
+                # tasks still cost ~100 ms), while exactly one partition
+                # per core leaves stragglers when many subsets hash
+                # unevenly — 2x cores halves the stage (measured 10.4 s
+                # -> 5.9 s at 454 subsets / 32 cores; 4x+ regresses on
+                # dispatch)
                 small_df = _filter_subsets(current, small)
                 edges = small_df.repartition(
-                    min(par, 2 * len(small)), "subset_id"
+                    2 * min(par, len(small)), "subset_id"
                 ).groupBy("subset_id").applyInPandas(exact_kernel, schema=_EDGE_SCHEMA)
                 leaf_parts.append(edges.localCheckpoint())
                 n_leaf_subsets += len(small)
@@ -329,7 +331,7 @@ class MRHDBSCAN:
             _tick(f"it{iteration} assign checkpoint")
             bubbles = bubble_aggregate(assigned, dim)
             model_out = (
-                bubbles.repartition(min(par, len(big)), "subset_id")
+                bubbles.repartition(2 * min(par, len(big)), "subset_id")
                 .groupBy("subset_id")
                 .applyInPandas(model_kernel, schema=_MODEL_SCHEMA)
                 .localCheckpoint()
@@ -496,7 +498,7 @@ class MRHDBSCAN:
         boundary = frozenset(map(int, cpdf["src"])) | frozenset(map(int, cpdf["dst"]))
         bc = spark.sparkContext.broadcast(boundary)
         par = spark.sparkContext.defaultParallelism
-        width = par if n_subsets is None else min(par, 2 * max(1, n_subsets))
+        width = 2 * (par if n_subsets is None else min(par, max(1, n_subsets)))
         phase1 = (
             # explicit width pin for the same reason as the leaf-kernel
             # stage: the contraction replay is CPU-bound per subset and
