@@ -431,6 +431,34 @@ def events_asof_join_q(spark, sf_dir):
     )
 
 
+def events_json_extract_q(spark, sf_dir):
+    """Semi-structured extraction: pull the integer ``k`` field out of
+    the JSON ``props`` column (JVM-side get_json_object — no UDF) and
+    aggregate per event type. The shape a clickstream pipeline uses to
+    lift ad-hoc JSON payloads into columns at scan time."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+def langid_confusion_q(spark, sf_dir):
+    """Language-ID evaluation against the documents table's ground
+    truth: (true lang, guessed lang, count). The stopword heuristic
+    only knows en/de/fr — zh/es land in 'unknown' by design and the
+    confusion matrix records that honestly."""
+    from bubbles.operators.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("lang", lang_id(F.col("text")).alias("lang_guess")).groupBy(
+        "lang", "lang_guess"
+    ).agg(F.count("*").alias("n"))
+
+
 def corpus_language_stats_q(spark, sf_dir):
     """Corpus rollup over the text-analysis profile: per detected
     language, document/token counts and quality mass (exact integer
@@ -625,6 +653,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_session_windows": _widen(stream_session_windows),
         "dataset_split": _widen(dataset_split_q),
         "corpus_language_stats": _widen(corpus_language_stats_q),
+        "events_json_extract": _widen(events_json_extract_q),
+        "langid_confusion": _widen(langid_confusion_q),
     }
 
 
@@ -1167,6 +1197,32 @@ def oracle_sql() -> dict[str, str]:
         # lag-based sessionize: Spark's session interval is half-open
         # [start, last_ts + gap), so an event at EXACTLY gap distance
         # starts a new session -> the twin splits on >= (not >)
+        "events_json_extract": """
+            SELECT event_type, count(*) AS n,
+                   sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+                   min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+                   max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type
+        """,
+        # lang-guess CASE mirrors the text-profile twin's heuristic
+        "langid_confusion": """
+            WITH g AS (
+              SELECT lang,
+                     len(list_intersect(list_distinct(string_split_regex(lower(text), '\\s+')),
+                         ['the','and','of','to','is','that','with','for'])) AS en_hits,
+                     len(list_intersect(list_distinct(string_split_regex(lower(text), '\\s+')),
+                         ['der','die','und','das','nicht','ist','ein','mit'])) AS de_hits,
+                     len(list_intersect(list_distinct(string_split_regex(lower(text), '\\s+')),
+                         ['le','la','les','et','est','une','dans','pour'])) AS fr_hits
+              FROM documents
+            )
+            SELECT lang,
+                   (CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+                         WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+                         WHEN fr_hits > 0 THEN 'fr' ELSE 'unknown' END) AS lang_guess,
+                   count(*) AS n
+            FROM g GROUP BY lang, lang_guess
+        """,
         # corpus rollup over the (already oracle-verified) text profile
         "corpus_language_stats": (
             "WITH tp AS (" + _TEXT_PROFILE_SQL + """)
