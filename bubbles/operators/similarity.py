@@ -355,6 +355,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     max_bucket_size: int = 4096,
     centroid_ids: list | None = None,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: bucket the corpus by nearest
     centroid (deterministic hash-rank sample as centroids — one
@@ -374,7 +375,13 @@ def ivf_topk(
     ``centroid_ids`` pins the centroids to explicit corpus ids (in
     the given priority order for tie-breaks) instead of the seeded
     hash-rank sample — fully SQL-expressible centroid choice (used by
-    the DuckDB oracle twin)."""
+    the DuckDB oracle twin).
+
+    ``queries`` searches the corpus with a SEPARATE query frame (same
+    id/vec columns) — the index-and-batch shape: inverted lists come
+    from ``df``, probes from ``queries``. Rows with equal ids on both
+    sides are treated as the same item and excluded, matching the
+    self-search semantics. Default (None) is self-search over ``df``."""
     import numpy as np
 
     from bubbles.operators.sampling import stratified_sample_exact
@@ -444,6 +451,16 @@ def ivf_topk(
         ).select("neighbor_id", "centroid")
         assigned = assigned.join(kept, on=["neighbor_id", "centroid"])
     assigned = assigned.drop("rep_dist")
+    if queries is not None:
+        qbase = queries.select(
+            F.col(id_col).alias("point_id"),
+            F.col(vec_col).cast("array<double>").alias("features"),
+        )
+        qn = qbase.count()
+        qwidth = min(par, max(1, -(-qn // 50_000)))
+        if qbase.rdd.getNumPartitions() < qwidth:
+            qbase = qbase.repartition(qwidth)
+        both = _ivf_assign_probe(qbase, cids, cmat, n_probe)
     # each query probes its n_probe nearest centroids (computed in the
     # same kernel pass; explode is a narrow transform, no shuffle)
     probes = both.select(

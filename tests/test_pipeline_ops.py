@@ -461,3 +461,28 @@ def test_embedding_dedup_lsh_subset_of_brute(spark):
     bm = {(a, b): s for a, b, s in brute.itertuples(index=False)}
     for a, b, s in lsh.itertuples(index=False):
         assert bm[(a, b)] == s
+
+
+def test_ivf_topk_separate_queries_matches_self_search(spark):
+    # the index-and-batch shape (queries= frame) must agree with
+    # self-search restricted to those query ids: same corpus index,
+    # same probe ordering, same candidates
+    from bubbles.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(11)
+    V = rng.normal(size=(300, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(V)],
+        "vec_id long, embedding array<double>",
+    )
+    full = ivf_topk(df, k=3, n_centroids=12, n_probe=4).toPandas()
+    sub = ivf_topk(
+        df, k=3, n_centroids=12, n_probe=4, queries=df.filter(F.col("vec_id") < 50)
+    ).toPandas()
+    want = (
+        full[full.query_id < 50]
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    got = sub.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert want.equals(got)
