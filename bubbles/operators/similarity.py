@@ -126,10 +126,18 @@ def lsh_topk(
     vec_col: str = "embedding",
     max_bucket_size: int = 4096,
     dim: int | None = None,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors: union candidates from
     ``tables`` independent LSH tables (equi-join per bucket), then
     exact rank within candidates.
+
+    ``queries`` searches the corpus with a SEPARATE query frame (the
+    index-and-batch shape): queries are bucketed with the same seeded
+    hyperplanes and meet corpus rows in shared buckets. A query whose
+    bucket was capped away gets candidates only from the other tables,
+    exactly like self-search. Equal ids on both sides are treated as
+    the same item and excluded.
 
     ``max_bucket_size`` drops over-full buckets before the per-bucket
     self-join (its cost is Σ bucket²; one degenerate bucket of b docs
@@ -172,7 +180,12 @@ def lsh_topk(
         # rename the key on one side: a self-cogroup on the SAME
         # attribute trips the ambiguous-self-join check (cogroup keys
         # align positionally, names need not match)
-        q = b.select(
+        qsrc = (
+            b
+            if queries is None
+            else lsh_bucket(queries, dim, planes, seed, t, id_col, vec_col)
+        )
+        q = qsrc.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "bucket"
         )
         m = b.select(

@@ -486,3 +486,21 @@ def test_ivf_topk_separate_queries_matches_self_search(spark):
     )
     got = sub.sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert want.equals(got)
+
+
+def test_lsh_topk_separate_queries_matches_self_search(spark):
+    from bubbles.operators.similarity import lsh_topk
+
+    rng = np.random.default_rng(13)
+    V = rng.normal(size=(300, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(V)],
+        "vec_id long, embedding array<double>",
+    )
+    full = lsh_topk(df, k=3, dim=16).toPandas()
+    sub = lsh_topk(df, k=3, dim=16, queries=df.filter(F.col("vec_id") < 50)).toPandas()
+    want = (
+        full[full.query_id < 50].sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    got = sub.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert want.equals(got)
