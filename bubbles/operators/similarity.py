@@ -369,6 +369,7 @@ def ivf_topk(
     max_bucket_size: int = 4096,
     centroid_ids: list | None = None,
     queries: DataFrame | None = None,
+    n_salts: int = 4,
 ) -> DataFrame:
     """IVF-style approximate top-k: bucket the corpus by nearest
     centroid (deterministic hash-rank sample as centroids — one
@@ -443,7 +444,11 @@ def ivf_topk(
     # 6dp-rounded cosine desc, centroid id asc). This replaces a
     # broadcast crossJoin + Arrow udf + window shuffle with numpy work
     # already resident in the assignment kernel.
-    both = _ivf_assign_probe(base, cids, cmat, n_probe)
+    # materialize the assignment once (localCheckpoint = the "build the
+    # index" step): downstream the kernel output feeds the inverted
+    # list, its cap, AND the probe side — uncheckpointed, Spark would
+    # re-execute the kernel once per branch (measured 3x at 200k rows)
+    both = _ivf_assign_probe(base, cids, cmat, n_probe).localCheckpoint()
     assigned = both.select(
         F.col("point_id").alias("neighbor_id"),
         F.col("features").alias("__cv"),
@@ -473,7 +478,7 @@ def ivf_topk(
         qwidth = min(par, max(1, -(-qn // 50_000)))
         if qbase.rdd.getNumPartitions() < qwidth:
             qbase = qbase.repartition(qwidth)
-        both = _ivf_assign_probe(qbase, cids, cmat, n_probe)
+        both = _ivf_assign_probe(qbase, cids, cmat, n_probe).localCheckpoint()
     # each query probes its n_probe nearest centroids (computed in the
     # same kernel pass; explode is a narrow transform, no shuffle)
     probes = both.select(
@@ -492,8 +497,9 @@ def ivf_topk(
     # max_bucket_size) so no single task sees a hot bucket's full load.
     # Per-(query, centroid) top-k provably contains the global top-k: a
     # neighbor beaten by k same-centroid candidates is beaten by those
-    # k globally too.
-    n_salts = 8
+    # k globally too. n_salts trades member-replication volume (the
+    # dominant shuffle: capped list x n_salts x vector width) against
+    # per-task probe load on a hot centroid.
     members = assigned.withColumn(
         "__salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
     )
