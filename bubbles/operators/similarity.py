@@ -119,7 +119,7 @@ def lsh_bucket(
 def lsh_topk(
     df: DataFrame,
     k: int = 5,
-    planes: int = 6,
+    planes: int | None = None,
     tables: int = 3,
     seed: int = 42,
     id_col: str = "vec_id",
@@ -146,10 +146,22 @@ def lsh_topk(
     the cap trades a little recall on dense regions for a hard bound
     on join fan-out. Set 0/None to disable.
 
+    ``planes=None`` (default) scales the signature width to the
+    corpus: ceil(log2(n/256)) sign bits, floor 6 — targeting ~256-row
+    buckets. A FIXED width stops working at scale in both directions:
+    too few planes and every bucket outgrows ``max_bucket_size`` (all
+    dropped -> zero recall at 10⁹ docs), too many and buckets are
+    singletons (no candidates). Explicit ``planes`` skips the count
+    job and pins the width (the driver oracle does this).
+
     Pass ``dim`` to avoid the one-row inference job (``first()``)
     per invocation."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
+    if planes is None:
+        import math
+
+        planes = max(6, math.ceil(math.log2(max(df.count(), 2) / 256)))
     # a single-file corpus arrives in one split; the per-row bucket
     # projections (tables × planes × dim aggregate expressions) would
     # then run on one core. Widen only when under-split — at scale the
@@ -606,7 +618,7 @@ def _score_bucket_pairs(threshold: float):
 def embedding_cosine_dedup_pairs_lsh(
     df: DataFrame,
     threshold: float = 0.95,
-    planes: int = 6,
+    planes: int | None = None,
     tables: int = 3,
     seed: int = 42,
     id_col: str = "vec_id",
@@ -622,9 +634,14 @@ def embedding_cosine_dedup_pairs_lsh(
     pairs collide with probability (1 - θ/π)^planes per table, so
     near-dups at 0.95+ are nearly always recovered. Found pairs are
     exact (same 6dp-rounded similarity as the brute-force baseline);
-    every returned pair is a true ≥-threshold pair."""
+    every returned pair is a true ≥-threshold pair. ``planes=None``
+    scales the signature width to the corpus like ``lsh_topk``."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
+    if planes is None:
+        import math
+
+        planes = max(6, math.ceil(math.log2(max(df.count(), 2) / 256)))
     found = None
     for t in range(tables):
         b = lsh_bucket(df, dim, planes, seed, t, id_col, vec_col)
