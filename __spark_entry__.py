@@ -436,8 +436,18 @@ def events_json_extract_q(spark, sf_dir):
     the JSON ``props`` column (JVM-side get_json_object — no UDF) and
     aggregate per event type. The shape a clickstream pipeline uses to
     lift ad-hoc JSON payloads into columns at scan time."""
-    ev = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    from bubbles.streaming.events import read_events_batch
+
+    # read_events_batch, not _t: tolerates both events.ts generations
+    # (TIMESTAMP(NANOS) needs the nanosAsLong conf even though this
+    # query prunes ts away at scan time)
+    ev = read_events_batch(spark, sf_dir)
+    # explicit integral-string guard so both engines agree on
+    # non-integral k (Spark's string->long cast NULLs '1.5'; DuckDB's
+    # rounds it to 2 — the regex pins NULL on both sides)
+    ks = F.get_json_object("props", "$.k")
+    # try_cast, not cast: ANSI mode throws on int64 overflow
+    k = F.when(ks.rlike(r"^-?[0-9]+$"), ks.try_cast("long"))
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum(k).alias("sum_k"),
@@ -470,10 +480,8 @@ def corpus_language_stats_q(spark, sf_dir):
     return tp.groupBy("lang_guess").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        F.sum(F.round(F.col("quality") * 1e6).cast("long")).alias(
-            "quality_micros_sum"
-        ),
-        F.sum(F.when(F.col("quality") >= 0.5, 1).otherwise(0))
+        F.sum("quality_micros").alias("quality_micros_sum"),
+        F.sum(F.when(F.col("quality_micros") >= 500000, 1).otherwise(0))
         .cast("long")
         .alias("n_high_quality"),
     )
@@ -772,7 +780,16 @@ feat AS (
          len(list_intersect(list_distinct(toks),
              ['le','la','les','et','est','une','dans','pour'])) AS fr_hits,
          CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1) AS alpha_ratio,
-         CAST(n_chars AS DOUBLE) / greatest(len(toks), 1) AS avg_tok,
+         -- exact integer micro-units, mirrors bubbles.operators.text
+         -- .quality_micros: half-up (1e6*n_alpha + nc) // (2*nc) plus
+         -- 250000 per satisfied heuristic; all-integer, no doubles
+         ((1000000 * CAST(n_alpha AS BIGINT) + greatest(n_chars, 1))
+            // (2 * CAST(greatest(n_chars, 1) AS BIGINT)))
+           + (CASE WHEN n_chars >= 3 * greatest(len(toks), 1)
+                    AND n_chars <= 12 * greatest(len(toks), 1)
+                   THEN 250000 ELSE 0 END)
+           + (CASE WHEN en_hits >= 2 THEN 250000 ELSE 0 END)
+           AS quality_micros,
          list_reduce(list_prepend(CAST(0 AS BIGINT),
              list_transform(toks, t -> CAST(length(t) AS BIGINT))),
              (a, b) -> (a * 1000003 + b) % 2147483647) AS fingerprint
@@ -780,9 +797,8 @@ feat AS (
 )
 SELECT doc_id, n_chars, n_tokens, n_alpha, n_punct,
        round(alpha_ratio, 6) AS alpha_ratio,
-       round(alpha_ratio * 0.5
-             + (CASE WHEN avg_tok >= 3 AND avg_tok <= 12 THEN 0.25 ELSE 0 END)
-             + (CASE WHEN en_hits >= 2 THEN 0.25 ELSE 0 END), 6) AS quality,
+       CAST(quality_micros AS BIGINT) AS quality_micros,
+       CAST(quality_micros AS DOUBLE) / 1000000.0 AS quality,
        (CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
              WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
              WHEN fr_hits > 0 THEN 'fr' ELSE 'unknown' END) AS lang_guess,
@@ -1198,11 +1214,15 @@ def oracle_sql() -> dict[str, str]:
         # [start, last_ts + gap), so an event at EXACTLY gap distance
         # starts a new session -> the twin splits on >= (not >)
         "events_json_extract": """
+            WITH e AS (
+              SELECT event_type,
+                     CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
+                          THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+              FROM events
+            )
             SELECT event_type, count(*) AS n,
-                   sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
-                   min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
-                   max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
-            FROM events GROUP BY event_type
+                   sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k
+            FROM e GROUP BY event_type
         """,
         # lang-guess CASE mirrors the text-profile twin's heuristic
         "langid_confusion": """
@@ -1228,8 +1248,8 @@ def oracle_sql() -> dict[str, str]:
             "WITH tp AS (" + _TEXT_PROFILE_SQL + """)
             SELECT lang_guess, count(*) AS n_docs,
                    sum(n_tokens) AS total_tokens,
-                   CAST(sum(CAST(round(quality * 1e6) AS BIGINT)) AS BIGINT) AS quality_micros_sum,
-                   CAST(sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality
+                   CAST(sum(quality_micros) AS BIGINT) AS quality_micros_sum,
+                   CAST(sum(CASE WHEN quality_micros >= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality
             FROM tp GROUP BY lang_guess
             """
         ),

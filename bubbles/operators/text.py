@@ -65,18 +65,40 @@ def quality_features(text: Column) -> dict[str, Column]:
     }
 
 
-def quality_score(text: Column) -> Column:
-    """Composite [0,1] quality score: rewards alphabetic content,
-    sane token lengths and stopword presence (LLM-pipeline heuristic,
-    cf. Gopher/C4 quality rules)."""
+def quality_micros(text: Column) -> Column:
+    """Composite [0,1] quality score in exact integer micro-units:
+    rewards alphabetic content, sane token lengths and stopword
+    presence (LLM-pipeline heuristic, cf. Gopher/C4 quality rules).
+
+    Everything here is integer arithmetic so the value is
+    bit-identical across engines (no double rounding anywhere):
+    - alpha term: round-half-up of 500000*n_alpha/nc computed as
+      ``(1000000*n_alpha + nc) div (2*nc)``. The F.floor over the
+      double division is exact: numerator/denominator < 2^40, and a
+      non-integral quotient sits >= 1/(2*nc) away from any integer,
+      far outside double ulp (~1e-10 at 1e6).
+    - token-length window: ``3 <= n_chars/nt <= 12`` as the integer
+      comparisons ``3*nt <= n_chars <= 12*nt``.
+    """
     f = quality_features(text)
-    good_len = (f["avg_token_len"] >= 3) & (f["avg_token_len"] <= 12)
+    nc = F.greatest(f["n_chars"], F.lit(1)).cast("long")
+    nt = F.greatest(f["n_tokens"], F.lit(1)).cast("long")
+    na = f["n_alpha"].cast("long")
+    alpha_micros = F.floor((F.lit(1000000) * na + nc) / (F.lit(2) * nc)).cast("long")
+    good_len = (f["n_chars"] >= 3 * nt) & (f["n_chars"] <= 12 * nt)
     has_stop = f["n_stopwords"] >= 2
     return (
-        f["alpha_ratio"] * 0.5
-        + F.when(good_len, 0.25).otherwise(0.0)
-        + F.when(has_stop, 0.25).otherwise(0.0)
-    )
+        alpha_micros
+        + F.when(good_len, F.lit(250000)).otherwise(F.lit(0))
+        + F.when(has_stop, F.lit(250000)).otherwise(F.lit(0))
+    ).cast("long")
+
+
+def quality_score(text: Column) -> Column:
+    """[0,1] quality score derived from the exact integer micro-units
+    (`quality_micros`), so the double is the same IEEE value in every
+    engine (one exact-integer / 1e6 division, no rounding)."""
+    return quality_micros(text) / F.lit(1000000.0)
 
 
 def lang_id(text: Column) -> Column:
@@ -118,7 +140,8 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         f["n_alpha"].alias("n_alpha"),
         f["n_punct"].alias("n_punct"),
         F.round(f["alpha_ratio"], 6).alias("alpha_ratio"),
-        F.round(quality_score(t), 6).alias("quality"),
+        quality_micros(t).alias("quality_micros"),
+        quality_score(t).alias("quality"),
         lang_id(t).alias("lang_guess"),
         fingerprint(t).alias("fingerprint"),
     )

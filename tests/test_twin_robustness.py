@@ -1,0 +1,146 @@
+"""Generation- and rounding-robustness for the two formerly fragile
+oracle twins (CORRECTNESS_r04's only hash-red rows):
+
+- ``events_json_extract`` must hash-match across BOTH driver
+  ``events.ts`` generations (TIMESTAMP(NANOS)-as-int64 vs
+  TIMESTAMP(MICROS)/NTZ — see bubbles/streaming/events.py:8-14) and
+  across adversarial JSON ``k`` payloads (non-integral, quoted,
+  boolean, missing, int64-overflow) where Spark's string->long cast
+  and DuckDB's numeric casts historically diverged.
+- ``corpus_language_stats`` / ``text_profile`` must hash-match on
+  texts engineered to land on rounding half-way points of the old
+  double-based quality score (the new quality_micros path is exact
+  integer arithmetic end-to-end).
+"""
+
+from __future__ import annotations
+
+import json
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import __spark_entry__ as entry_mod
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    # mirror of tools/check_oracle.canon (the driver's compare shape)
+    df = df.copy()
+    df.columns = [c.lower() for c in df.columns]
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype(np.float64).round(9)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype(np.int64)
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def assert_twin(spark, sf_dir, name, tables):
+    got = entry_mod.queries()[name](spark, str(sf_dir)).toPandas()
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    exp = con.execute(entry_mod.oracle_sql()[name]).df()
+    g, e = canon(got), canon(exp)
+    pd.testing.assert_frame_equal(g, e, check_dtype=False, atol=1e-9)
+
+
+K_PAYLOADS = [
+    json.dumps({"k": 7, "tag": "a"}),
+    json.dumps({"k": 1.5}),          # non-integral: NULL on both sides
+    json.dumps({"k": -3}),
+    json.dumps({"k": 0.0}),          # '0.0' fails the integral regex
+    json.dumps({"k": "12"}),         # quoted integer: extracted unquoted
+    json.dumps({"k": "x"}),
+    json.dumps({"k": True}),
+    json.dumps({"tag": "nok"}),      # missing key
+    json.dumps({"k": 99999999999999999999999}),  # > int64: NULL both
+    None,                             # NULL props
+]
+
+
+def _write_events(path, nanos: bool):
+    n = len(K_PAYLOADS) * 3
+    base_us = 1_700_000_000_000_000
+    ts_us = [base_us + i * 60_000_000 for i in range(n)]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": (
+                pa.array([t * 1000 for t in ts_us], pa.timestamp("ns"))
+                if nanos
+                else pa.array(ts_us, pa.timestamp("us"))
+            ),
+            "user_id": pa.array([i % 5 for i in range(n)], pa.int64()),
+            "event_type": pa.array(
+                [["click", "view", "purchase"][i % 3] for i in range(n)]
+            ),
+            "value": pa.array([round(i * 0.125, 3) for i in range(n)], pa.float64()),
+            "props": pa.array([K_PAYLOADS[i % len(K_PAYLOADS)] for i in range(n)]),
+        }
+    )
+    # version=2.6 preserves TIMESTAMP(NANOS) — the legacy driver
+    # generation Spark only reads via legacy.parquet.nanosAsLong
+    pq.write_table(tbl, f"{path}/events.parquet", version="2.6")
+
+
+# texts engineered onto the old double path's half-way points:
+# 500000*n_alpha/n_chars landing on *.5 micros, avg token length
+# exactly 3 and exactly 12, exactly-2 stopwords, empties
+ADVERSARIAL_TEXTS = [
+    "",                                # empty: nc=max(0,1)
+    "a",                               # 500000 exactly
+    "ab!",                             # 2/3 alpha: 333333.33 micros
+    "a!!",                             # 1/3: 166666.67
+    "abc de",                          # avg_tok exactly 3 (inclusive edge)
+    "abcdefghijk abcdefghijkl",        # avg_tok exactly 12 (inclusive edge)
+    "abcdefghijkl abcdefghijklm",      # avg_tok 13: just outside
+    "the and",                         # exactly 2 distinct en stopwords
+    "the the the",                     # 1 distinct stopword
+    "der die something",               # de detection
+    "le la aussi",                     # fr detection
+    "1234 5678",                       # digits only
+    "a!      b",                       # runs of whitespace
+    "x" * 16,                          # nc=16: 1/16ths land on .25/.5/.75
+    "ab" + "!" * 14,                   # 2/16 alpha
+    "abc" + "!" * 13,                  # 3/16
+]
+
+
+def _write_documents(path):
+    n = len(ADVERSARIAL_TEXTS)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "lang": pa.array(["en", "de", "fr", "zh"][i % 4] for i in range(n)),
+            "text": pa.array(ADVERSARIAL_TEXTS),
+        }
+    )
+    pq.write_table(tbl, f"{path}/documents.parquet")
+
+
+@pytest.mark.parametrize("nanos", [True, False], ids=["ts-nanos", "ts-micros"])
+def test_events_json_extract_both_generations(spark, tmp_path, nanos):
+    _write_events(tmp_path, nanos)
+    assert_twin(spark, tmp_path, "events_json_extract", ["events"])
+
+
+@pytest.mark.parametrize("nanos", [True, False], ids=["ts-nanos", "ts-micros"])
+def test_events_windowed_both_generations(spark, tmp_path, nanos):
+    _write_events(tmp_path, nanos)
+    assert_twin(spark, tmp_path, "events_windowed", ["events"])
+    assert_twin(spark, tmp_path, "events_sessionize", ["events"])
+
+
+def test_text_profile_adversarial_quality(spark, tmp_path):
+    _write_documents(tmp_path)
+    assert_twin(spark, tmp_path, "text_profile", ["documents"])
+    assert_twin(spark, tmp_path, "corpus_language_stats", ["documents"])
+    assert_twin(spark, tmp_path, "langid_confusion", ["documents"])
