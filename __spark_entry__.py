@@ -553,7 +553,11 @@ def ivf_ann_topk(spark, sf_dir):
     from bubbles.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
-    return ivf_topk(emb, k=3, n_probe=4, centroid_ids=list(range(0, 300, 25)))
+    # n_rows pinned by the vec_id<300 filter: skips the operator's one
+    # pre-stage count job (only feeds task-width targeting + cap skip)
+    return ivf_topk(
+        emb, k=3, n_probe=4, centroid_ids=list(range(0, 300, 25)), n_rows=300
+    )
 
 
 def pivot_revenue_q(spark, sf_dir):

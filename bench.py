@@ -41,6 +41,7 @@ def main():
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .getOrCreate()
     )
@@ -112,7 +113,9 @@ def main():
     n_cent = max(16, int((n_vec / 200) ** 0.5) ** 2)  # ~sqrt sizing, min 16
 
     def run_ivf():
-        n = ivf_topk(emb_full, k=5, n_centroids=n_cent, n_probe=4).count()
+        n = ivf_topk(
+            emb_full, k=5, n_centroids=n_cent, n_probe=4, n_rows=n_vec
+        ).count()
         return f"{n} rows, {n_vec} vecs, {n_cent} centroids"
 
     bench("ivf_ann_topk_full", run_ivf)
@@ -170,8 +173,8 @@ def main():
 
     # the reference's real dataset (Skin_NonSkin 245k×4, BASELINE.md
     # Skin DB row: 60.19 s, the paper's bubbles variant on its cluster)
-    # end-to-end through the text-ingest path — single cold rep,
-    # matching how the paper measured its runtime table
+    # end-to-end through the text-ingest path — warmup + median-of-3
+    # like every other row
     skin_path = "/root/reference/数据集/Skin_NonSkin.txt"
     if os.path.exists(skin_path):
 
@@ -195,7 +198,7 @@ def main():
             ).fit(spts)
             return f"{m.labels.count()} pts (paper DB baseline 60.19s)"
 
-        bench("skin_nonskin_fit", run_skin, n_runs=1)
+        bench("skin_nonskin_fit", run_skin)
 
     total = round(sum(timings.values()), 3)
     print(

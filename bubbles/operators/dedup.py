@@ -286,8 +286,12 @@ def ngram_jaccard_pairs(
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     out = (
-        inter.join(F.broadcast(sa), on="id_a")
-        .join(F.broadcast(sb), on="id_b")
+        # no broadcast hint: sizes is one row per doc, so a mandatory
+        # broadcast would ship the whole corpus to every executor on a
+        # corpus-wide call. Let AQE pick (it still broadcasts when the
+        # relation is actually small).
+        inter.join(sa, on="id_a")
+        .join(sb, on="id_b")
         .select(
             "id_a",
             "id_b",

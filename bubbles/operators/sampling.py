@@ -47,7 +47,9 @@ def stratified_sample_exact(
     )
     if max_per_key is not None:
         n_keep = F.least(n_keep, F.lit(max_per_key))
-    counts = counts.select(key_col, n_keep.cast("int").alias("__keep"))
+    # long, not int: a single key can hold the whole dataset (fit
+    # iteration 0), and ceil(n*fraction) past 2^31 must not overflow
+    counts = counts.select(key_col, n_keep.cast("long").alias("__keep"))
     slim = (
         df.select(
             key_col,

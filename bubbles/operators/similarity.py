@@ -397,6 +397,8 @@ def ivf_topk(
     centroid_ids: list | None = None,
     queries: DataFrame | None = None,
     n_salts: int = 4,
+    n_rows: int | None = None,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: bucket the corpus by nearest
     centroid (deterministic hash-rank sample as centroids — one
@@ -438,7 +440,10 @@ def ivf_topk(
     # actual numpy work on a small corpus. Target ~50k rows per task,
     # capped at the core count; at scale the scan's own split count
     # already exceeds the target and this never coalesces it.
-    n_rows = base.count()
+    # callers that already know the corpus size pass n_rows and skip
+    # this count job (the only pre-stage driver job in this operator)
+    if n_rows is None:
+        n_rows = base.count()
     par = df.sparkSession.sparkContext.defaultParallelism
     width = min(par, max(1, -(-n_rows // 50_000)))
     if base.rdd.getNumPartitions() < width:
@@ -501,7 +506,7 @@ def ivf_topk(
             F.col(id_col).alias("point_id"),
             F.col(vec_col).cast("array<double>").alias("features"),
         )
-        qn = qbase.count()
+        qn = n_queries if n_queries is not None else qbase.count()
         qwidth = min(par, max(1, -(-qn // 50_000)))
         if qbase.rdd.getNumPartitions() < qwidth:
             qbase = qbase.repartition(qwidth)

@@ -40,7 +40,16 @@ def _events_ts_dtype(spark: SparkSession, sf_dir: str) -> str:
 def read_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch read of the events table with ``ts`` normalized to a true
     TIMESTAMP and ``ts_us`` as integer epoch microseconds, for either
-    generation of the driver parquet."""
+    generation of the driver parquet.
+
+    SESSION-GLOBAL side effect (documented contract): pins
+    ``spark.sql.session.timeZone=UTC`` and
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` — all timestamp
+    semantics in this engine assume naive-UTC wall times (the DuckDB
+    oracles compare ``epoch_us`` on naive values). Harness entry
+    points (bench.py, tools/check_oracle.py, tests/conftest.py) set
+    both at session construction; these sets are an idempotent
+    belt-and-braces for externally constructed sessions."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
