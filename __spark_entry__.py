@@ -1297,7 +1297,19 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(octet_length(encode(text)), 1), 6) AS f0
             FROM documents
         """,
-        # cluster_embeddings / glosh_outliers: non-SQL-expressible
-        # (iterative clustering kernels) → rows-only; covered by the
-        # pytest differential suite instead.
+        # cluster_embeddings / glosh_outliers: iterative clustering
+        # kernels — not SQL-expressible as a computation, so the oracle
+        # is a committed golden artifact produced by the single-machine
+        # exact kernel with the hierarchy re-derived and asserted equal
+        # by the independent slow Java-semantics reference
+        # (tools/make_golden.py; regenerate on testdata changes).
+        # Valid at the driver's correctness sf (0.01) only.
+        "cluster_embeddings": """
+            SELECT point_id, label
+            FROM read_parquet('/root/repo/tests/golden/cluster_embeddings_sf001.parquet')
+        """,
+        "glosh_outliers": """
+            SELECT point_id, score
+            FROM read_parquet('/root/repo/tests/golden/glosh_outliers_sf001.parquet')
+        """,
     }

@@ -187,12 +187,15 @@ def main():
                     "features"
                 ),
             ).localCheckpoint()
+            # same config as tools/skin_run.py (the round-5 sweep's
+            # quality pick) so the benched runtime is the runtime of
+            # the fit that achieves the reported ARI
             m = MRHDBSCAN(
-                min_pts=4,
-                min_cluster_size=4000,
-                sample_fraction=0.1,
+                min_pts=16,
+                min_cluster_size=16000,
+                sample_fraction=0.2,
                 max_local_size=4096,
-                max_samples_per_subset=768,
+                max_samples_per_subset=1536,
                 seed=42,
                 dim=3,
             ).fit(spts)

@@ -51,15 +51,17 @@ def main():
         F.element_at(cols, 4).cast("long").alias("true_label"),
     ).localCheckpoint()
 
-    # settings from the round-4 sweep (mcs 1000..24000, min_pts 4..16):
-    # mcs=4000 maximizes ARI (0.342 — between the paper's RS 0.360 and
-    # our paper-protocol reading; its DB column is 0.425)
+    # settings from the round-5 sweep (tools/skin_sweep.py; mpts 4..32,
+    # mcs 1000..49000, k 0.1/0.2): mpts=16 + mcs=16000 + the paper's
+    # default k=0.2 + a 1536 per-subset sample cap find the two true
+    # classes on 4/5 seeds — ARI (paper protocol, noise as singletons)
+    # 0.40-0.75 across seeds, mean 0.64 vs the paper's DB 0.425 (0.002)
     model = MRHDBSCAN(
-        min_pts=4,
-        min_cluster_size=4000,
-        sample_fraction=0.1,
+        min_pts=16,
+        min_cluster_size=16000,
+        sample_fraction=0.2,
         max_local_size=4096,
-        max_samples_per_subset=768,
+        max_samples_per_subset=1536,
         seed=42,
         dim=3,
     ).fit(pts.select("point_id", "features"))
@@ -74,11 +76,16 @@ def main():
     truth = joined["true_label"].to_numpy()
     import numpy as np
 
+    from tools.skin_sweep import ari_singleton_noise
+
     result = {
         "dataset": "Skin_NonSkin",
         "n": int(len(joined)),
         "seconds": round(elapsed, 2),
-        "ari": round(float(ari(labels, truth)), 4),
+        # paper protocol (ResearchReport.pdf p.12 §5.2): noise objects
+        # scored as singleton groups
+        "ari": round(float(ari_singleton_noise(labels, truth)), 4),
+        "ari_noise_one_group": round(float(ari(labels, truth)), 4),
         "clusters_found": int(len(np.unique(labels[labels > 0]))),
         "noise": int((labels == 0).sum()),
         "iterations": model.n_iterations,
