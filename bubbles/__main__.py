@@ -12,8 +12,10 @@ Outputs under <out>/ (default <file>_out/): flat partition, cluster
 tree, outlier scores, hierarchy (CSV, reference contracts — the
 hierarchy is non-compact/full by default and named compact_hierarchy
 under ``compact=true``, matching Main.java:556-565), MST edges
-(parquet). ``hierarchy=false`` skips the O(n·levels) hierarchy
-matrix for very large runs.
+(parquet), and the auxiliary ``visualization.vis`` for the
+reference's visualization module (HDBSCANStar.java:470-489).
+``hierarchy=false`` skips the O(n·levels) hierarchy matrix (and the
+.vis that describes it) for very large runs.
 """
 
 from __future__ import annotations
@@ -49,6 +51,7 @@ def main(argv=None):
         write_flat_partition,
         write_hierarchy,
         write_outlier_scores,
+        write_visualization_file,
     )
 
     # reuse an already-active session (embedded use, e.g. tests) and
@@ -104,6 +107,11 @@ def main(argv=None):
         name = "compact_hierarchy" if compact else "hierarchy"
         try:
             write_hierarchy(model.hierarchy_levels(full=not compact), f"{out}/{name}")
+            # auxiliary .vis for the reference's visualization module
+            # (HDBSCANStar.java:470-489): hierarchy kind + line count,
+            # counted off the files just written
+            n_lines = spark.read.text(f"{out}/{name}").count()
+            write_visualization_file(f"{out}/visualization.vis", compact, n_lines)
         except ValueError as e:  # n·levels over the matrix guard
             print(f"skipping hierarchy output: {e}")
     n = model.labels.count()

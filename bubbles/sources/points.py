@@ -96,6 +96,16 @@ def write_hierarchy(levels: DataFrame, path: str) -> None:
     lines.write.mode("overwrite").text(path)
 
 
+def write_visualization_file(path: str, compact: bool, line_count: int) -> None:
+    """Auxiliary ``.vis`` file for the reference's visualization
+    module — HDBSCANStar.java:470-489 contract: line 1 is ``1`` for a
+    full (non-compact) hierarchy / ``0`` for compact, line 2 the
+    hierarchy file's line count. A two-line driver-side artifact, so
+    a plain local write (no Spark job)."""
+    with open(path, "w") as f:
+        f.write(("0\n" if compact else "1\n") + str(int(line_count)))
+
+
 def write_outlier_scores(scores: DataFrame, path: str) -> None:
     """Outlier-score CSV sorted ascending by (score, core_distance,
     point_id) — OutlierScore.java:34-48 ordering."""

@@ -215,6 +215,11 @@ def test_cli_writes_hierarchy_csv(spark, tmp_path):
         assert all(c.lstrip("-").isdigit() for c in cells[1:])
     assert scales == sorted(scales, reverse=True)
 
+    # auxiliary .vis (HDBSCANStar.java:470-489): "1" = full hierarchy,
+    # then the hierarchy file's line count
+    vis = (out_full / "visualization.vis").read_text().splitlines()
+    assert vis == ["1", str(len(full))]
+
     out_c = tmp_path / "out_compact"
     main([f"file={p}", "minPts=4", "minClSize=4", f"out={out_c}",
           "compact=true", "master=local[4]"])
@@ -223,6 +228,8 @@ def test_cli_writes_hierarchy_csv(spark, tmp_path):
     # compact levels are a subset of full levels
     fs = {ln.split(",")[0] for ln in full}
     assert {ln.split(",")[0] for ln in compact} <= fs
+    vis_c = (out_c / "visualization.vis").read_text().splitlines()
+    assert vis_c == ["0", str(len(compact))]
 
 
 def test_asof_join_backward(spark):

@@ -504,3 +504,116 @@ def test_lsh_topk_separate_queries_matches_self_search(spark):
     )
     got = sub.sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert want.equals(got)
+
+
+# ---------------- real media decode (stdlib codecs) ----------------
+
+
+def _encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """Tiny PNG encoder for the decode tests (independent of the
+    decoder: stdlib struct+zlib composition straight from the spec)."""
+    import struct
+    import zlib
+
+    h, w, c = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    stride = w * c
+    flat = img.reshape(h, stride).astype(np.int32)
+    rows = []
+    for y in range(h):
+        if filter_type == 0:
+            rows.append(b"\x00" + flat[y].astype(np.uint8).tobytes())
+        elif filter_type == 2:  # Up
+            prev = flat[y - 1] if y else np.zeros(stride, np.int32)
+            rows.append(b"\x02" + ((flat[y] - prev) & 0xFF).astype(np.uint8).tobytes())
+        elif filter_type == 1:  # Sub
+            d = flat[y].copy()
+            d[c:] = (flat[y][c:] - flat[y][:-c]) & 0xFF
+            rows.append(b"\x01" + d.astype(np.uint8).tobytes())
+    idat = zlib.compress(b"".join(rows))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def _encode_wav(x: np.ndarray, rate: int = 8000) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(x.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes((x * 32767).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_decode_media_real_png_wav_ppm(spark):
+    from bubbles.operators.multimodal import decode_media_real
+
+    rng = np.random.default_rng(7)
+    img_rgb = rng.integers(0, 256, size=(13, 9, 3), dtype=np.uint8)
+    img_gray = rng.integers(0, 256, size=(5, 17, 1), dtype=np.uint8)
+    t = np.linspace(0, 1, 800)
+    audio = np.stack([np.sin(2 * np.pi * 440 * t), np.cos(2 * np.pi * 220 * t)], 1)
+    ppm = (
+        b"P6\n# comment\n9 4\n255\n"
+        + rng.integers(0, 256, size=4 * 9 * 3, dtype=np.uint8).tobytes()
+    )
+    blobs_by_id = {
+        0: _encode_png(img_rgb, filter_type=0),
+        1: _encode_png(img_rgb, filter_type=2),
+        2: _encode_png(img_gray, filter_type=1),
+        3: _encode_wav(audio),
+        4: ppm,
+        5: b"\xde\xad\xbe\xef not media",
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in blobs_by_id.items()],
+        "media_id long, media binary",
+    )
+    out = decode_media_real(df).toPandas().set_index("media_id").sort_index()
+
+    # all three PNG filter types decode to the SAME pixels
+    px = img_rgb.astype(np.float64) / 255.0
+    for mid in (0, 1):
+        assert out.loc[mid, "kind"] == "image/png"
+        assert (out.loc[mid, "width"], out.loc[mid, "height"]) == (9, 13)
+        f = np.array(out.loc[mid, "features"])
+        assert f[0] == pytest.approx(px.mean())
+        assert f[1] == pytest.approx(px.std())
+        assert f[4] == pytest.approx(px[:, :, 0].mean())
+    assert out.loc[2, "channels"] == 1
+    gf = np.array(out.loc[2, "features"])
+    assert gf[0] == pytest.approx(img_gray.astype(np.float64).mean() / 255.0)
+
+    # WAV: sample stats round-trip (16-bit quantization tolerance)
+    assert out.loc[3, "kind"] == "audio/wav"
+    assert out.loc[3, "sample_rate"] == 8000
+    assert out.loc[3, "n_samples"] == 800
+    af = np.array(out.loc[3, "features"])
+    mono = audio.mean(axis=1)
+    assert af[0] == pytest.approx(mono.mean(), abs=1e-3)
+    assert af[4] == pytest.approx(np.sqrt(np.mean(mono**2)), abs=1e-3)
+
+    # PPM with a header comment
+    assert out.loc[4, "kind"] == "image/netpbm"
+    assert (out.loc[4, "width"], out.loc[4, "height"]) == (9, 4)
+
+    # poison blob quarantined, not fatal
+    assert out.loc[5, "kind"] == "unknown"
+    assert out.loc[5, "features"] is None or not len(out.loc[5, "features"])
