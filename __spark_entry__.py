@@ -1302,14 +1302,30 @@ def oracle_sql() -> dict[str, str]:
         # is a committed golden artifact produced by the single-machine
         # exact kernel with the hierarchy re-derived and asserted equal
         # by the independent slow Java-semantics reference
-        # (tools/make_golden.py; regenerate on testdata changes).
-        # Valid at the driver's correctness sf (0.01) only.
+        # (tools/make_golden.py; regenerate on testdata changes). The
+        # goldens hold one row-set per testdata generation, keyed by an
+        # exact integer fingerprint of the input frame (count +
+        # 31*sum(vec_id) + 131*sum(floor(first_component*1e6)) —
+        # order-independent, engine-exact), so the join below picks the
+        # right row-set at any sf the gate runs at.
         "cluster_embeddings": """
-            SELECT point_id, label
-            FROM read_parquet('/root/repo/tests/golden/cluster_embeddings_sf001.parquet')
+            WITH fp AS (
+              SELECT count(*) + 31 * sum(vec_id)
+                     + 131 * sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)) AS v
+              FROM embeddings WHERE vec_id < 1500
+            )
+            SELECT g.point_id, g.label
+            FROM read_parquet('/root/repo/tests/golden/cluster_embeddings.parquet') g, fp
+            WHERE g.input_fp = fp.v
         """,
         "glosh_outliers": """
-            SELECT point_id, score
-            FROM read_parquet('/root/repo/tests/golden/glosh_outliers_sf001.parquet')
+            WITH fp AS (
+              SELECT count(*) + 31 * sum(vec_id)
+                     + 131 * sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)) AS v
+              FROM embeddings WHERE vec_id < 1000
+            )
+            SELECT g.point_id, g.score
+            FROM read_parquet('/root/repo/tests/golden/glosh_outliers.parquet') g, fp
+            WHERE g.input_fp = fp.v
         """,
     }

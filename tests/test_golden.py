@@ -11,33 +11,26 @@ import numpy as np
 import pyarrow.parquet as pq
 import pytest
 
-SF_DIR = "/root/testdata/sf0.01"
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+SF_DIRS = [d for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                       "/root/testdata/sf0.1") if os.path.exists(d)]
 
 
-@pytest.mark.skipif(not os.path.exists(SF_DIR), reason="driver testdata absent")
-def test_goldens_match_current_testdata():
-    from bubbles.kernels.hdbscan_kernel import hdbscan_exact
-    from tools.make_golden import round6_half_up
+@pytest.mark.skipif(not SF_DIRS, reason="driver testdata absent")
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_goldens_match_current_testdata(sf_dir):
+    from tools.make_golden import derive_for_dir
 
-    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
-    vec_id = np.asarray(t["vec_id"], dtype=np.int64)
-    X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-    order = np.argsort(vec_id)
-    vec_id, X = vec_id[order], X[order]
+    (cfp, cids, labels), (gfp, gids, scores) = derive_for_dir(sf_dir)
 
-    res = hdbscan_exact(X[vec_id < 1500], min_pts=4, min_cluster_size=10)
-    g = pq.read_table(f"{GOLDEN}/cluster_embeddings_sf001.parquet")
-    gid = np.asarray(g["point_id"])
-    assert (gid == vec_id[vec_id < 1500]).all()
-    assert (np.asarray(g["label"]) == res.labels).all()
+    g = pq.read_table(f"{GOLDEN}/cluster_embeddings.parquet").to_pandas()
+    mine = g[g["input_fp"] == cfp].sort_values("point_id")
+    assert len(mine) == len(cids), "fingerprint missing from golden — regenerate"
+    assert (mine["point_id"].to_numpy() == cids).all()
+    assert (mine["label"].to_numpy() == labels).all()
 
-    gres = (
-        res
-        if bool((vec_id < 1000).all())
-        else hdbscan_exact(X[vec_id < 1000], min_pts=4, min_cluster_size=10)
-    )
-    s = pq.read_table(f"{GOLDEN}/glosh_outliers_sf001.parquet")
-    assert (np.asarray(s["point_id"]) == vec_id[vec_id < 1000]).all()
-    want = np.array([round6_half_up(x) for x in gres.scores])
-    assert (np.asarray(s["score"], dtype=np.float64) == want).all()
+    s = pq.read_table(f"{GOLDEN}/glosh_outliers.parquet").to_pandas()
+    mine = s[s["input_fp"] == gfp].sort_values("point_id")
+    assert len(mine) == len(gids)
+    assert (mine["point_id"].to_numpy() == gids).all()
+    assert (mine["score"].to_numpy() == scores).all()

@@ -2,28 +2,38 @@
 (non-SQL-expressible) queries, so the driver's correctness gate can
 hash-check them like every other row:
 
-- ``tests/golden/cluster_embeddings_sf001.parquet`` — labels of the
-  500 sf0.01 embeddings under MRHDBSCAN(min_pts=4, min_cluster_size=10)
-- ``tests/golden/glosh_outliers_sf001.parquet`` — GLOSH scores,
-  6-dp HALF_UP (decimal arithmetic = Spark's BigDecimal rounding)
+- ``tests/golden/cluster_embeddings.parquet`` — labels under
+  MRHDBSCAN(min_pts=4, min_cluster_size=10) of each testdata
+  generation's ``embeddings[vec_id<1500]``
+- ``tests/golden/glosh_outliers.parquet`` — GLOSH scores of
+  ``embeddings[vec_id<1000]``, 6-dp HALF_UP (decimal arithmetic =
+  Spark's BigDecimal rounding)
+
+The goldens are SF-ADAPTIVE: each generation's rows carry an exact
+integer fingerprint of its input frame
+(``count + 31*sum(vec_id) + 131*sum(floor(first_component*1e6))`` —
+order-independent, bit-identical in numpy and DuckDB), and the
+oracle SQL joins on the same fingerprint computed from the
+registered ``embeddings`` view, so the right golden rows are picked
+whatever sf the gate runs at.
 
 Provenance: the single-machine exact kernel (hdbscan_kernel.
-hdbscan_exact) on the same input, NOT the distributed query — and
-before writing, the merge hierarchy is re-derived with the
-independent top-down reference (tests/reference_slow.slow_hierarchy,
-the line-by-line Java-semantics twin) and asserted equal
-(canon_tree + noise levels), so a kernel regression cannot be
-silently baked into the golden.
+hdbscan_exact), NOT the distributed query — and before writing, each
+merge hierarchy is re-derived with the independent top-down
+reference (tests/reference_slow.slow_hierarchy, the line-by-line
+Java-semantics twin) and asserted equal (canon_tree + noise levels),
+so a kernel regression cannot be silently baked into the golden.
 
 Regenerate (and re-verify with tools/check_oracle.py) whenever the
 driver testdata generation changes:
 
-    python tools/make_golden.py [sf_dir]
+    python tools/make_golden.py [sf_dir ...]
 """
 
 from __future__ import annotations
 
 import decimal
+import glob as globmod
 import os
 import sys
 
@@ -37,6 +47,23 @@ GOLDEN_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "golden"
 )
 
+# mirrored in the oracle SQL (__spark_entry__.oracle_sql) — keep in sync
+FP_SQL = (
+    "count(*) + 31 * sum(vec_id) "
+    "+ 131 * sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT))"
+)
+
+
+def input_fingerprint(vec_id: np.ndarray, X: np.ndarray) -> int:
+    """Exact integer fingerprint of an input frame; the DuckDB twin is
+    FP_SQL over the same filter. All-integer arithmetic on exact
+    floor(double*1e6) values — order-independent and engine-exact."""
+    return int(
+        len(vec_id)
+        + 31 * int(vec_id.astype(np.int64).sum())
+        + 131 * int(np.floor(X[:, 0] * 1e6).astype(np.int64).sum())
+    )
+
 
 def round6_half_up(x: float) -> float:
     """Spark's F.round semantics: exact binary double -> decimal,
@@ -48,9 +75,9 @@ def round6_half_up(x: float) -> float:
     )
 
 
-def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-
+def derive_for_dir(sf_dir: str):
+    """(cluster_rows, glosh_rows) for one testdata generation, slow-
+    reference-verified."""
     from bubbles.kernels.hdbscan_kernel import (
         build_hierarchy,
         core_distances,
@@ -65,63 +92,86 @@ def main():
     X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
     order = np.argsort(vec_id)
     vec_id, X = vec_id[order], X[order]
-    # the queries filter vec_id < 1500 / < 1000; sf0.01 holds 500 rows
-    # so both see the same frame — guard anyway
-    keep = vec_id < 1500
-    vec_id, X = vec_id[keep], X[keep]
 
-    res = hdbscan_exact(X, min_pts=4, min_cluster_size=10)
+    out = []
+    for bound, mode in ((1500, "labels"), (1000, "scores")):
+        mask = vec_id < bound
+        ids, Xs = vec_id[mask], X[mask]
+        res = hdbscan_exact(Xs, min_pts=4, min_cluster_size=10)
+        # independent-derivation gate: same MST, hierarchy re-built by
+        # the slow top-down Java-semantics reference must agree exactly
+        core = core_distances(Xs, 4)
+        src, dst, w = mst_edges(Xs, core, self_edges=True)
+        fast = build_hierarchy(src, dst, w, np.ones(len(Xs)), 10)
+        slow_clusters, _, slow_noise = slow_hierarchy(
+            src, dst, w, np.ones(len(Xs)), 10
+        )
+        assert canon_tree(fast.clusters) == canon_tree(slow_clusters), (
+            f"fast/slow hierarchy mismatch on {sf_dir} (<{bound}) — "
+            "kernel regression, refusing to write golden"
+        )
+        assert np.allclose(fast.noise_level, slow_noise)
+        fp = input_fingerprint(ids, Xs)
+        if mode == "labels":
+            out.append((fp, ids, res.labels.astype(np.int64)))
+        else:
+            out.append(
+                (fp, ids, np.array([round6_half_up(s) for s in res.scores]))
+            )
+    return out
 
-    # independent-derivation gate: same MST, hierarchy re-built by the
-    # slow top-down Java-semantics reference must agree exactly
-    core = core_distances(X, 4)
-    src, dst, w = mst_edges(X, core, self_edges=True)
-    fast = build_hierarchy(src, dst, w, np.ones(len(X)), 10)
-    slow_clusters, _slow_last, slow_noise = slow_hierarchy(
-        src, dst, w, np.ones(len(X)), 10
-    )
-    assert canon_tree(fast.clusters) == canon_tree(slow_clusters), (
-        "fast/slow hierarchy mismatch — kernel regression, refusing to "
-        "write golden"
-    )
-    assert np.allclose(fast.noise_level, slow_noise)
+
+def main():
+    sf_dirs = sys.argv[1:] or sorted(globmod.glob("/root/testdata/sf*"))
+    cl_tables, gl_tables = [], []
+    for sf_dir in sf_dirs:
+        (cfp, cids, labels), (gfp, gids, scores) = derive_for_dir(sf_dir)
+        cl_tables.append(
+            pa.table(
+                {
+                    "input_fp": pa.array([cfp] * len(cids), pa.int64()),
+                    "point_id": pa.array(cids, pa.int64()),
+                    "label": pa.array(labels, pa.int64()),
+                }
+            )
+        )
+        gl_tables.append(
+            pa.table(
+                {
+                    "input_fp": pa.array([gfp] * len(gids), pa.int64()),
+                    "point_id": pa.array(gids, pa.int64()),
+                    "score": pa.array(scores, pa.float64()),
+                }
+            )
+        )
+        print(f"{sf_dir}: cluster fp={cfp} n={len(cids)}; glosh fp={gfp} n={len(gids)}")
 
     os.makedirs(GOLDEN_DIR, exist_ok=True)
+    # distinct fingerprints may repeat across generations with
+    # identical content — dedupe whole frames by fp
+    seen = set()
+    keep = []
+    for t in cl_tables:
+        fp = t["input_fp"][0].as_py()
+        if fp not in seen:
+            seen.add(fp)
+            keep.append(t)
     pq.write_table(
-        pa.table(
-            {
-                "point_id": pa.array(vec_id, pa.int64()),
-                "label": pa.array(res.labels.astype(np.int64), pa.int64()),
-            }
-        ),
-        os.path.join(GOLDEN_DIR, "cluster_embeddings_sf001.parquet"),
+        pa.concat_tables(keep),
+        os.path.join(GOLDEN_DIR, "cluster_embeddings.parquet"),
     )
-    # glosh_outliers fits on its own vec_id<1000 subset (identical at
-    # sf0.01, not in general) — run the kernel on exactly that frame
-    gmask = vec_id < 1000
-    glosh_ids = vec_id[gmask]
-    gres = (
-        res
-        if bool(gmask.all())
-        else hdbscan_exact(X[gmask], min_pts=4, min_cluster_size=10)
-    )
-    glosh_scores = gres.scores
+    seen = set()
+    keep = []
+    for t in gl_tables:
+        fp = t["input_fp"][0].as_py()
+        if fp not in seen:
+            seen.add(fp)
+            keep.append(t)
     pq.write_table(
-        pa.table(
-            {
-                "point_id": pa.array(glosh_ids, pa.int64()),
-                "score": pa.array(
-                    [round6_half_up(s) for s in glosh_scores], pa.float64()
-                ),
-            }
-        ),
-        os.path.join(GOLDEN_DIR, "glosh_outliers_sf001.parquet"),
+        pa.concat_tables(keep),
+        os.path.join(GOLDEN_DIR, "glosh_outliers.parquet"),
     )
-    print(
-        f"wrote {GOLDEN_DIR}: cluster_embeddings ({len(vec_id)} rows), "
-        f"glosh_outliers ({len(glosh_ids)} rows); "
-        f"clusters={sorted(int(x) for x in np.unique(res.labels[res.labels > 0]))}"
-    )
+    print(f"wrote {GOLDEN_DIR}/cluster_embeddings.parquet, glosh_outliers.parquet")
 
 
 if __name__ == "__main__":
