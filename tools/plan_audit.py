@@ -218,6 +218,32 @@ def main():
         "banded equi-joins + partial-agg bucket cap; no cross join",
     )
 
+    # 14. ngram_jaccard: the per-doc sizes relation must not carry a
+    # mandatory broadcast hint (a corpus-wide call would ship one row
+    # per doc to every executor); AQE picks the strategy
+    ng = m.queries()["ngram_jaccard"](spark, sf_dir)
+    check(
+        "ngram no forced broadcast",
+        "ResolvedHint" not in ng._jdf.queryExecution().analyzed().toString(),
+        "per-doc sizes joins have no broadcast hint; AQE decides",
+    )
+
+    # 15. parameterized ANN helpers run ZERO driver jobs at plan time
+    # (dim/planes/n_rows provided -> no count()/first() probes)
+    from bubbles.operators.similarity import lsh_topk
+
+    store = spark.sparkContext._jsc.sc().statusStore()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n0 = store.jobsList(None).size()
+    lsh_topk(emb, k=3, dim=64, planes=8)
+    n_jobs = store.jobsList(None).size() - n0
+    check(
+        "lsh zero plan-time jobs",
+        n_jobs == 0,
+        f"lsh_topk(dim=, planes=) triggered {n_jobs} driver jobs before "
+        "the first real stage",
+    )
+
     lines = [
         "# PLANS — physical-plan audit (tools/plan_audit.py)",
         "",
