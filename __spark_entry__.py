@@ -487,6 +487,31 @@ def corpus_language_stats_q(spark, sf_dir):
     )
 
 
+def repetition_profile_q(spark, sf_dir):
+    """Gopher-style repetition signals (duplicate-token /
+    top-token / duplicate-bigram ratios) per document — the quality
+    rule that catches boilerplate and looping generations."""
+    from bubbles.operators.text import repetition_profile
+
+    return repetition_profile(_t(spark, sf_dir, "documents"))
+
+
+def pii_scrub_q(spark, sf_dir):
+    """PII scrub pass: mask emails/IPv4/phones, count matches per
+    kind. md5 the scrubbed text on both sides so the hash check
+    covers the full replacement output without shipping it."""
+    from bubbles.operators.text import pii_scrub
+
+    out = pii_scrub(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        F.md5("text_scrubbed").alias("scrub_md5"),
+    )
+
+
 def dataset_split_q(spark, sf_dir):
     """Deterministic 80/10/10 train/val/test split over documents —
     md5-bucketed, order/partitioning-independent, engine-replayable."""
@@ -667,6 +692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_language_stats": _widen(corpus_language_stats_q),
         "events_json_extract": _widen(events_json_extract_q),
         "langid_confusion": _widen(langid_confusion_q),
+        "repetition_profile": _widen(repetition_profile_q),
+        "pii_scrub": _widen(pii_scrub_q),
     }
 
 
@@ -1257,6 +1284,45 @@ def oracle_sql() -> dict[str, str]:
             FROM tp GROUP BY lang_guess
             """
         ),
+        # repetition ratios are exact-integer divisions on both sides
+        "repetition_profile": """
+            WITH t AS (
+              SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+              FROM documents
+            ), f AS (
+              SELECT doc_id,
+                     len(toks) AS n_tokens,
+                     len(list_distinct(toks)) AS n_distinct_tokens,
+                     list_max(list_transform(list_distinct(toks),
+                         u -> len(list_filter(toks, x -> x = u)))) AS top,
+                     list_transform(range(1, len(toks)),
+                         i -> toks[i] || ' ' || toks[i+1]) AS bg
+              FROM t
+            )
+            SELECT doc_id, n_tokens, n_distinct_tokens,
+                   CAST(n_tokens - n_distinct_tokens AS DOUBLE)
+                     / greatest(n_tokens, 1) AS dup_token_ratio,
+                   CAST(top AS DOUBLE) / greatest(n_tokens, 1) AS top_token_ratio,
+                   CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE)
+                     / greatest(len(bg), 1) AS dup_bigram_ratio
+            FROM f
+        """,
+        # same RE2-compatible patterns, same replacement order (email,
+        # ipv4, phone), counts over the ORIGINAL text on both sides
+        "pii_scrub": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(text,
+                       '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(text,
+                       '\\+[0-9][0-9 ()-]{6,}[0-9]')) AS BIGINT) AS n_phone,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IPV4>', 'g'),
+                       '\\+[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g')) AS scrub_md5
+            FROM documents
+        """,
         # deterministic md5-bucket split — byte-identical replay:
         # CAST('0x'||hex AS BIGINT) mirrors Spark's conv(hex,16,10)
         "dataset_split": """

@@ -118,6 +118,86 @@ def lang_id(text: Column) -> Column:
     )
 
 
+def word_bigrams(text: Column) -> Column:
+    """Adjacent-token bigrams as space-joined strings (the unit of the
+    Gopher duplicate-n-gram rule). 0-indexed lambda arithmetic matches
+    DuckDB's ``list_transform(range(1, len(toks)), i -> toks[i] || ' '
+    || toks[i+1])``."""
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.when(n >= 2, F.sequence(F.lit(0), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.concat_ws(" ", toks[i], toks[i + 1]))
+
+
+def repetition_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher/C4-style repetition signals per document, as pure column
+    expressions (no shuffle, no UDF):
+
+    - ``dup_token_ratio``  — 1 − distinct/total tokens
+    - ``top_token_ratio``  — most-frequent-token share of all tokens
+    - ``dup_bigram_ratio`` — 1 − distinct/total adjacent bigrams
+
+    All ratios are exact-integer divisions (bit-identical in any
+    engine). The top-token count is a per-row lambda over distinct
+    tokens (O(distinct·n) inside codegen — documents, not books)."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda u: F.size(F.filter(toks, lambda x: x == u)),
+        )
+    )
+    bg = word_bigrams(t)
+    nb = F.size(bg)
+    nbd = F.size(F.array_distinct(bg))
+    denom = F.greatest(n, F.lit(1)).cast("double")
+    bdenom = F.greatest(nb, F.lit(1)).cast("double")
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        nd.alias("n_distinct_tokens"),
+        ((n - nd) / denom).alias("dup_token_ratio"),
+        (top / denom).alias("top_token_ratio"),
+        ((nb - nbd) / bdenom).alias("dup_bigram_ratio"),
+    )
+
+
+# dialect-portable PII patterns (same semantics in Java regex and
+# DuckDB's RE2): keep to character classes, bounded quantifiers, \b
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+[0-9][0-9 ()-]{6,}[0-9]",
+}
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mask emails / IPv4s / international-format phones with typed
+    placeholders and count the matches per kind — the pre-training
+    scrub pass. Pure ``regexp_replace`` / ``regexp_count`` column
+    expressions (JVM-side; the patterns are RE2-compatible so the
+    DuckDB twin replays them verbatim)."""
+    scrubbed = F.col(text_col)
+    counts = {}
+    for kind, pat in PII_PATTERNS.items():
+        counts[kind] = F.regexp_count(F.col(text_col), F.lit(pat))
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
+    return df.select(
+        F.col(id_col),
+        *[v.cast("long").alias(f"n_{k}") for k, v in counts.items()],
+        scrubbed.alias("text_scrubbed"),
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Order-sensitive rolling hash over tokens:
     fold(acc = (acc*1000003 + token_len) mod 2^31). Deterministic,

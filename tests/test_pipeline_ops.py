@@ -617,3 +617,56 @@ def test_decode_media_real_png_wav_ppm(spark):
     # poison blob quarantined, not fatal
     assert out.loc[5, "kind"] == "unknown"
     assert out.loc[5, "features"] is None or not len(out.loc[5, "features"])
+
+
+def test_repetition_profile(spark):
+    from bubbles.operators.text import repetition_profile
+
+    df = spark.createDataFrame(
+        [
+            (0, "a a a a"),            # 1 distinct of 4; bigrams all "a a"
+            (1, "w x y z"),            # no repetition
+            (2, "p q p q p"),          # bigrams alternate "p q"/"q p"
+        ],
+        "doc_id long, text string",
+    )
+    out = repetition_profile(df).toPandas().set_index("doc_id").sort_index()
+    assert out.loc[0, "dup_token_ratio"] == pytest.approx(3 / 4)
+    assert out.loc[0, "top_token_ratio"] == pytest.approx(1.0)
+    assert out.loc[0, "dup_bigram_ratio"] == pytest.approx(2 / 3)
+    assert out.loc[1, "dup_token_ratio"] == 0.0
+    assert out.loc[1, "top_token_ratio"] == pytest.approx(1 / 4)
+    assert out.loc[1, "dup_bigram_ratio"] == 0.0
+    assert out.loc[2, "top_token_ratio"] == pytest.approx(3 / 5)
+    # 4 bigrams, 2 distinct ("p q", "q p")
+    assert out.loc[2, "dup_bigram_ratio"] == pytest.approx(2 / 4)
+
+
+def test_pii_scrub(spark):
+    from bubbles.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail me at jane.doe+x@corp.example.org or call +1 (415) 555-0199"),
+            (1, "server at 10.0.255.7 and also 192.168.1.1 ok"),
+            (2, "no pii here, just 1.5 numbers and a@b (not an email)"),
+        ],
+        "doc_id long, text string",
+    )
+    out = pii_scrub(df).toPandas().set_index("doc_id").sort_index()
+    assert (
+        out.loc[0, "n_email"],
+        out.loc[0, "n_phone"],
+        out.loc[0, "n_ipv4"],
+    ) == (1, 1, 0)
+    assert "<EMAIL>" in out.loc[0, "text_scrubbed"]
+    assert "<PHONE>" in out.loc[0, "text_scrubbed"]
+    assert "jane.doe" not in out.loc[0, "text_scrubbed"]
+    assert out.loc[1, "n_ipv4"] == 2
+    assert out.loc[1, "text_scrubbed"].count("<IPV4>") == 2
+    assert (
+        out.loc[2, "n_email"],
+        out.loc[2, "n_ipv4"],
+        out.loc[2, "n_phone"],
+    ) == (0, 0, 0)
+    assert out.loc[2, "text_scrubbed"] == df.toPandas().set_index("doc_id").loc[2, "text"]

@@ -111,6 +111,11 @@ ADVERSARIAL_TEXTS = [
     "x" * 16,                          # nc=16: 1/16ths land on .25/.5/.75
     "ab" + "!" * 14,                   # 2/16 alpha
     "abc" + "!" * 13,                  # 3/16
+    # PII + repetition shapes for the pii_scrub / repetition twins
+    "mail jane.doe+x@corp.example.org or +1 (415) 555-0199 now",
+    "hosts 10.0.255.7 8.8.8.8 and 999.999.999.999 edge",
+    "a a a a a",                       # max repetition
+    "spam spam ham spam ham",          # alternating bigrams
 ]
 
 
@@ -144,3 +149,12 @@ def test_text_profile_adversarial_quality(spark, tmp_path):
     assert_twin(spark, tmp_path, "text_profile", ["documents"])
     assert_twin(spark, tmp_path, "corpus_language_stats", ["documents"])
     assert_twin(spark, tmp_path, "langid_confusion", ["documents"])
+
+
+def test_pii_and_repetition_twins_on_matching_text(spark, tmp_path):
+    """The sf corpus contains no PII, so the driver oracle only proves
+    the zero case — these fixtures make the regex dialects and the
+    bigram/top-token arithmetic actually fire on both engines."""
+    _write_documents(tmp_path)
+    assert_twin(spark, tmp_path, "pii_scrub", ["documents"])
+    assert_twin(spark, tmp_path, "repetition_profile", ["documents"])
