@@ -512,6 +512,20 @@ def pii_scrub_q(spark, sf_dir):
     )
 
 
+def pack_sequences_q(spark, sf_dir):
+    """GPT-style concat-and-chunk sequence packing over the documents
+    table (token counts from the whitespace tokenizer): md5-bucketed
+    independent streams, running-sum offsets, fixed 512-token
+    sequences. One bounded exchange; exact-integer arithmetic."""
+    from bubbles.operators.splits import pack_sequences
+    from bubbles.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(docs, max_tokens=512)
+
+
 def dataset_split_q(spark, sf_dir):
     """Deterministic 80/10/10 train/val/test split over documents —
     md5-bucketed, order/partitioning-independent, engine-replayable."""
@@ -694,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_confusion": _widen(langid_confusion_q),
         "repetition_profile": _widen(repetition_profile_q),
         "pii_scrub": _widen(pii_scrub_q),
+        "pack_sequences": _widen(pack_sequences_q),
     }
 
 
@@ -1322,6 +1337,27 @@ def oracle_sql() -> dict[str, str]:
                        '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IPV4>', 'g'),
                        '\\+[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g')) AS scrub_md5
             FROM documents
+        """,
+        # packing: same md5 stream bucket as dataset_split, running
+        # window sum per stream, all-integer chunk arithmetic
+        "pack_sequences": """
+            WITH d AS (
+              SELECT doc_id,
+                     CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tokens,
+                     CAST(CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS BIGINT) AS stream
+              FROM documents
+            ), o AS (
+              SELECT doc_id, n_tokens, stream,
+                     CAST(coalesce(sum(n_tokens) OVER (
+                       PARTITION BY stream ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                       AS stream_offset
+              FROM d
+            )
+            SELECT doc_id, n_tokens, stream, stream_offset,
+                   CAST(stream * 1099511627776 + stream_offset // 512 AS BIGINT) AS seq_id,
+                   CAST(stream_offset % 512 AS BIGINT) AS seq_offset
+            FROM o
         """,
         # deterministic md5-bucket split — byte-identical replay:
         # CAST('0x'||hex AS BIGINT) mirrors Spark's conv(hex,16,10)

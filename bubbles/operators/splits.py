@@ -39,3 +39,56 @@ def assign_split(
     for cut, name in zip(reversed(cuts), reversed(names[:-1])):
         expr = F.when(b < cut, F.lit(name)).otherwise(expr)
     return df.withColumn("bucket", b).withColumn("split", expr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int = 2048,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    n_streams: int = 100,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style pre-training
+    layout): documents are laid out on ``n_streams`` independent
+    token streams (md5-bucketed, deterministic), each stream is a
+    running concatenation in ``id_col`` order, and every
+    ``max_tokens`` tokens starts a new training sequence.
+
+    Adds: ``stream`` (0..n_streams-1), ``stream_offset`` (first token
+    position of this doc in its stream), ``seq_id`` (global sequence
+    the doc STARTS in = stream * ceil-capacity + offset div
+    max_tokens), ``seq_offset`` (position within that sequence).
+    Documents longer than ``max_tokens`` simply span sequences, as in
+    the real layout.
+
+    Scale shape: one exchange on ``stream`` (100 independent groups —
+    width the shuffle, not the data), a running-sum window inside
+    each stream, all arithmetic exact integers. No global sort, no
+    single-partition window, engine-replayable (DuckDB twin is the
+    same window sum)."""
+    stream = split_bucket(F.col(id_col)) % n_streams
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("stream")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        df.withColumn("stream", stream)
+        .withColumn(
+            "stream_offset",
+            F.coalesce(F.sum(tokens_col).over(w), F.lit(0)).cast("long"),
+        )
+    )
+    # stream-local sequence ordinal -> globally unique, stable seq id
+    # (streams are independent; 2^40 sequences per stream headroom)
+    seq_in_stream = F.floor(F.col("stream_offset") / max_tokens).cast("long")
+    return out.select(
+        id_col,
+        tokens_col,
+        "stream",
+        "stream_offset",
+        (F.col("stream") * F.lit(1 << 40) + seq_in_stream).alias("seq_id"),
+        F.pmod(F.col("stream_offset"), F.lit(max_tokens)).cast("long").alias("seq_offset"),
+    )

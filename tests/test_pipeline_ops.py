@@ -670,3 +670,35 @@ def test_pii_scrub(spark):
         out.loc[2, "n_phone"],
     ) == (0, 0, 0)
     assert out.loc[2, "text_scrubbed"] == df.toPandas().set_index("doc_id").loc[2, "text"]
+
+
+def test_pack_sequences_layout(spark):
+    from bubbles.operators.splits import pack_sequences
+
+    # n_streams=1 makes the whole layout one deterministic stream
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate([100, 200, 300, 50, 512, 10])],
+        "doc_id long, n_tokens long",
+    )
+    out = (
+        pack_sequences(df, max_tokens=512, n_streams=1)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # offsets are the running sum of everything before, in id order
+    assert list(out["stream_offset"]) == [0, 100, 300, 600, 650, 1162]
+    assert (out["stream"] == 0).all()
+    # doc 2 starts inside seq 0 (offset 300) and spans into seq 1;
+    # doc 3 starts in seq 1 at position 600-512=88
+    assert list(out["seq_id"] % (1 << 40)) == [0, 0, 0, 1, 1, 2]
+    assert list(out["seq_offset"]) == [0, 100, 300, 88, 138, 138]
+
+    # multi-stream: offsets are per-stream running sums and streams
+    # partition the docs deterministically
+    big = spark.createDataFrame(
+        [(i, 10) for i in range(200)], "doc_id long, n_tokens long"
+    )
+    o2 = pack_sequences(big, max_tokens=64).toPandas()
+    for s, grp in o2.sort_values("doc_id").groupby("stream"):
+        assert list(grp["stream_offset"]) == [10 * i for i in range(len(grp))]
