@@ -526,6 +526,22 @@ def pack_sequences_q(spark, sf_dir):
     return pack_sequences(docs, max_tokens=512)
 
 
+def decontaminate_q(spark, sf_dir):
+    """Benchmark decontamination composed with the md5 split: flag
+    train-split documents sharing any word trigram with the
+    test-split (real pipelines use n≈8-13; the 25-word synthetic
+    vocabulary needs n=3 to exercise nonzero overlap)."""
+    from bubbles.operators.dedup import ngram_decontaminate
+    from bubbles.operators.splits import assign_split
+
+    docs = assign_split(_t(spark, sf_dir, "documents"))
+    return ngram_decontaminate(
+        docs.filter(F.col("split") == "train"),
+        docs.filter(F.col("split") == "test"),
+        n=3,
+    )
+
+
 def dataset_split_q(spark, sf_dir):
     """Deterministic 80/10/10 train/val/test split over documents —
     md5-bucketed, order/partitioning-independent, engine-replayable."""
@@ -709,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_profile": _widen(repetition_profile_q),
         "pii_scrub": _widen(pii_scrub_q),
         "pack_sequences": _widen(pack_sequences_q),
+        "decontaminate": _widen(decontaminate_q),
     }
 
 
@@ -1337,6 +1354,33 @@ def oracle_sql() -> dict[str, str]:
                        '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IPV4>', 'g'),
                        '\\+[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g')) AS scrub_md5
             FROM documents
+        """,
+        # decontamination: md5-bucket split -> distinct word trigrams
+        # per side -> equi-join overlap count per train doc
+        "decontaminate": """
+            WITH sp AS (
+              SELECT doc_id,
+                     string_split_regex(lower(text), '\\s+') AS toks,
+                     CAST(CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS BIGINT) AS bucket
+              FROM documents
+            ), base AS (
+              SELECT doc_id, bucket,
+                     list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+              FROM sp
+            ), bench AS (
+              SELECT DISTINCT unnest(grams) AS g FROM base WHERE bucket >= 90
+            ), train AS (
+              SELECT doc_id, grams FROM base WHERE bucket < 80
+            ), hits AS (
+              SELECT t.doc_id, count(*) AS n_hit
+              FROM (SELECT doc_id, unnest(grams) AS g FROM train) t
+              JOIN bench USING (g) GROUP BY t.doc_id
+            )
+            SELECT t.doc_id, len(t.grams) AS n_grams,
+                   CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_contaminated_grams,
+                   CAST(CASE WHEN coalesce(h.n_hit, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+            FROM train t LEFT JOIN hits h USING (doc_id)
         """,
         # packing: same md5 stream bucket as dataset_split, running
         # window sum per stream, all-integer chunk arithmetic

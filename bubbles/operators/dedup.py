@@ -304,3 +304,58 @@ def ngram_jaccard_pairs(
     if threshold > 0:
         out = out.filter(F.col("jaccard") >= threshold)
     return out
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    word n-gram with the benchmark/evaluation set (the pre-training
+    hygiene pass; real pipelines use n≈8-13).
+
+    Shape at scale: both sides explode to distinct (doc, gram) rows,
+    the benchmark side is reduced to DISTINCT grams, and the overlap
+    is one equi-join on the gram string + one partial-aggregated
+    count per doc. No broadcast hint (a benchmark can be millions of
+    grams — AQE still broadcasts genuinely small ones), no windows,
+    no cartesian anything.
+
+    Returns one row per corpus doc: ``n_grams`` (distinct n-grams),
+    ``n_contaminated_grams`` (of them, how many appear in the
+    benchmark), ``contaminated`` (0/1)."""
+    from bubbles.operators.text import word_ngrams
+
+    def grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("g"),
+        )
+
+    bench_grams = grams(benchmark).select("g").distinct()
+    corpus_grams = grams(corpus)
+    hits = (
+        corpus_grams.join(bench_grams, on="g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated_grams"))
+    )
+    totals = corpus.select(
+        F.col(id_col),
+        F.size(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("n_grams"),
+    )
+    return (
+        totals.join(hits, on=id_col, how="left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_contaminated_grams", F.lit(0)).cast("long").alias(
+                "n_contaminated_grams"
+            ),
+            (F.coalesce("n_contaminated_grams", F.lit(0)) > 0)
+            .cast("long")
+            .alias("contaminated"),
+        )
+    )

@@ -118,17 +118,24 @@ def lang_id(text: Column) -> Column:
     )
 
 
-def word_bigrams(text: Column) -> Column:
-    """Adjacent-token bigrams as space-joined strings (the unit of the
-    Gopher duplicate-n-gram rule). 0-indexed lambda arithmetic matches
-    DuckDB's ``list_transform(range(1, len(toks)), i -> toks[i] || ' '
-    || toks[i+1])``."""
+def word_ngrams(text: Column, n: int = 2) -> Column:
+    """Adjacent-token n-grams as space-joined strings (the unit of the
+    Gopher duplicate-n-gram rule and of benchmark decontamination).
+    0-indexed lambda arithmetic matches DuckDB's
+    ``list_transform(range(1, len(toks) - (n-2)), i -> toks[i] || ' '
+    || ... || toks[i+n-1])``."""
     toks = tokens(text)
-    n = F.size(toks)
-    idx = F.when(n >= 2, F.sequence(F.lit(0), n - 2)).otherwise(
+    nt = F.size(toks)
+    idx = F.when(nt >= n, F.sequence(F.lit(0), nt - n)).otherwise(
         F.array().cast("array<int>")
     )
-    return F.transform(idx, lambda i: F.concat_ws(" ", toks[i], toks[i + 1]))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", *[toks[i + j] for j in range(n)])
+    )
+
+
+def word_bigrams(text: Column) -> Column:
+    return word_ngrams(text, 2)
 
 
 def repetition_profile(

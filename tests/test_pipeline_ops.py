@@ -702,3 +702,34 @@ def test_pack_sequences_layout(spark):
     o2 = pack_sequences(big, max_tokens=64).toPandas()
     for s, grp in o2.sort_values("doc_id").groupby("stream"):
         assert list(grp["stream_offset"]) == [10 * i for i in range(len(grp))]
+
+
+def test_ngram_decontaminate(spark):
+    from bubbles.operators.dedup import ngram_decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over dogs"),   # shares a trigram
+            (1, "completely different words entirely here"),
+            (2, "short txt"),                              # no trigrams at all
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "i saw the quick brown fox yesterday")],
+        "doc_id long, text string",
+    )
+    out = (
+        ngram_decontaminate(corpus, bench, n=3)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # doc 0 shares "the quick brown" and "quick brown fox"
+    assert out.loc[0, "contaminated"] == 1
+    assert out.loc[0, "n_contaminated_grams"] == 2
+    assert out.loc[0, "n_grams"] == 5
+    assert out.loc[1, "contaminated"] == 0
+    assert out.loc[2, "n_grams"] == 0
+    assert out.loc[2, "contaminated"] == 0
+    assert len(out) == 3  # every corpus doc present, benchmark docs absent
