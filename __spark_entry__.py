@@ -542,6 +542,26 @@ def decontaminate_q(spark, sf_dir):
     )
 
 
+def corpus_vocab_q(spark, sf_dir):
+    """Corpus vocabulary rollup (the tokenizer-training input): token
+    → total count + document frequency, top 50 by (count desc, token).
+    Explode + one partial-aggregated shuffle + driver-bounded global
+    top-k (TakeOrderedAndProject — never a full sort at scale)."""
+    from bubbles.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_total"), "token")
+        .limit(50)
+    )
+
+
 def dataset_split_q(spark, sf_dir):
     """Deterministic 80/10/10 train/val/test split over documents —
     md5-bucketed, order/partitioning-independent, engine-replayable."""
@@ -726,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _widen(pii_scrub_q),
         "pack_sequences": _widen(pack_sequences_q),
         "decontaminate": _widen(decontaminate_q),
+        "corpus_vocab": _widen(corpus_vocab_q),
     }
 
 
@@ -1354,6 +1375,17 @@ def oracle_sql() -> dict[str, str]:
                        '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IPV4>', 'g'),
                        '\\+[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g')) AS scrub_md5
             FROM documents
+        """,
+        "corpus_vocab": """
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '\\s+')) AS token
+              FROM documents
+            )
+            SELECT token, count(*) AS n_total,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM t GROUP BY token
+            ORDER BY n_total DESC, token LIMIT 50
         """,
         # decontamination: md5-bucket split -> distinct word trigrams
         # per side -> equi-join overlap count per train doc

@@ -176,6 +176,49 @@ def repetition_profile(
     )
 
 
+def repetition_profile_long(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Linear-scale twin of ``repetition_profile`` for LONG documents
+    (books, transcripts): the column-expression variant's top-token
+    lambda is O(distinct·n) per row — perfect inside codegen for
+    web-page-sized docs, quadratic for a 500k-token book. This shape
+    explodes to (doc, token) rows and takes two partial-aggregated
+    shuffles (token counts, then per-doc rollup): O(n) work, fully
+    distributed, identical output columns."""
+    t = F.col(text_col)
+    toks = df.select(F.col(id_col), F.explode(tokens(t)).alias("__tok"))
+    per_tok = toks.groupBy(id_col, "__tok").agg(F.count("*").alias("__c"))
+    tok_stats = per_tok.groupBy(id_col).agg(
+        F.sum("__c").cast("int").alias("n_tokens"),
+        F.count("*").cast("int").alias("n_distinct_tokens"),
+        F.max("__c").alias("__top"),
+    )
+    bgs = df.select(F.col(id_col), F.explode(word_bigrams(t)).alias("__bg"))
+    bg_stats = bgs.groupBy(id_col).agg(
+        F.count("*").alias("__nb"),
+        F.count_distinct("__bg").alias("__nbd"),
+    )
+    denom = F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+    bdenom = F.greatest(F.col("__nb"), F.lit(1)).cast("double")
+    return (
+        tok_stats.join(bg_stats, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "n_distinct_tokens",
+            ((F.col("n_tokens") - F.col("n_distinct_tokens")) / denom).alias(
+                "dup_token_ratio"
+            ),
+            (F.col("__top") / denom).alias("top_token_ratio"),
+            (
+                (F.coalesce("__nb", F.lit(0)) - F.coalesce("__nbd", F.lit(0)))
+                / bdenom
+            ).alias("dup_bigram_ratio"),
+        )
+    )
+
+
 # dialect-portable PII patterns (same semantics in Java regex and
 # DuckDB's RE2): keep to character classes, bounded quantifiers, \b
 PII_PATTERNS = {

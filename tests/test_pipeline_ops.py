@@ -2,6 +2,7 @@
 text analysis, multimodal plumbing, streaming parity."""
 
 import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -733,3 +734,14 @@ def test_ngram_decontaminate(spark):
     assert out.loc[2, "n_grams"] == 0
     assert out.loc[2, "contaminated"] == 0
     assert len(out) == 3  # every corpus doc present, benchmark docs absent
+
+
+def test_repetition_profile_long_matches_expr_variant(spark):
+    """The O(n) explode/groupBy variant for long docs must produce
+    exactly the column-expression variant's rows."""
+    from bubbles.operators.text import repetition_profile, repetition_profile_long
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    a = repetition_profile(docs).toPandas().set_index("doc_id").sort_index()
+    b = repetition_profile_long(docs).toPandas().set_index("doc_id").sort_index()
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
