@@ -667,6 +667,21 @@ def stream_session_windows(spark, sf_dir):
     )
 
 
+def stream_dedup_events(spark, sf_dir):
+    """Watermarked streaming exact dedup
+    (dropDuplicatesWithinWatermark): first arrival per event_id,
+    key state expiring with the watermark. Aggregated per event type
+    so the oracle row-set is stable."""
+    from bubbles.streaming.events import run_dedup_to_memory
+
+    out = run_dedup_to_memory(spark, sf_dir, name="drv_dedup_out")
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count_distinct("event_id").alias("n_ids"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
 def stream_windowed_counts(spark, sf_dir):
     from bubbles.streaming.events import run_stream_to_memory
 
@@ -736,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": _widen(ivf_ann_topk),
         "pivot_revenue": _widen(pivot_revenue_q),
         "stream_stateful_totals": _widen(stream_stateful_totals),
+        "stream_dedup_events": _widen(stream_dedup_events),
         "stream_windowed_counts": _widen(stream_windowed_counts),
         "stream_session_windows": _widen(stream_session_windows),
         "dataset_split": _widen(dataset_split_q),
@@ -1292,6 +1308,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*) AS n_events,
                    round(sum(value), 6) AS total_value
             FROM events GROUP BY user_id
+        """,
+        # streaming dedup twin: first-arrival-per-id == one row per id.
+        # Exact when ids are unique or duplicates are identical (the
+        # fixture shape); payload-divergent duplicate ids are a
+        # nondeterministic pick on BOTH engines and pytest covers the
+        # real duplicate semantics with synthesized streams.
+        "stream_dedup_events": """
+            WITH d AS (
+              SELECT event_id, min(event_type) AS event_type,
+                     min(value) AS value
+              FROM events GROUP BY event_id
+            )
+            SELECT event_type, count(*) AS n,
+                   count(DISTINCT event_id) AS n_ids,
+                   round(sum(value), 6) AS sum_value
+            FROM d GROUP BY event_type
         """,
         # session-window twin. Boundary semantics differ from the
         # lag-based sessionize: Spark's session interval is half-open

@@ -237,3 +237,43 @@ def run_stream_to_memory(spark: SparkSession, sf_dir: str, name: str = "stream_o
     q.processAllAvailable()
     q.stop()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def dedup_events_stream(events: DataFrame, within: str = "30 minutes") -> DataFrame:
+    """Streaming exact dedup on the event id:
+    ``dropDuplicatesWithinWatermark`` keeps the first arrival of each
+    ``event_id`` and expires its key state once the watermark passes
+    ``within`` — bounded state at any stream length (the plain
+    streaming ``dropDuplicates`` grows state forever). Batch twin:
+    first-arrival-per-id via min struct (same rows on any input where
+    duplicates land inside the window)."""
+    return events.withWatermark("ts", within).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def dedup_events_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of ``dedup_events_stream``: one row per event_id,
+    first arrival wins (min (ts, user_id, ...) struct — deterministic
+    for exact duplicate rows too)."""
+    others = [c for c in events.columns if c != "event_id"]
+    best = F.min(F.struct(*others)).alias("__b")
+    return (
+        events.groupBy("event_id")
+        .agg(best)
+        .select("event_id", *[F.col(f"__b.{c}").alias(c) for c in others])
+    )
+
+
+def run_dedup_to_memory(spark: SparkSession, sf_dir: str, name: str = "dedup_out"):
+    """Drive the streaming dedup over the parquet micro-batch."""
+    q = (
+        dedup_events_stream(read_events_stream(spark, sf_dir))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}")

@@ -745,3 +745,35 @@ def test_repetition_profile_long_matches_expr_variant(spark):
     a = repetition_profile(docs).toPandas().set_index("doc_id").sort_index()
     b = repetition_profile_long(docs).toPandas().set_index("doc_id").sort_index()
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_stream_dedup_drops_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps exactly one row per
+    event_id when the stream carries real duplicates."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bubbles.streaming.events import dedup_events_batch, run_dedup_to_memory
+
+    base_us = 1_700_000_000_000_000
+    ids = [1, 2, 2, 3, 3, 3, 4]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(ids, pa.int64()),
+            "ts": pa.array([base_us + i * 1_000_000 for i in range(len(ids))],
+                           pa.timestamp("us")),
+            "user_id": pa.array([7] * len(ids), pa.int64()),
+            "event_type": pa.array(["click"] * len(ids)),
+            "value": pa.array([1.0] * len(ids), pa.float64()),
+            "props": pa.array(["{}"] * len(ids)),
+        }
+    )
+    pq.write_table(tbl, f"{tmp_path}/events.parquet")
+
+    out = run_dedup_to_memory(spark, str(tmp_path), name="t_dedup_out").toPandas()
+    assert sorted(out["event_id"]) == [1, 2, 3, 4]
+
+    from bubbles.streaming.events import read_events_batch
+
+    batch = dedup_events_batch(read_events_batch(spark, str(tmp_path))).toPandas()
+    assert sorted(batch["event_id"]) == [1, 2, 3, 4]

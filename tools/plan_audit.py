@@ -244,6 +244,34 @@ def main():
         "the first real stage",
     )
 
+    # 16. sequence packing: ONE exchange (the stream key); the
+    # running-sum window must not add a second shuffle or a global sort
+    p = plan_of(m.queries()["pack_sequences"](spark, sf_dir))
+    check(
+        "packing single bounded exchange",
+        p.count("Exchange hashpartitioning") == 1 and "Exchange rangepartitioning" not in p,
+        "per-stream running sum over one stream-key exchange; no global sort",
+    )
+
+    # 17. decontamination: gram overlap is an equi-join (never
+    # cartesian) and the benchmark side carries no broadcast hint
+    dq = m.queries()["decontaminate"](spark, sf_dir)
+    check(
+        "decontaminate equi-join only",
+        "CartesianProduct" not in plan_of(dq)
+        and "ResolvedHint" not in dq._jdf.queryExecution().analyzed().toString(),
+        "distinct-gram equi-join; AQE owns the strategy",
+    )
+
+    # 18. corpus vocab: global top-k plans as TakeOrderedAndProject
+    # (driver-bounded k), not a full sort of the vocabulary
+    p = plan_of(m.queries()["corpus_vocab"](spark, sf_dir))
+    check(
+        "vocab top-k no full sort",
+        "TakeOrderedAndProject" in p,
+        "explode -> partial agg -> TakeOrderedAndProject(50)",
+    )
+
     lines = [
         "# PLANS — physical-plan audit (tools/plan_audit.py)",
         "",
