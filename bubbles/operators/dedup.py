@@ -337,20 +337,23 @@ def ngram_decontaminate(
 
     bench_grams = grams(benchmark).select("g").distinct()
     corpus_grams = grams(corpus)
-    hits = (
-        corpus_grams.join(bench_grams, on="g")
+    # one tokenization pass: totals and hits both come from the
+    # exploded relation (conditional aggregation over the left join),
+    # then re-attach docs whose text yields no n-grams at all
+    per_doc = (
+        corpus_grams.join(bench_grams.withColumn("__hit", F.lit(1)), on="g", how="left")
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_contaminated_grams"))
-    )
-    totals = corpus.select(
-        F.col(id_col),
-        F.size(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("n_grams"),
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("__hit").alias("n_contaminated_grams"),
+        )
     )
     return (
-        totals.join(hits, on=id_col, how="left")
+        corpus.select(id_col)
+        .join(per_doc, on=id_col, how="left")
         .select(
-            id_col,
-            "n_grams",
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("int").alias("n_grams"),
             F.coalesce("n_contaminated_grams", F.lit(0)).cast("long").alias(
                 "n_contaminated_grams"
             ),
