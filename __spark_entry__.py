@@ -562,6 +562,28 @@ def corpus_vocab_q(spark, sf_dir):
     )
 
 
+_SEARCH_TERMS = ["hash", "join", "vector"]
+
+
+def doc_fingerprint_q(spark, sf_dir):
+    """MOSS-style winnowing fingerprints (rolling k-gram hash +
+    window-min selection) — the order-sensitive substring-match
+    complement to MinHash. Zero-shuffle column expressions."""
+    from bubbles.operators.text import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def keyword_search_q(spark, sf_dir):
+    """BM25-shaped keyword search over documents (log-free rational
+    idf so the score is bit-identical across engines): one stats
+    reduce to a single broadcast row + one scoring scan + bounded
+    global top-k. No wide shuffle anywhere."""
+    from bubbles.operators.search import keyword_search
+
+    return keyword_search(_t(spark, sf_dir, "documents"), _SEARCH_TERMS)
+
+
 def dataset_split_q(spark, sf_dir):
     """Deterministic 80/10/10 train/val/test split over documents —
     md5-bucketed, order/partitioning-independent, engine-replayable."""
@@ -763,6 +785,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _widen(pack_sequences_q),
         "decontaminate": _widen(decontaminate_q),
         "corpus_vocab": _widen(corpus_vocab_q),
+        "doc_fingerprint": _widen(doc_fingerprint_q),
+        "keyword_search": _widen(keyword_search_q),
     }
 
 
@@ -1111,6 +1135,14 @@ GROUP BY user_id, session_seq
 """
 
 
+def _keyword_search_oracle() -> str:
+    """Generated from the SAME term list as keyword_search_q so the
+    two sides cannot drift (bubbles.operators.search builds both)."""
+    from bubbles.operators.search import keyword_search_sql
+
+    return keyword_search_sql(_SEARCH_TERMS)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
@@ -1408,6 +1440,25 @@ def oracle_sql() -> dict[str, str]:
                        '\\+[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g')) AS scrub_md5
             FROM documents
         """,
+        # winnowing: same 60-bit md5-prefix gram hash as the Spark
+        # side; window-min over w=4 consecutive k=5-gram hashes,
+        # short docs (>=k chars) keep one window, distinct selections
+        "doc_fingerprint": """
+            WITH pos AS (
+              SELECT doc_id, CAST(r.i AS INT) AS i,
+                     CAST(CONCAT('0x', substr(md5(substr(lower(text), CAST(r.i AS INT), 5)), 1, 15)) AS BIGINT) AS h,
+                     greatest(length(text) - 4, 0) AS n
+              FROM documents, unnest(range(1, greatest(length(text) - 3, 1))) AS r(i)
+            ), wm AS (
+              SELECT doc_id, i, n,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+              FROM pos
+            )
+            SELECT DISTINCT doc_id, wmin AS fp
+            FROM wm WHERE i <= greatest(n - 3, 1)
+        """,
+        "keyword_search": _keyword_search_oracle(),
         "corpus_vocab": """
             WITH t AS (
               SELECT doc_id,

@@ -259,6 +259,66 @@ def fingerprint(text: Column) -> Column:
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """MOSS-style winnowing document fingerprints (Schleimer et al.,
+    SIGMOD'03): hash every character ``k``-gram (rolling window), then
+    keep the minimum hash of every window of ``w`` consecutive gram
+    hashes and distinct the selections. Any shared substring of length
+    >= ``k + w - 1`` between two documents is guaranteed to contribute
+    at least one common fingerprint — the plagiarism/boilerplate
+    detector that complements MinHash (which is order-insensitive).
+
+    Shape: the gram-hash array is built ONCE per row (one md5 per
+    gram, no UDF), posexploded to (doc, pos, hash) rows, and the
+    sliding minimum is a window function over the doc partition —
+    O(len) hashing + two linear shuffles (window exchange by doc id,
+    then the distinct). A pure-column-expression variant (window min
+    as a per-row lambda over `slice`) is a trap: Catalyst inlines the
+    hash-array alias into the lambda body, re-hashing the whole
+    document per window — O(len^2) md5 calls (measured 190 s vs 2 s
+    on 500 docs).
+
+    Engine-portable hash: first 15 hex digits of md5 as a 60-bit int
+    (same idiom as `operators.splits.split_bucket`), so the DuckDB
+    twin replays it exactly. Short documents (< k+w-1 chars but >= k)
+    still emit one fingerprint (the min over all their grams);
+    documents shorter than ``k`` emit none.
+    """
+    from pyspark.sql import Window
+
+    grams = char_ngrams(F.col(text_col), k)
+    h = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+    )
+    # gram count from the text length — cheap, avoids a second
+    # evaluation of the hash array for size()
+    n = F.greatest(F.length(F.lower(F.col(text_col))) - (k - 1), F.lit(0))
+    ex = df.select(
+        F.col(id_col),
+        n.alias("__n"),
+        F.posexplode(h).alias("__i", "__h"),
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("__i")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        ex.withColumn("__wmin", F.min("__h").over(win))
+        # 0-based window starts: 0 .. max(n-w, 0)
+        .filter(F.col("__i") <= F.greatest(F.col("__n") - w, F.lit(0)))
+        .select(F.col(id_col), F.col("__wmin").alias("fp"))
+        .distinct()
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-stop text-analysis projection used by the pipeline entry."""
     t = F.col(text_col)

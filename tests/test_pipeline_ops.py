@@ -777,3 +777,60 @@ def test_stream_dedup_drops_duplicates(spark, tmp_path):
 
     batch = dedup_events_batch(read_events_batch(spark, str(tmp_path))).toPandas()
     assert sorted(batch["event_id"]) == [1, 2, 3, 4]
+
+
+def test_winnow_fingerprints_guarantee_and_edges(spark, docs):
+    """Winnowing guarantee: docs sharing a substring of length
+    >= k+w-1 (= 8 chars) share at least one fingerprint; docs
+    shorter than k emit none; >=k but short emit exactly one."""
+    from bubbles.operators.text import winnow_fingerprints
+
+    out = winnow_fingerprints(docs).toPandas()
+    by_doc = {d: set(g["fp"]) for d, g in out.groupby("doc_id")}
+    # exact dup -> identical fingerprint sets
+    assert by_doc[0] == by_doc[1]
+    # near dup shares a long substring -> overlapping fingerprints
+    assert by_doc[0] & by_doc[2]
+    # unrelated docs -> disjoint
+    assert not (by_doc[0] & by_doc[4])
+    # doc 6 is 2 chars < k=5 -> no fingerprints at all
+    assert 6 not in by_doc
+    # a >=k but <k+w-1 doc emits exactly one fingerprint
+    tiny = spark.createDataFrame([(0, "abcdef")], "doc_id long, text string")
+    assert winnow_fingerprints(tiny).count() == 1
+    # fingerprints are a subset of the doc's own gram hashes
+    g = docs.filter(F.col("doc_id") == 0).select(
+        F.explode(
+            F.transform(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(F.lower("text")) - 4),
+                    lambda i: F.lower(F.col("text")).substr(i, F.lit(5)),
+                ),
+                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
+                    "long"
+                ),
+            )
+        ).alias("h")
+    )
+    all_hashes = {r.h for r in g.collect()}
+    assert by_doc[0] <= all_hashes
+
+
+def test_keyword_search_ranking_and_oracle_parity(spark, docs):
+    """Score sanity (more matching terms rank higher) and exact
+    bit-parity with the generated DuckDB twin on the tiny corpus."""
+    import duckdb
+
+    from bubbles.operators.search import keyword_search, keyword_search_sql
+
+    terms = ["fox", "quick"]
+    out = keyword_search(docs, terms, top_k=5)
+    rows = [tuple(r) for r in out.collect()]
+    # docs 0/1/2 contain both terms; 3-6 contain neither
+    top_ids = {r[0] for r in rows[:3]}
+    assert top_ids == {0, 1, 2}
+    assert all(r[-1] > 0 for r in rows[:3])
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    orc = [tuple(r) for r in con.sql(keyword_search_sql(terms, top_k=5)).fetchall()]
+    assert rows == orc
