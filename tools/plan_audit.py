@@ -272,6 +272,35 @@ def main():
         "explode -> partial agg -> TakeOrderedAndProject(50)",
     )
 
+    # 19. keyword search: corpus stats reach the scoring scan as a
+    # broadcast of ONE row (never a shuffled join), and the global
+    # top-k is driver-bounded
+    p = plan_of(m.queries()["keyword_search"](spark, sf_dir))
+    check(
+        "keyword search broadcast stats + bounded top-k",
+        "BroadcastNestedLoopJoin" in p
+        and "SortMergeJoin" not in p
+        and "TakeOrderedAndProject" in p,
+        "1-row stats broadcast over the scoring scan; TakeOrderedAndProject(20)",
+    )
+
+    # 20. winnowing: the gram-hash array is built once per row before
+    # the generate (no md5 inside the window), one hash exchange for
+    # the per-doc window
+    wq = m.queries()["doc_fingerprint"](spark, sf_dir)
+    p = plan_of(wq)
+    # plan prints root-first: everything BEFORE "Generate" in the
+    # string sits above the posexplode (window/filter/distinct) and
+    # must not recompute the hash; the md5 lives once below it
+    has_gen = "Generate posexplode" in p
+    above = p[: p.index("Generate")] if has_gen else p
+    below = p[p.index("Generate") :] if has_gen else ""
+    check(
+        "winnowing hashes once below generate",
+        has_gen and "md5" not in above and "md5" in below,
+        "md5 per gram happens once below posexplode; window sees longs only",
+    )
+
     lines = [
         "# PLANS — physical-plan audit (tools/plan_audit.py)",
         "",
