@@ -715,6 +715,16 @@ def stream_windowed_counts(spark, sf_dir):
     )
 
 
+def stream_attribution_join(spark, sf_dir):
+    """Stream-stream interval join (purchase→click attribution within
+    4 h, watermark-bounded state on both sides). The driver runs the
+    batch twin — identical join, exact integer-microsecond times;
+    tests assert stream == batch."""
+    from bubbles.streaming.events import attribution_join_batch, read_events_batch
+
+    return attribution_join_batch(read_events_batch(spark, sf_dir))
+
+
 def _widen(fn):
     """Cast int→long and float→double on every output column so the
     Spark schema matches DuckDB's (BIGINT/DOUBLE everywhere)."""
@@ -774,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_revenue": _widen(pivot_revenue_q),
         "stream_stateful_totals": _widen(stream_stateful_totals),
         "stream_dedup_events": _widen(stream_dedup_events),
+        "stream_attribution_join": _widen(stream_attribution_join),
         "stream_windowed_counts": _widen(stream_windowed_counts),
         "stream_session_windows": _widen(stream_session_windows),
         "dataset_split": _widen(dataset_split_q),
@@ -1346,6 +1357,24 @@ def oracle_sql() -> dict[str, str]:
         # fixture shape); payload-divergent duplicate ids are a
         # nondeterministic pick on BOTH engines and pytest covers the
         # real duplicate semantics with synthesized streams.
+        # stream-stream interval join twin: equi-join on user_id,
+        # two-sided microsecond range filter — exact integer times
+        "stream_attribution_join": """
+            SELECT p.user_id,
+                   p.purchase_id, c.click_id,
+                   p.p_ts_us, c.c_ts_us,
+                   p.p_ts_us - c.c_ts_us AS lag_us,
+                   round(p.purchase_value, 6) AS purchase_value
+            FROM (SELECT user_id, event_id AS purchase_id,
+                         epoch_us(ts) AS p_ts_us, value AS purchase_value
+                  FROM events WHERE event_type = 'purchase') p
+            JOIN (SELECT user_id, event_id AS click_id,
+                         epoch_us(ts) AS c_ts_us
+                  FROM events WHERE event_type = 'click') c
+            USING (user_id)
+            WHERE c.c_ts_us <= p.p_ts_us
+              AND c.c_ts_us >= p.p_ts_us - 14400000000
+        """,
         "stream_dedup_events": """
             WITH d AS (
               SELECT event_id, min(event_type) AS event_type,

@@ -239,6 +239,111 @@ def run_stream_to_memory(spark: SparkSession, sf_dir: str, name: str = "stream_o
     return spark.sql(f"SELECT * FROM {name}")
 
 
+def attribution_join_stream(
+    events: DataFrame, minutes: int = 240, wm: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream interval join (purchase attribution): every
+    ``purchase`` joined to each of the SAME user's ``click`` events in
+    the preceding ``minutes``. Both sides carry a watermark and the
+    join condition is a two-sided event-time range, so Spark can
+    expire click state once ``purchase_ts`` can no longer reach it —
+    bounded state at any stream length (an unconstrained stream-stream
+    join would buffer forever).
+
+    Output timestamps are integer microseconds (exact arithmetic; the
+    DuckDB twin uses ``epoch_us``).
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", wm)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("p_ts", wm)
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {minutes} MINUTES")),
+        "inner",
+    )
+    return joined.select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        F.unix_micros("p_ts").alias("p_ts_us"),
+        F.unix_micros("c_ts").alias("c_ts_us"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+        F.round("purchase_value", 6).alias("purchase_value"),
+    )
+
+
+def attribution_join_batch(events: DataFrame, minutes: int = 240) -> DataFrame:
+    """Batch twin of ``attribution_join_stream``: the identical
+    equi-join on user_id with the time range as a post-join filter.
+    Scale shape: one hash exchange per side on user_id (AQE may
+    broadcast the purchase side — it is the rarer event type); no
+    window functions, no cartesian."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.unix_micros("ts").alias("c_ts_us"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("p_ts_us"),
+        F.col("value").alias("purchase_value"),
+    )
+    lim = minutes * 60 * 1_000_000
+    return (
+        purchases.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts_us") <= F.col("p_ts_us"))
+            & (F.col("c_ts_us") >= F.col("p_ts_us") - F.lit(lim)),
+            "inner",
+        )
+        .select(
+            "user_id",
+            "purchase_id",
+            "click_id",
+            "p_ts_us",
+            "c_ts_us",
+            (F.col("p_ts_us") - F.col("c_ts_us")).alias("lag_us"),
+            F.round("purchase_value", 6).alias("purchase_value"),
+        )
+    )
+
+
+def run_attribution_to_memory(
+    spark: SparkSession, sf_dir: str, name: str = "attr_out"
+):
+    """Drive the stream-stream join over the parquet micro-batch."""
+    q = (
+        attribution_join_stream(read_events_stream(spark, sf_dir))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
 def dedup_events_stream(events: DataFrame, within: str = "30 minutes") -> DataFrame:
     """Streaming exact dedup on the event id:
     ``dropDuplicatesWithinWatermark`` keeps the first arrival of each

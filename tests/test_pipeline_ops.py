@@ -834,3 +834,23 @@ def test_keyword_search_ranking_and_oracle_parity(spark, docs):
     con.register("documents", docs.toPandas())
     orc = [tuple(r) for r in con.sql(keyword_search_sql(terms, top_k=5)).fetchall()]
     assert rows == orc
+
+
+def test_stream_attribution_join_matches_batch(spark):
+    """Stream-stream interval join == batch twin on the real sf0.001
+    events table, and the time-range bound holds on every pair."""
+    from bubbles.streaming.events import (
+        attribution_join_batch,
+        read_events_batch,
+        run_attribution_to_memory,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    stream = run_attribution_to_memory(spark, sf, name="t_attr_out").toPandas()
+    batch = attribution_join_batch(read_events_batch(spark, sf)).toPandas()
+    key = ["user_id", "purchase_id", "click_id"]
+    s = stream.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(s[b.columns], b)
+    assert (b["lag_us"] >= 0).all()
+    assert (b["lag_us"] <= 240 * 60 * 1_000_000).all()
