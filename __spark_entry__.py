@@ -336,6 +336,23 @@ def ngram_jaccard_q(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def incremental_dedup_q(spark, sf_dir):
+    """Cross-relation near-dup join: the 'new crawl batch vs existing
+    corpus' incremental dedup shape. Corpus = sources src0-src9, new
+    batch = src10-src19; exact trigram Jaccard over the blocking
+    equi-join, threshold 0.7."""
+    from bubbles.operators.dedup import ngram_similarity_join
+
+    docs = _t(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    corpus = docs.filter(src_num < 10)
+    batch = docs.filter(src_num >= 10)
+    out = ngram_similarity_join(corpus, batch, threshold=0.7)
+    return out.select(
+        "left_id", "right_id", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 def ann_cosine_topk_q(spark, sf_dir):
     from bubbles.operators.similarity import cosine_topk
 
@@ -769,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near_groups": _widen(dedup_near_groups_q),
         "dedup_simhash": _widen(dedup_simhash_q),
         "ngram_jaccard": _widen(ngram_jaccard_q),
+        "incremental_dedup": _widen(incremental_dedup_q),
         "dedup_embedding": _widen(dedup_embedding_q),
         "ann_cosine_topk": _widen(ann_cosine_topk_q),
         "text_profile": _widen(text_profile_q),
@@ -1287,6 +1305,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_simhash": _SIMHASH_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "incremental_dedup": """
+            WITH src AS (
+              SELECT doc_id, text,
+                     CAST(substr(source, 4) AS INT) AS sn
+              FROM documents
+            ),
+            shl AS (
+              SELECT doc_id AS left_id,
+                     unnest(list_distinct(list_transform(
+                       range(1, greatest(length(text) - 1, 1)),
+                       i -> substr(lower(text), CAST(i AS INT), 3)))) AS g
+              FROM src WHERE sn < 10
+            ),
+            shr AS (
+              SELECT doc_id AS right_id,
+                     unnest(list_distinct(list_transform(
+                       range(1, greatest(length(text) - 1, 1)),
+                       i -> substr(lower(text), CAST(i AS INT), 3)))) AS g
+              FROM src WHERE sn >= 10
+            ),
+            sl AS (SELECT left_id, count(*) AS n_l FROM shl GROUP BY left_id),
+            sr AS (SELECT right_id, count(*) AS n_r FROM shr GROUP BY right_id),
+            inter AS (
+              SELECT left_id, right_id, count(*) AS n_inter
+              FROM shl JOIN shr USING (g) GROUP BY left_id, right_id
+            )
+            SELECT left_id, right_id,
+                   round(CAST(n_inter AS DOUBLE) / (sl.n_l + sr.n_r - n_inter), 6) AS jaccard
+            FROM inter JOIN sl USING (left_id) JOIN sr USING (right_id)
+            WHERE CAST(n_inter AS DOUBLE) / (sl.n_l + sr.n_r - n_inter) >= 0.7
+        """,
         "ann_cosine_topk": _ANN_SQL,
         "dedup_embedding": """
             WITH e AS (

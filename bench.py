@@ -99,6 +99,8 @@ def main():
         "ann_cosine_topk",
         "events_sessionize",
         "x6_connected_components",
+        "doc_fingerprint",
+        "keyword_search",
     ]
     for name in headline:
         bench(name, lambda name=name: f"{qs[name](spark, sf_dir).count()} rows")

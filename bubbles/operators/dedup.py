@@ -306,6 +306,75 @@ def ngram_jaccard_pairs(
     return out
 
 
+def ngram_similarity_join(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    common_gram_cap: int | None = None,
+) -> DataFrame:
+    """Cross-relation near-duplicate join: exact character-n-gram
+    Jaccard between every (left, right) pair sharing at least one
+    shingle — the INCREMENTAL dedup shape (a new crawl batch joined
+    against the existing corpus) and the record-linkage primitive.
+
+    Same blocking equi-join shape as ``ngram_jaccard_pairs`` (explode
+    distinct shingles → equi-join on the gram → per-pair count →
+    sizes join; never a cross join, no broadcast hint — AQE owns the
+    build side), but between two relations, so the left corpus can be
+    arbitrarily large while the right batch is a day's crawl.
+
+    ``common_gram_cap``: optional skew guard for corpus-scale calls —
+    drops grams whose combined document frequency exceeds the cap
+    (stop-shingles like 'the' block-join every document pair).
+    EXPLICITLY approximate: pair Jaccard is then computed over the
+    surviving grams only (both the intersection count and the set
+    sizes), biasing scores toward the rare-gram signal. Leave None
+    for the exact oracle-checked semantics.
+    """
+    shl = left.select(
+        F.col(id_col).alias("left_id"),
+        F.explode(F.array_distinct(char_ngrams(F.col(text_col), n))).alias("g"),
+    )
+    shr = right.select(
+        F.col(id_col).alias("right_id"),
+        F.explode(F.array_distinct(char_ngrams(F.col(text_col), n))).alias("g"),
+    )
+    if common_gram_cap is not None:
+        freq = (
+            shl.select("g")
+            .unionAll(shr.select("g"))
+            .groupBy("g")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= common_gram_cap)
+            .select("g")
+        )
+        shl = shl.join(freq, on="g")
+        shr = shr.join(freq, on="g")
+    sl = shl.groupBy("left_id").agg(F.count("*").alias("n_l"))
+    sr = shr.groupBy("right_id").agg(F.count("*").alias("n_r"))
+    inter = shl.join(shr, on="g").groupBy("left_id", "right_id").agg(
+        F.count("*").alias("n_inter")
+    )
+    out = (
+        inter.join(sl, on="left_id")
+        .join(sr, on="right_id")
+        .select(
+            "left_id",
+            "right_id",
+            (
+                F.col("n_inter")
+                / (F.col("n_l") + F.col("n_r") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
 def ngram_decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -854,3 +854,33 @@ def test_stream_attribution_join_matches_batch(spark):
     pd.testing.assert_frame_equal(s[b.columns], b)
     assert (b["lag_us"] >= 0).all()
     assert (b["lag_us"] <= 240 * 60 * 1_000_000).all()
+
+
+def test_ngram_similarity_join_cross_relation(spark):
+    """Cross-relation Jaccard: planted near-dup found across the two
+    relations, self-pairs impossible, gram cap drops the stop-shingle
+    pairs but keeps the rare-gram match."""
+    from bubbles.operators.dedup import ngram_similarity_join
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "entirely unrelated corpus entry about spark plans"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumped over the lazy dogs"),
+            (101, "zzz qqq vvv"),
+        ],
+        "doc_id long, text string",
+    )
+    out = ngram_similarity_join(corpus, batch, threshold=0.5).toPandas()
+    pairs = set(zip(out["left_id"], out["right_id"]))
+    assert pairs == {(0, 100)}
+    # capped mode still finds the planted pair when the cap is generous
+    capped = ngram_similarity_join(
+        corpus, batch, threshold=0.5, common_gram_cap=3
+    ).toPandas()
+    assert (0, 100) in set(zip(capped["left_id"], capped["right_id"]))
