@@ -884,3 +884,47 @@ def test_ngram_similarity_join_cross_relation(spark):
         corpus, batch, threshold=0.5, common_gram_cap=3
     ).toPandas()
     assert (0, 100) in set(zip(capped["left_id"], capped["right_id"]))
+
+
+def test_hdbscan_per_group_matches_solo_kernel(spark):
+    """groupBy().applyInPandas clustering == running the exact kernel
+    on each group separately; oversize groups fail fast."""
+    from bubbles.kernels.hdbscan_kernel import hdbscan_exact
+    from bubbles.operators.grouped_cluster import hdbscan_per_group
+
+    rng = np.random.default_rng(7)
+    rows = []
+    expected = {}
+    for gi, g in enumerate(["en", "de", "fr"]):
+        mus = rng.normal(0, 12.0, size=(2, 3))
+        X = np.vstack(
+            [rng.normal(mus[i], 1.0, size=(30, 3)) for i in range(2)]
+        )
+        labs = hdbscan_exact(X, min_pts=4, min_cluster_size=5).labels
+        for j in range(len(X)):
+            pid = gi * 1000 + j
+            rows.append((g, pid, [float(v) for v in X[j]]))
+            expected[(g, pid)] = labs[j]
+    df = spark.createDataFrame(
+        rows, "lang string, point_id long, features array<double>"
+    )
+    out = hdbscan_per_group(
+        df, "lang", min_pts=4, min_cluster_size=5
+    ).toPandas()
+    assert len(out) == len(rows)
+    got = {(r.lang, r.point_id): r.label for r in out.itertuples()}
+    # same partition of points into clusters per group (labels are
+    # ids, compare partitions not values)
+    for g in ["en", "de", "fr"]:
+        by_exp, by_got = {}, {}
+        for (gg, pid), l in expected.items():
+            if gg == g:
+                by_exp.setdefault(l, set()).add(pid)
+        for (gg, pid), l in got.items():
+            if gg == g:
+                by_got.setdefault(l, set()).add(pid)
+        assert set(map(frozenset, by_exp.values())) == set(
+            map(frozenset, by_got.values())
+        )
+    with pytest.raises(Exception, match="max_group_size"):
+        hdbscan_per_group(df, "lang", max_group_size=10).collect()
