@@ -301,6 +301,17 @@ def main():
         "md5 per gram happens once below posexplode; window sees longs only",
     )
 
+    # 21. incremental dedup: cross-relation blocking stays an
+    # equi-join (no cartesian) and carries no mandatory broadcast of
+    # the unbounded per-doc sizes relations
+    iq = m.queries()["incremental_dedup"](spark, sf_dir)
+    check(
+        "incremental dedup equi-join, AQE-owned",
+        "CartesianProduct" not in plan_of(iq)
+        and "ResolvedHint" not in iq._jdf.queryExecution().analyzed().toString(),
+        "gram equi-join between relations; sizes joins unhinted",
+    )
+
     lines = [
         "# PLANS — physical-plan audit (tools/plan_audit.py)",
         "",
