@@ -601,6 +601,46 @@ def keyword_search_q(spark, sf_dir):
     return keyword_search(_t(spark, sf_dir, "documents"), _SEARCH_TERMS)
 
 
+def pipeline_clean_corpus_q(spark, sf_dir):
+    """The full pre-training cleaning pipeline as ONE declarative
+    plan: quality gate (exact integer micro-units >= 0.5) → PII scrub
+    → exact dedup on the scrubbed text (min-doc_id canonical) → md5
+    split → per-(split, lang) rollup. One corpus scan, one
+    partial-agged exchange on the content hash, one tiny final agg —
+    the composition stays as cheap as its most expensive stage."""
+    from bubbles.operators.splits import split_bucket
+    from bubbles.operators.text import PII_PATTERNS, lang_id, quality_micros
+
+    docs = _t(spark, sf_dir, "documents")
+    scrub = F.col("text")
+    n_pii = F.lit(0)
+    for kind, pat in PII_PATTERNS.items():
+        n_pii = n_pii + F.regexp_count(F.col("text"), F.lit(pat))
+        scrub = F.regexp_replace(scrub, pat, f"<{kind.upper()}>")
+    base = docs.select(
+        "doc_id",
+        quality_micros(F.col("text")).alias("qm"),
+        lang_id(F.col("text")).alias("lang_guess"),
+        F.md5(scrub).alias("scrub_md5"),
+        n_pii.cast("long").alias("n_pii"),
+    ).filter(F.col("qm") >= 500000)
+    keep = base.groupBy("scrub_md5").agg(F.min("doc_id").alias("doc_id"))
+    rows = base.join(keep, on=["scrub_md5", "doc_id"])
+    b = split_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < 80, F.lit("train")).when(b < 90, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        rows.withColumn("split", split)
+        .groupBy("split", "lang_guess")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("qm").alias("quality_micros_sum"),
+            F.sum("n_pii").alias("pii_masked"),
+        )
+    )
+
+
 def dataset_split_q(spark, sf_dir):
     """Deterministic 80/10/10 train/val/test split over documents —
     md5-bucketed, order/partitioning-independent, engine-replayable."""
@@ -816,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_vocab": _widen(corpus_vocab_q),
         "doc_fingerprint": _widen(doc_fingerprint_q),
         "keyword_search": _widen(keyword_search_q),
+        "pipeline_clean_corpus": _widen(pipeline_clean_corpus_q),
     }
 
 
@@ -1537,6 +1578,69 @@ def oracle_sql() -> dict[str, str]:
             FROM wm WHERE i <= greatest(n - 3, 1)
         """,
         "keyword_search": _keyword_search_oracle(),
+        # full cleaning pipeline: quality gate -> PII scrub -> exact
+        # dedup on scrubbed md5 (min doc_id) -> md5 split -> rollup.
+        # Same integer quality micro-units and scrub chain as the
+        # corpus_language_stats / pii_scrub twins.
+        "pipeline_clean_corpus": """
+            WITH base AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                     string_split_regex(lower(text), '\\s+') AS toks,
+                     md5(regexp_replace(regexp_replace(regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                         '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IPV4>', 'g'),
+                         '\\+[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g')) AS scrub_md5,
+                     CAST(len(regexp_extract_all(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+                       + CAST(len(regexp_extract_all(text,
+                         '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT)
+                       + CAST(len(regexp_extract_all(text,
+                         '\\+[0-9][0-9 ()-]{6,}[0-9]')) AS BIGINT) AS n_pii
+              FROM documents
+            ),
+            feat AS (
+              SELECT doc_id, scrub_md5, n_pii,
+                     len(list_intersect(list_distinct(toks),
+                         ['the','and','of','to','is','that','with','for'])) AS en_hits,
+                     len(list_intersect(list_distinct(toks),
+                         ['der','die','und','das','nicht','ist','ein','mit'])) AS de_hits,
+                     len(list_intersect(list_distinct(toks),
+                         ['le','la','les','et','est','une','dans','pour'])) AS fr_hits,
+                     CAST(((1000000 * CAST(n_alpha AS BIGINT) + greatest(n_chars, 1))
+                        // (2 * CAST(greatest(n_chars, 1) AS BIGINT)))
+                       + (CASE WHEN n_chars >= 3 * greatest(len(toks), 1)
+                                AND n_chars <= 12 * greatest(len(toks), 1)
+                               THEN 250000 ELSE 0 END)
+                       + (CASE WHEN len(list_intersect(list_distinct(toks),
+                             ['the','and','of','to','is','that','with','for'])) >= 2
+                               THEN 250000 ELSE 0 END) AS BIGINT) AS qm
+              FROM base
+            ),
+            kept AS (
+              SELECT doc_id, scrub_md5, n_pii, qm,
+                     (CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+                           WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+                           WHEN fr_hits > 0 THEN 'fr' ELSE 'unknown' END) AS lang_guess
+              FROM feat WHERE qm >= 500000
+            ),
+            canon AS (
+              SELECT scrub_md5, min(doc_id) AS doc_id FROM kept GROUP BY scrub_md5
+            ),
+            rows_ AS (
+              SELECT k.* FROM kept k JOIN canon c
+                ON k.scrub_md5 = c.scrub_md5 AND k.doc_id = c.doc_id
+            )
+            SELECT (CASE WHEN CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+                         WHEN CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+                         ELSE 'test' END) AS split,
+                   lang_guess,
+                   count(*) AS n_docs,
+                   sum(qm) AS quality_micros_sum,
+                   sum(n_pii) AS pii_masked
+            FROM rows_ GROUP BY 1, 2
+        """,
         "corpus_vocab": """
             WITH t AS (
               SELECT doc_id,
