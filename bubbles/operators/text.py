@@ -299,9 +299,11 @@ def winnow_fingerprints(
     # operator costs exactly ONE exchange (measured 13.3 s -> ~2 s at
     # sf0.1). At 100 TB the scan is already thousands of splits and
     # this exchange is the one the window needs anyway.
-    df = df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    width = max(
+        df.sparkSession.sparkContext.defaultParallelism,
+        df.rdd.getNumPartitions(),
     )
+    df = df.repartition(width, F.col(id_col))
     grams = char_ngrams(F.col(text_col), k)
     h = F.transform(
         grams,

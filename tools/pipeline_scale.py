@@ -1,0 +1,108 @@
+"""Scaling evidence for the pipeline operators: replicate the real
+documents table Nx (id-offset copies, so content distribution and
+dup structure are preserved) and measure the headline text/dedup
+operators at 1x / 10x / 100x. Linear wall-clock growth here is the
+measured backing for SCALE.md's 100 TB claims — a super-linear op
+would show up immediately.
+
+Usage: python tools/pipeline_scale.py [sf_dir] [factors...]
+Writes SCALEBENCH.json {op: {n_docs: seconds}}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    factors = [int(x) for x in sys.argv[2:]] or [1, 10, 100]
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    n_base = base.count()
+
+    def corpus(factor: int):
+        if factor == 1:
+            return base, n_base
+        rep = spark.range(factor).select(F.col("id").alias("rep"))
+        # prefix every token with "<rep>_": shingle/token sets inside
+        # one replica keep the original similarity structure (both
+        # docs get the same prefix on shared tokens) while cross-rep
+        # similarity collapses — dup-cluster SIZE stays constant as
+        # the corpus grows, which is what real corpora do. A naive
+        # verbatim copy makes every doc a 100-way exact dup: a
+        # degenerate corpus where every LSH bucket trips the skew cap.
+        perturbed = F.regexp_replace(
+            F.col("text"),
+            F.lit(r"(^|\s)"),
+            F.concat(F.lit("$1"), F.col("rep").cast("string"), F.lit("_")),
+        )
+        df = base.crossJoin(rep).select(
+            (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+            perturbed.alias("text"),
+            "source",
+        )
+        # materialize once so op timings don't include the replication
+        df = df.repartition(64).localCheckpoint()
+        return df, n_base * factor
+
+    from bubbles.operators.dedup import exact_dedup, minhash_lsh_pairs
+    from bubbles.operators.search import keyword_search
+    from bubbles.operators.text import repetition_profile, winnow_fingerprints
+
+    def run(df):
+        # noop sink: forces FULL evaluation of every output column —
+        # .count() on a pure projection lets Catalyst prune the
+        # measured expressions away entirely
+        df.write.format("noop").mode("overwrite").save()
+        return "-"
+
+    OPS = {
+        "exact_dedup": lambda d: run(exact_dedup(d)),
+        "minhash_lsh_pairs": lambda d: run(minhash_lsh_pairs(d)),
+        "winnow_fingerprints": lambda d: run(winnow_fingerprints(d)),
+        "keyword_search": lambda d: run(
+            keyword_search(d, ["hash", "join", "vector"])
+        ),
+        "repetition_profile": lambda d: run(repetition_profile(d)),
+    }
+
+    results: dict[str, dict[int, float]] = {op: {} for op in OPS}
+    for factor in factors:
+        df, n = corpus(factor)
+        for op, thunk in OPS.items():
+            thunk(df)  # warmup (JIT, shuffle-file reuse)
+            t0 = time.time()
+            rows = thunk(df)
+            el = round(time.time() - t0, 2)
+            results[op][n] = el
+            print(f"{op:22s} n={n:>8d}  {el:7.2f}s  ({rows} rows)", flush=True)
+        df.unpersist() if factor > 1 else None
+
+    with open("SCALEBENCH.json", "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote SCALEBENCH.json")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
