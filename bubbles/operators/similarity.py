@@ -248,13 +248,19 @@ def _ivf_assign_probe(
     base: DataFrame, cids, cmat, n_probe: int
 ) -> DataFrame:
     """(point_id, features, centroid, rep_dist, probes): nearest
-    centroid + distance (inverted-list side — dist argmin, first
-    centroid in priority order wins ties, matching
-    nearest_representative_bulk) and the n_probe nearest centroids
-    (query side — 6dp-rounded cosine desc, centroid id asc, matching
-    the former crossJoin + window ordering), from one numpy pass over
+    centroid + distance (inverted-list side — dist argmin, SMALLEST
+    CENTROID ID wins ties) and the n_probe nearest centroids (query
+    side — 6dp-rounded cosine desc, centroid id asc, matching the
+    former crossJoin + window ordering), from one numpy pass over
     the point-x-centroid matrix. No shuffle; centroids ride a
-    broadcast variable."""
+    broadcast variable.
+
+    The two tie-breaks MUST agree: with them inconsistent (r5 bug,
+    caught by the all-identical-vectors degenerate test), a fully
+    tied corpus assigned every point to the sample-priority-first
+    centroid while probing the id-ascending ones — disjoint sets, so
+    self-search returned ZERO rows. Under id-asc ties the assigned
+    centroid is always the first probe."""
     import numpy as np
     import pandas as pd
 
@@ -277,9 +283,11 @@ def _ivf_assign_probe(
             X = _vec_matrix(pdf["features"])
             best_d = np.full(len(X), np.inf)
             best_i = np.zeros(len(X), dtype=np.int64)
-            for j in range(len(ids)):
-                d = dist_rows(X, mat[j])
-                upd = d < best_d  # strict <: first centroid wins ties
+            if len(perm):
+                best_i[:] = perm[0]
+            for j in perm:  # ascending centroid id: strict < keeps
+                d = dist_rows(X, mat[j])  # the smallest tied id
+                upd = d < best_d
                 best_d[upd] = d[upd]
                 best_i[upd] = j
             num = X @ mat.T
@@ -415,10 +423,12 @@ def ivf_topk(
     hot centroid can't make the probe join quadratic NOR concentrate
     its whole inverted list in one window partition.
 
-    ``centroid_ids`` pins the centroids to explicit corpus ids (in
-    the given priority order for tie-breaks) instead of the seeded
-    hash-rank sample — fully SQL-expressible centroid choice (used by
-    the DuckDB oracle twin).
+    ``centroid_ids`` pins the centroids to explicit corpus ids
+    instead of the seeded hash-rank sample — fully SQL-expressible
+    centroid choice (used by the DuckDB oracle twin). Assignment AND
+    probe ties both break toward the smallest centroid id, so a tied
+    point always probes its own inverted list (see
+    ``_ivf_assign_probe``).
 
     ``queries`` searches the corpus with a SEPARATE query frame (same
     id/vec columns) — the index-and-batch shape: inverted lists come

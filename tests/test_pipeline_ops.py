@@ -928,3 +928,33 @@ def test_hdbscan_per_group_matches_solo_kernel(spark):
         )
     with pytest.raises(Exception, match="max_group_size"):
         hdbscan_per_group(df, "lang", max_group_size=10).collect()
+
+
+def test_ann_degenerate_corpora(spark):
+    """ANN family on adversarial inputs: all-identical vectors (every
+    centroid collapses, every bucket is one mega-bucket) and zero-norm
+    vectors must neither crash nor emit NaN scores."""
+    from bubbles.operators.similarity import cosine_topk, ivf_topk, lsh_topk
+
+    same = spark.createDataFrame(
+        [(i, [1.0, 2.0, 2.0, 4.0]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    for out in (
+        cosine_topk(same.filter(F.col("vec_id") < 3), same, k=3),
+        lsh_topk(same, k=3, dim=4),
+        ivf_topk(same, k=3, n_centroids=4, n_probe=2, n_rows=60),
+    ):
+        pdf = out.toPandas()
+        assert len(pdf) > 0
+        score_col = [c for c in pdf.columns if "cos" in c or "score" in c]
+        for c in score_col:
+            assert pdf[c].notna().all()
+
+    zeros = spark.createDataFrame(
+        [(i, [0.0, 0.0, 0.0, 0.0]) for i in range(20)]
+        + [(100 + i, [float(i + 1), 1.0, 0.0, 0.0]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    pdf = cosine_topk(zeros.filter(F.col("vec_id") < 2), zeros, k=3).toPandas()
+    assert pdf.notna().all().all()
