@@ -155,7 +155,14 @@ def lsh_topk(
     job and pins the width (the driver oracle does this).
 
     Pass ``dim`` to avoid the one-row inference job (``first()``)
-    per invocation."""
+    per invocation.
+
+    Rows with a NULL vector are excluded up front (a crawl corpus
+    has them; np.stack inside the scoring kernel would throw on the
+    whole batch otherwise)."""
+    df = df.filter(F.col(vec_col).isNotNull())
+    if queries is not None:
+        queries = queries.filter(F.col(vec_col).isNotNull())
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     if planes is None:
@@ -439,6 +446,11 @@ def ivf_topk(
 
     from bubbles.operators.sampling import stratified_sample_exact
 
+    # NULL-vector rows excluded (same contract as lsh_topk: np.stack
+    # in the assignment kernel would throw on the whole Arrow batch)
+    df = df.filter(F.col(vec_col).isNotNull())
+    if queries is not None:
+        queries = queries.filter(F.col(vec_col).isNotNull())
     base = df.select(
         F.col(id_col).alias("point_id"),
         F.col(vec_col).cast("array<double>").alias("features"),

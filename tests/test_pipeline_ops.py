@@ -958,3 +958,19 @@ def test_ann_degenerate_corpora(spark):
     )
     pdf = cosine_topk(zeros.filter(F.col("vec_id") < 2), zeros, k=3).toPandas()
     assert pdf.notna().all().all()
+
+
+def test_ann_null_vectors_excluded(spark):
+    """NULL embedding rows (a real crawl corpus has them) are dropped
+    at the operator boundary instead of poisoning an Arrow batch."""
+    from bubbles.operators.similarity import ivf_topk, lsh_topk
+
+    vecs = spark.createDataFrame(
+        [(1, None)]
+        + [(10 + i, [float(i + 1), 1.0, 0.5, 0.25]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    lsh = lsh_topk(vecs, k=2, dim=4).toPandas()
+    assert len(lsh) > 0 and 1 not in set(lsh.query_id)
+    ivf = ivf_topk(vecs, k=2, n_centroids=2, n_rows=21).toPandas()
+    assert len(ivf) > 0 and 1 not in set(ivf.query_id)
