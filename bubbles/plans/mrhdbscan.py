@@ -379,6 +379,27 @@ class MRHDBSCAN:
             _tick(f"it{iteration} relabel checkpoint")
             iteration += 1
 
+        if not leaf_parts:
+            # empty input: a well-formed empty model (degenerate-input
+            # contract — callers compose fit() into pipelines where an
+            # upstream filter may legitimately leave nothing)
+            model = MRHDBSCANModel(
+                labels=spark.createDataFrame([], "point_id long, label long"),
+                cluster_tree=spark.createDataFrame(
+                    [],
+                    "label long, parent long, birth_level double, "
+                    "death_level double, stability double, n_points double",
+                ),
+                outlier_scores=spark.createDataFrame(
+                    [], "point_id long, score double, core_distance double"
+                ),
+                mst_edges=spark.createDataFrame(
+                    [], "src long, dst long, weight double"
+                ),
+                n_iterations=iteration,
+            )
+            model._spark = spark
+            return model
         leaf_edges = leaf_parts[0]
         for e in leaf_parts[1:]:
             leaf_edges = leaf_edges.unionByName(e)
@@ -531,7 +552,12 @@ class MRHDBSCAN:
         wts = np.concatenate(
             [e1["w"].to_numpy(np.float64), cpdf["weight"].to_numpy(np.float64)]
         )
-        verts = np.unique(np.concatenate([src, dst]))
+        # kind-2 vertex-weight rows can name vertices that touch no
+        # edge (an n=1 subset has a representative but no MST edge,
+        # degenerate-input KeyError otherwise); they must still exist
+        # in the hierarchy as isolated noise
+        v2_ids = red[red["kind"] == 2]["a"].to_numpy(np.int64)
+        verts = np.unique(np.concatenate([src, dst, v2_ids]))
         idx = {int(g): i for i, g in enumerate(verts)}
         lu = np.fromiter((idx[int(x)] for x in src), np.int64, len(src))
         lv = np.fromiter((idx[int(x)] for x in dst), np.int64, len(dst))

@@ -158,3 +158,31 @@ def test_model_hierarchy_levels_full_vs_compact(spark, blob_data):
     if len(noisy):
         zero_labels = full[full["label"] == 0]
         assert zero_labels["point_id"].nunique() >= noisy["point_id"].nunique() // 2
+
+
+def test_fit_degenerate_inputs(spark):
+    """Empty / single-point / tiny inputs produce well-formed models
+    instead of KeyError/IndexError (r5 bugs): empty labels frame for
+    an empty corpus, all-noise for sub-min_cluster_size inputs. A
+    2-point corpus with min_pts=4 gets inf core distances and the
+    reference-faithful GLOSH inf/inf = NaN score (HDBSCANStar.java
+    division semantics), so scores are not asserted there."""
+    from bubbles import MRHDBSCAN
+
+    def fit_rows(rows):
+        df = spark.createDataFrame(rows, "point_id long, features array<double>")
+        return MRHDBSCAN(min_pts=4, min_cluster_size=4, dim=2).fit(df)
+
+    m = fit_rows([])
+    assert m.labels.count() == 0
+    assert m.outlier_scores.count() == 0
+    assert m.cluster_tree.count() == 0
+
+    m = fit_rows([(0, [1.0, 2.0])])
+    p = m.labels.toPandas()
+    assert list(p.point_id) == [0] and list(p.label) == [0]  # noise
+    assert m.outlier_scores.toPandas().score.notna().all()
+
+    m = fit_rows([(i, [1.0, 2.0]) for i in range(50)])
+    p = m.labels.toPandas()
+    assert len(p) == 50 and set(p.label) == {0}  # identical: all noise
