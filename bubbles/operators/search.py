@@ -30,6 +30,8 @@ avoided rather than replayed.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -37,6 +39,21 @@ from bubbles.operators.text import tokens
 
 K1 = 1.5  # exactly representable; standard BM25 range [1.2, 2.0]
 B = 0.75  # exactly representable; the standard default
+
+_TERM_RE = re.compile(r"^[a-z0-9_]+$")
+
+
+def _check_terms(terms: list[str]) -> None:
+    """Terms become column aliases (``tf_<term>``) and literals in
+    the GENERATED twin SQL — restrict to identifier-safe lowercase
+    tokens so neither side can be broken (or injected) by a term."""
+    if not terms:
+        raise ValueError("keyword_search needs at least one term")
+    bad = [t for t in terms if not _TERM_RE.match(t)]
+    if bad:
+        raise ValueError(
+            f"terms must match [a-z0-9_]+ (lowercased single tokens): {bad}"
+        )
 
 
 def keyword_search(
@@ -52,8 +69,7 @@ def keyword_search(
     (score desc, id) — the tie-break keeps the limit boundary
     deterministic across engines.
     """
-    if not terms:
-        raise ValueError("keyword_search needs at least one term")
+    _check_terms(terms)
     toks = tokens(F.col(text_col))
 
     # closure helper: a `lambda x, t=t:` two-arg form would be read by
@@ -117,6 +133,7 @@ def keyword_search_sql(
     """The DuckDB twin, generated from the same term list so the two
     sides can never drift. Identical operation tree: every +,-,*,/
     happens in the same order on the same doubles."""
+    _check_terms(terms)
     tf_cols = ",\n                 ".join(
         f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
         for t in terms

@@ -974,3 +974,13 @@ def test_ann_null_vectors_excluded(spark):
     assert len(lsh) > 0 and 1 not in set(lsh.query_id)
     ivf = ivf_topk(vecs, k=2, n_centroids=2, n_rows=21).toPandas()
     assert len(ivf) > 0 and 1 not in set(ivf.query_id)
+
+
+def test_keyword_search_rejects_unsafe_terms(spark, docs):
+    from bubbles.operators.search import keyword_search, keyword_search_sql
+
+    for bad in ([], ["two words"], ["it's"], ["UPPER"], ["a;drop"]):
+        with pytest.raises(ValueError):
+            keyword_search(docs, bad)
+        with pytest.raises(ValueError):
+            keyword_search_sql(bad or ["x y"])
