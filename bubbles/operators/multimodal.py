@@ -354,3 +354,69 @@ def frame_sample(
     ).select(
         id_col, "frame_idx", (F.col("frame_idx") * F.lit(every_ms)).alias("offset_ms")
     )
+
+
+RESIZE_SCHEMA = (
+    "media_id long, kind string, out_w int, out_h int, channels int, "
+    "pixels binary"
+)
+
+
+def resize_images(
+    df: DataFrame,
+    out_w: int = 32,
+    out_h: int = 32,
+    media_col: str = "media",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Decode + nearest-neighbor resize to (out_h, out_w) over Arrow
+    batches — the thumbnail/normalization step in front of a vision
+    encoder. Deterministic integer index math
+    (``src_row = i * H // out_h``), no interpolation, so the output
+    bytes are reproducible anywhere. Resized uint8 pixels travel as
+    one BINARY cell (row-major, channel-last) rather than a
+    per-pixel array — the same packed-bytes-through-the-shuffle
+    pattern as the IVF kernel. Undecodable blobs quarantine per row
+    (kind='corrupt'/'unknown', NULL pixels)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[media_col]):
+                row = {
+                    id_col: mid,
+                    "kind": "unknown",
+                    "out_w": None,
+                    "out_h": None,
+                    "channels": None,
+                    "pixels": None,
+                }
+                b = bytes(blob) if blob is not None else b""
+                try:
+                    img = None
+                    if b[:8] == b"\x89PNG\r\n\x1a\n":
+                        img, row["kind"] = _decode_png(b), "image/png"
+                    elif b[:2] in (b"P5", b"P6"):
+                        img, row["kind"] = _decode_netpbm(b), "image/netpbm"
+                    if img is not None:
+                        h, w = img.shape[0], img.shape[1]
+                        ri = (np.arange(out_h, dtype=np.int64) * h) // out_h
+                        ci = (np.arange(out_w, dtype=np.int64) * w) // out_w
+                        small = img[np.ix_(ri, ci)]
+                        row.update(
+                            out_w=out_w,
+                            out_h=out_h,
+                            channels=int(img.shape[2]),
+                            pixels=small.astype(np.uint8).tobytes(),
+                        )
+                except Exception:
+                    row["kind"] = "corrupt"
+                rows.append(row)
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "kind", "out_w", "out_h", "channels", "pixels"],
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        batches, schema=RESIZE_SCHEMA
+    )

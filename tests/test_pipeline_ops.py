@@ -984,3 +984,25 @@ def test_keyword_search_rejects_unsafe_terms(spark, docs):
             keyword_search(docs, bad)
         with pytest.raises(ValueError):
             keyword_search_sql(bad or ["x y"])
+
+
+def test_resize_images_nearest_neighbor(spark):
+    """Resize == numpy ground-truth nearest-neighbor on a
+    spec-composed PNG; corrupt blobs quarantine per row."""
+    from bubbles.operators.multimodal import resize_images
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    blob = _encode_png(img)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(b"not an image"))],
+        "media_id long, media binary",
+    )
+    out = resize_images(df, out_w=4, out_h=5).toPandas().set_index("media_id")
+    ri = (np.arange(5) * 10) // 5
+    ci = (np.arange(4) * 7) // 4
+    expect = img[np.ix_(ri, ci)]
+    got = np.frombuffer(out.loc[1, "pixels"], dtype=np.uint8).reshape(5, 4, 3)
+    assert np.array_equal(got, expect)
+    assert out.loc[1, "kind"] == "image/png"
+    assert out.loc[2, "kind"] == "unknown" and out.loc[2, "pixels"] is None
