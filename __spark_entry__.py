@@ -513,6 +513,16 @@ def repetition_profile_q(spark, sf_dir):
     return repetition_profile(_t(spark, sf_dir, "documents"))
 
 
+def repetition_profile_long_q(spark, sf_dir):
+    """Linear-scale (explode + two partial-agg shuffles) twin of
+    repetition_profile for book-sized documents — identical output
+    columns, so it shares the same oracle and the gate proves the
+    scale path equal to the expression path."""
+    from bubbles.operators.text import repetition_profile_long
+
+    return repetition_profile_long(_t(spark, sf_dir, "documents"))
+
+
 def pii_scrub_q(spark, sf_dir):
     """PII scrub pass: mask emails/IPv4/phones, count matches per
     kind. md5 the scrubbed text on both sides so the hash check
@@ -850,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": _widen(events_json_extract_q),
         "langid_confusion": _widen(langid_confusion_q),
         "repetition_profile": _widen(repetition_profile_q),
+        "repetition_profile_long": _widen(repetition_profile_long_q),
         "pii_scrub": _widen(pii_scrub_q),
         "pack_sequences": _widen(pack_sequences_q),
         "decontaminate": _widen(decontaminate_q),
@@ -1522,6 +1533,30 @@ def oracle_sql() -> dict[str, str]:
         ),
         # repetition ratios are exact-integer divisions on both sides
         "repetition_profile": """
+            WITH t AS (
+              SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+              FROM documents
+            ), f AS (
+              SELECT doc_id,
+                     len(toks) AS n_tokens,
+                     len(list_distinct(toks)) AS n_distinct_tokens,
+                     list_max(list_transform(list_distinct(toks),
+                         u -> len(list_filter(toks, x -> x = u)))) AS top,
+                     list_transform(range(1, len(toks)),
+                         i -> toks[i] || ' ' || toks[i+1]) AS bg
+              FROM t
+            )
+            SELECT doc_id, n_tokens, n_distinct_tokens,
+                   CAST(n_tokens - n_distinct_tokens AS DOUBLE)
+                     / greatest(n_tokens, 1) AS dup_token_ratio,
+                   CAST(top AS DOUBLE) / greatest(n_tokens, 1) AS top_token_ratio,
+                   CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE)
+                     / greatest(len(bg), 1) AS dup_bigram_ratio
+            FROM f
+        """,
+        # identical twin: the long/scale path must produce the
+        # SAME rows as the expression path
+"repetition_profile_long": """
             WITH t AS (
               SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
               FROM documents
