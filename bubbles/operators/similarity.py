@@ -586,7 +586,9 @@ def embedding_cosine_dedup_pairs(
     ``embedding_cosine_dedup_pairs_lsh`` is the scale path. The
     similarity is rounded to 6dp BEFORE thresholding so the kept set
     is stable across engines/accumulation orders (float noise in the
-    1e-7 tail must not flip a boundary pair)."""
+    1e-7 tail must not flip a boundary pair). NULL-vector rows are
+    excluded (ANN-family contract)."""
+    df = df.filter(F.col(vec_col).isNotNull())
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("__a"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("__b"))
     sim = F.round(_cos_sim_arrow(F.col("__a"), F.col("__b")), 6)
@@ -662,7 +664,9 @@ def embedding_cosine_dedup_pairs_lsh(
     near-dups at 0.95+ are nearly always recovered. Found pairs are
     exact (same 6dp-rounded similarity as the brute-force baseline);
     every returned pair is a true ≥-threshold pair. ``planes=None``
-    scales the signature width to the corpus like ``lsh_topk``."""
+    scales the signature width to the corpus like ``lsh_topk``.
+    NULL-vector rows are excluded (ANN-family contract)."""
+    df = df.filter(F.col(vec_col).isNotNull())
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     if planes is None:

@@ -974,6 +974,15 @@ def test_ann_null_vectors_excluded(spark):
     assert len(lsh) > 0 and 1 not in set(lsh.query_id)
     ivf = ivf_topk(vecs, k=2, n_centroids=2, n_rows=21).toPandas()
     assert len(ivf) > 0 and 1 not in set(ivf.query_id)
+    from bubbles.operators.similarity import (
+        embedding_cosine_dedup_pairs,
+        embedding_cosine_dedup_pairs_lsh,
+    )
+
+    brute = embedding_cosine_dedup_pairs(vecs, threshold=0.5).toPandas()
+    lshd = embedding_cosine_dedup_pairs_lsh(vecs, threshold=0.5, dim=4).toPandas()
+    assert 1 not in set(brute.id_a) | set(brute.id_b)
+    assert 1 not in set(lshd.id_a) | set(lshd.id_b)
 
 
 def test_keyword_search_rejects_unsafe_terms(spark, docs):
