@@ -1015,3 +1015,82 @@ def test_resize_images_nearest_neighbor(spark):
     assert np.array_equal(got, expect)
     assert out.loc[1, "kind"] == "image/png"
     assert out.loc[2, "kind"] == "unknown" and out.loc[2, "pixels"] is None
+
+
+def test_stream_attribution_join_across_microbatches(spark, tmp_path):
+    """Split events chronologically into two files and force one file
+    per micro-batch: clicks from batch 1 must remain in join state to
+    match batch-2 purchases within the 4 h window (the watermark only
+    evicts clicks older than watermark − 240 min). Result == batch
+    twin, with at least one pair actually crossing the boundary."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bubbles.streaming.events import (
+        EVENT_SCHEMA_NTZ,
+        attribution_join_batch,
+        attribution_join_stream,
+        read_events_batch,
+    )
+
+    base = 1_700_000_000_000_000
+    MIN = 60_000_000
+    rows = [
+        # (event_id, ts_us, user_id, type, value)
+        (1, base + 0 * MIN, 7, "click", 1.0),
+        (2, base + 50 * MIN, 7, "click", 1.0),
+        (3, base + 55 * MIN, 8, "click", 1.0),
+        # --- boundary at +60 min ---
+        (4, base + 70 * MIN, 7, "purchase", 9.0),   # matches clicks 1,2
+        (5, base + 300 * MIN, 8, "purchase", 5.0),  # click 3 out (245m), click 6 in
+        (6, base + 290 * MIN, 8, "click", 1.0),
+        (7, base + 295 * MIN, 8, "purchase", 4.0),  # click 6 + click 3 (exactly 240m, inclusive)
+    ]
+
+    def write(part, path):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in part], pa.int64()),
+                "ts": pa.array([r[1] for r in part], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in part], pa.int64()),
+                "event_type": pa.array([r[3] for r in part]),
+                "value": pa.array([r[4] for r in part], pa.float64()),
+                "props": pa.array(["{}"] * len(part)),
+            }
+        )
+        pq.write_table(tbl, path)
+
+    write([r for r in rows if r[1] < base + 60 * MIN], f"{tmp_path}/events_a.parquet")
+    write([r for r in rows if r[1] >= base + 60 * MIN], f"{tmp_path}/events_b.parquet")
+
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA_NTZ)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        attribution_join_stream(raw)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_attr_mb")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    stream = spark.sql("SELECT * FROM t_attr_mb").toPandas()
+
+    # batch twin over BOTH files (read_events_batch globs events.parquet
+    # only, so join the two frames via a direct read)
+    ev = spark.read.parquet(str(tmp_path)).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    batch = attribution_join_batch(ev).toPandas()
+    key = ["user_id", "purchase_id", "click_id"]
+    s = stream.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(s[b.columns], b)
+    pairs = set(zip(b.purchase_id, b.click_id))
+    # (4,1)/(4,2)/(7,3) cross the micro-batch boundary; (7,3) sits
+    # exactly ON the inclusive 240-minute limit
+    assert pairs == {(4, 1), (4, 2), (5, 6), (7, 3), (7, 6)}
