@@ -382,3 +382,72 @@ def run_dedup_to_memory(spark: SparkSession, sf_dir: str, name: str = "dedup_out
     q.processAllAvailable()
     q.stop()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def stateful_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful sessionizer (applyInPandasWithState +
+    EventTimeTimeout): per-user state carries the open session's
+    (start, last_ts, n, total); an event past the gap closes the
+    previous session; the WATERMARK closes idle sessions via state
+    timeout — state is bounded by (active users in the gap window),
+    not by stream length. This is the hand-rolled equivalent of
+    ``F.session_window`` and exists to exercise the custom-stateful
+    path with real event-time state expiry (the running-totals op
+    uses NoTimeout); batch twin: ``session_stats`` (same groups).
+
+    Emits one row per CLOSED session: (user_id, session_start_us,
+    n_events, sum_value).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        out = []
+        if state.hasTimedOut:
+            start, last, n, total = state.get
+            out.append((key[0], int(start), int(n), round(float(total), 6)))
+            state.remove()
+        else:
+            rows = []
+            for pdf in pdfs:
+                for ts, v in zip(pdf["ts"], pdf["value"]):
+                    rows.append((int(ts.value // 1000), float(v)))
+            rows.sort()
+            cur = list(state.get) if state.exists else None
+            for ts_us, v in rows:
+                if cur is None:
+                    cur = [ts_us, ts_us, 0, 0.0]
+                elif ts_us - cur[1] > gap_us:
+                    out.append(
+                        (key[0], int(cur[0]), int(cur[2]), round(float(cur[3]), 6))
+                    )
+                    cur = [ts_us, ts_us, 0, 0.0]
+                cur[1] = ts_us
+                cur[2] += 1
+                cur[3] += v
+            if cur is not None:
+                state.update(tuple(cur))
+                # close the open session once the event-time watermark
+                # passes its gap deadline
+                state.setTimeoutTimestamp(cur[1] // 1000 + gap_minutes * 60_000)
+        yield pd.DataFrame(
+            out, columns=["user_id", "session_start_us", "n_events", "sum_value"]
+        )
+
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id long, session_start_us long, n_events long, "
+                "sum_value double"
+            ),
+            stateStructType="start long, last long, n long, total double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1094,3 +1094,76 @@ def test_stream_attribution_join_across_microbatches(spark, tmp_path):
     # (4,1)/(4,2)/(7,3) cross the micro-batch boundary; (7,3) sits
     # exactly ON the inclusive 240-minute limit
     assert pairs == {(4, 1), (4, 2), (5, 6), (7, 3), (7, 6)}
+
+
+def test_stateful_sessions_event_time_timeout(spark, tmp_path):
+    """Custom stateful sessionizer: sessions close either by a
+    same-user event past the gap OR by the event-time watermark
+    (state timeout) — bounded state. Closed sessions match the batch
+    twin's groups exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bubbles.streaming.events import (
+        EVENT_SCHEMA_NTZ,
+        session_stats,
+        stateful_sessions,
+    )
+
+    base = 1_700_000_000_000_000
+    MIN = 60_000_000
+    rows = [
+        (1, base + 0 * MIN, 7, 1.0),
+        (2, base + 5 * MIN, 7, 2.0),    # user 7 session A: 2 events
+        (3, base + 50 * MIN, 7, 4.0),   # gap 45m > 30m -> session B
+        (4, base + 0 * MIN, 8, 1.5),    # user 8 session A: 1 event
+        # sentinel far in the future advances the watermark so every
+        # earlier session's timeout fires in the no-data batch
+        (5, base + 500 * MIN, 9, 0.0),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["click"] * len(rows)),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(tbl, f"{tmp_path}/events.parquet")
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA_NTZ)
+        .parquet(str(tmp_path))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        stateful_sessions(raw)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_sess_state")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM t_sess_state").toPandas()
+    closed = {
+        (r.user_id, r.session_start_us): (r.n_events, r.sum_value)
+        for r in got.itertuples()
+    }
+    # user 7: session A closed by event 3 (in-batch gap), session B and
+    # user 8's session closed by the watermark timeout; user 9's
+    # sentinel session stays OPEN (watermark never passes it) -> absent
+    assert closed == {
+        (7, base + 0 * MIN): (2, 3.0),
+        (7, base + 50 * MIN): (1, 4.0),
+        (8, base + 0 * MIN): (1, 1.5),
+    }
+    # batch twin agrees on the groups it can see as closed
+    ev = spark.read.parquet(str(tmp_path)).withColumn("ts", F.col("ts").cast("timestamp"))
+    twin = session_stats(ev).toPandas()
+    twin_groups = {
+        (r.user_id, r.n_events, r.sum_value) for r in twin.itertuples()
+        if r.user_id != 9
+    }
+    assert twin_groups == {(7, 2, 3.0), (7, 1, 4.0), (8, 1, 1.5)}
