@@ -337,19 +337,31 @@ def ngram_jaccard_q(spark, sf_dir):
 
 
 def incremental_dedup_q(spark, sf_dir):
-    """Cross-relation near-dup join: the 'new crawl batch vs existing
-    corpus' incremental dedup shape. Corpus = sources src0-src9, new
-    batch = src10-src19; exact trigram Jaccard over the blocking
-    equi-join, threshold 0.7."""
-    from bubbles.operators.dedup import ngram_similarity_join
+    """Incremental dedup, the SCALE path: MinHash-LSH pairs over the
+    whole corpus, filtered to pairs that CROSS the corpus/new-batch
+    boundary (corpus = sources src0-src9, batch = src10-src19) and
+    oriented (left = corpus, right = batch). Cost = the bounded
+    LSH band join — linear in docs, never the quadratic exact gram
+    join (`ngram_similarity_join`, which measured 8 s → 141 s from
+    sf0.01 → sf0.1 on this vocabulary-dense corpus and stays
+    documented as the bounded-batch verification step)."""
+    from bubbles.operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    src_num = F.substring("source", 4, 10).cast("int")
-    corpus = docs.filter(src_num < 10)
-    batch = docs.filter(src_num >= 10)
-    out = ngram_similarity_join(corpus, batch, threshold=0.7)
-    return out.select(
-        "left_id", "right_id", F.round("jaccard", 6).alias("jaccard")
+    pairs = minhash_lsh_pairs(docs)
+    side = docs.select(
+        "doc_id", (F.substring("source", 4, 10).cast("int") < 10).alias("is_corpus")
+    )
+    sa = side.select(F.col("doc_id").alias("id_a"), F.col("is_corpus").alias("ca"))
+    sb = side.select(F.col("doc_id").alias("id_b"), F.col("is_corpus").alias("cb"))
+    return (
+        pairs.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .filter(F.col("ca") != F.col("cb"))
+        .select(
+            F.when(F.col("ca"), F.col("id_a")).otherwise(F.col("id_b")).alias("left_id"),
+            F.when(F.col("ca"), F.col("id_b")).otherwise(F.col("id_a")).alias("right_id"),
+        )
     )
 
 
@@ -1357,37 +1369,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_simhash": _SIMHASH_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
-        "incremental_dedup": """
-            WITH src AS (
-              SELECT doc_id, text,
-                     CAST(substr(source, 4) AS INT) AS sn
-              FROM documents
-            ),
-            shl AS (
-              SELECT doc_id AS left_id,
-                     unnest(list_distinct(list_transform(
-                       range(1, greatest(length(text) - 1, 1)),
-                       i -> substr(lower(text), CAST(i AS INT), 3)))) AS g
-              FROM src WHERE sn < 10
-            ),
-            shr AS (
-              SELECT doc_id AS right_id,
-                     unnest(list_distinct(list_transform(
-                       range(1, greatest(length(text) - 1, 1)),
-                       i -> substr(lower(text), CAST(i AS INT), 3)))) AS g
-              FROM src WHERE sn >= 10
-            ),
-            sl AS (SELECT left_id, count(*) AS n_l FROM shl GROUP BY left_id),
-            sr AS (SELECT right_id, count(*) AS n_r FROM shr GROUP BY right_id),
-            inter AS (
-              SELECT left_id, right_id, count(*) AS n_inter
-              FROM shl JOIN shr USING (g) GROUP BY left_id, right_id
-            )
-            SELECT left_id, right_id,
-                   round(CAST(n_inter AS DOUBLE) / (sl.n_l + sr.n_r - n_inter), 6) AS jaccard
-            FROM inter JOIN sl USING (left_id) JOIN sr USING (right_id)
-            WHERE CAST(n_inter AS DOUBLE) / (sl.n_l + sr.n_r - n_inter) >= 0.7
-        """,
+        "incremental_dedup": (
+            """
+            SELECT CASE WHEN (CAST(substr(sa.source, 4) AS INT) < 10)
+                        THEN p.id_a ELSE p.id_b END AS left_id,
+                   CASE WHEN (CAST(substr(sa.source, 4) AS INT) < 10)
+                        THEN p.id_b ELSE p.id_a END AS right_id
+            FROM ("""
+            + _MINHASH_SQL
+            + """) p
+            JOIN documents sa ON sa.doc_id = p.id_a
+            JOIN documents sb ON sb.doc_id = p.id_b
+            WHERE (CAST(substr(sa.source, 4) AS INT) < 10)
+                  != (CAST(substr(sb.source, 4) AS INT) < 10)
+        """
+        ),
         "ann_cosine_topk": _ANN_SQL,
         "dedup_embedding": """
             WITH e AS (

@@ -301,15 +301,15 @@ def main():
         "md5 per gram happens once below posexplode; window sees longs only",
     )
 
-    # 21. incremental dedup: cross-relation blocking stays an
-    # equi-join (no cartesian) and carries no mandatory broadcast of
-    # the unbounded per-doc sizes relations
+    # 21. incremental dedup (MinHash scale path): band-bucket and
+    # side joins stay equi-joins (no cartesian), no mandatory
+    # broadcast of an unbounded relation
     iq = m.queries()["incremental_dedup"](spark, sf_dir)
     check(
         "incremental dedup equi-join, AQE-owned",
         "CartesianProduct" not in plan_of(iq)
         and "ResolvedHint" not in iq._jdf.queryExecution().analyzed().toString(),
-        "gram equi-join between relations; sizes joins unhinted",
+        "LSH band equi-join + side equi-joins; strategies AQE-owned",
     )
 
     lines = [
