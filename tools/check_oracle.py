@@ -57,8 +57,8 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    qs = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
+    qs = entry_mod.all_queries()
+    oracles = entry_mod.all_oracle_sql()
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

@@ -39,7 +39,7 @@ def main():
         checks.append((name, bool(cond), detail))
 
     # 1. q1: filter pushed to parquet scan + pruned columns
-    q1 = m.queries()["q1_pricing_summary"](spark, sf_dir)
+    q1 = m.all_queries()["q1_pricing_summary"](spark, sf_dir)
     p = plan_of(q1)
     check(
         "q1 filter pushdown",
@@ -69,7 +69,7 @@ def main():
 
     # 2. j2: dimension joins are broadcast, fact side never shuffled
     #    before the aggregate
-    j2 = m.queries()["j2_model_lookup"](spark, sf_dir)
+    j2 = m.all_queries()["j2_model_lookup"](spark, sf_dir)
     p = plan_of(j2)
     check(
         "j2 broadcast joins",
@@ -101,13 +101,13 @@ def main():
     )
 
     # 4. p6/p7: semi/anti joins stay broadcast at this scale
-    p = plan_of(m.queries()["p6_semi_join"](spark, sf_dir))
+    p = plan_of(m.all_queries()["p6_semi_join"](spark, sf_dir))
     check("p6 semi join", "LeftSemi" in p, "left-semi join planned")
-    p = plan_of(m.queries()["p7_anti_join"](spark, sf_dir))
+    p = plan_of(m.all_queries()["p7_anti_join"](spark, sf_dir))
     check("p7 anti join", "LeftAnti" in p, "left-anti join planned")
 
     # 5. dedup_exact: single hash aggregate with partial side
-    p = plan_of(m.queries()["dedup_exact"](spark, sf_dir))
+    p = plan_of(m.all_queries()["dedup_exact"](spark, sf_dir))
     check(
         "dedup_exact partial agg",
         p.count("HashAggregate") >= 2,
@@ -131,7 +131,7 @@ def main():
     )
 
     # 7. w1 top-k: single shuffle then windowed rank
-    p = plan_of(m.queries()["w1_topk_per_group"](spark, sf_dir))
+    p = plan_of(m.all_queries()["w1_topk_per_group"](spark, sf_dir))
     check(
         "w1 single shuffle window",
         p.count("Exchange hashpartitioning") == 1,
@@ -163,7 +163,7 @@ def main():
 
     # 9. LSH ANN: candidates come from equi-joins on bucket signatures,
     # never a cartesian product
-    p = plan_of(m.queries()["lsh_ann_topk"](spark, sf_dir))
+    p = plan_of(m.all_queries()["lsh_ann_topk"](spark, sf_dir))
     check(
         "lsh no cartesian",
         "CartesianProduct" not in p,
@@ -173,8 +173,8 @@ def main():
     # 9b. ANN bucket scoring: candidates are scored inside a cogroup
     # kernel emitting slim top-k rows — never a join materializing
     # (query, member) vector pairs (SCALE.md ANN note)
-    p_lsh = plan_of(m.queries()["lsh_ann_topk"](spark, sf_dir))
-    p_ivf = plan_of(m.queries()["ivf_ann_topk"](spark, sf_dir))
+    p_lsh = plan_of(m.all_queries()["lsh_ann_topk"](spark, sf_dir))
+    p_ivf = plan_of(m.all_queries()["ivf_ann_topk"](spark, sf_dir))
     check(
         "ann cogroup scoring",
         "FlatMapCoGroupsInPandas" in p_lsh and "FlatMapCoGroupsInPandas" in p_ivf,
@@ -183,7 +183,7 @@ def main():
 
     # 10. sessionize: the gap/session derivation runs its windows over
     # ONE user_id exchange — adding session stats must not re-shuffle
-    p = plan_of(m.queries()["events_sessionize"](spark, sf_dir))
+    p = plan_of(m.all_queries()["events_sessionize"](spark, sf_dir))
     check(
         "sessionize single shuffle",
         p.count("Exchange hashpartitioning") == 1,
@@ -192,7 +192,7 @@ def main():
 
     # 11. as-of join: union + struct forward-fill — no join operator at
     # all, ONE exchange on the partition key
-    p = plan_of(m.queries()["events_asof_join"](spark, sf_dir))
+    p = plan_of(m.all_queries()["events_asof_join"](spark, sf_dir))
     check(
         "asof no join operator",
         "Join" not in p and p.count("Exchange hashpartitioning") == 1,
@@ -202,7 +202,7 @@ def main():
     # 12. SimHash canonicalization: bucket minima via groupBy, never a
     # window — a mega-bucket of near-identical docs must not serialize
     # into one window partition
-    p = plan_of(m.queries()["dedup_simhash"](spark, sf_dir))
+    p = plan_of(m.all_queries()["dedup_simhash"](spark, sf_dir))
     check(
         "simhash no window",
         "windowspecdefinition" not in p,
@@ -211,7 +211,7 @@ def main():
 
     # 13. MinHash LSH: band-bucket candidate generation is equi-joins
     # with a partial-aggregated bucket-size cap — no cartesian product
-    p = plan_of(m.queries()["dedup_minhash_lsh"](spark, sf_dir))
+    p = plan_of(m.all_queries()["dedup_minhash_lsh"](spark, sf_dir))
     check(
         "minhash no cartesian",
         "CartesianProduct" not in p and p.count("HashAggregate") >= 2,
@@ -221,7 +221,7 @@ def main():
     # 14. ngram_jaccard: the per-doc sizes relation must not carry a
     # mandatory broadcast hint (a corpus-wide call would ship one row
     # per doc to every executor); AQE picks the strategy
-    ng = m.queries()["ngram_jaccard"](spark, sf_dir)
+    ng = m.all_queries()["ngram_jaccard"](spark, sf_dir)
     check(
         "ngram no forced broadcast",
         "ResolvedHint" not in ng._jdf.queryExecution().analyzed().toString(),
@@ -246,7 +246,7 @@ def main():
 
     # 16. sequence packing: ONE exchange (the stream key); the
     # running-sum window must not add a second shuffle or a global sort
-    p = plan_of(m.queries()["pack_sequences"](spark, sf_dir))
+    p = plan_of(m.all_queries()["pack_sequences"](spark, sf_dir))
     check(
         "packing single bounded exchange",
         p.count("Exchange hashpartitioning") == 1 and "Exchange rangepartitioning" not in p,
@@ -255,7 +255,7 @@ def main():
 
     # 17. decontamination: gram overlap is an equi-join (never
     # cartesian) and the benchmark side carries no broadcast hint
-    dq = m.queries()["decontaminate"](spark, sf_dir)
+    dq = m.all_queries()["decontaminate"](spark, sf_dir)
     check(
         "decontaminate equi-join only",
         "CartesianProduct" not in plan_of(dq)
@@ -265,7 +265,7 @@ def main():
 
     # 18. corpus vocab: global top-k plans as TakeOrderedAndProject
     # (driver-bounded k), not a full sort of the vocabulary
-    p = plan_of(m.queries()["corpus_vocab"](spark, sf_dir))
+    p = plan_of(m.all_queries()["corpus_vocab"](spark, sf_dir))
     check(
         "vocab top-k no full sort",
         "TakeOrderedAndProject" in p,
@@ -275,7 +275,7 @@ def main():
     # 19. keyword search: corpus stats reach the scoring scan as a
     # broadcast of ONE row (never a shuffled join), and the global
     # top-k is driver-bounded
-    p = plan_of(m.queries()["keyword_search"](spark, sf_dir))
+    p = plan_of(m.all_queries()["keyword_search"](spark, sf_dir))
     check(
         "keyword search broadcast stats + bounded top-k",
         "BroadcastNestedLoopJoin" in p
@@ -287,7 +287,7 @@ def main():
     # 20. winnowing: the gram-hash array is built once per row before
     # the generate (no md5 inside the window), one hash exchange for
     # the per-doc window
-    wq = m.queries()["doc_fingerprint"](spark, sf_dir)
+    wq = m.all_queries()["doc_fingerprint"](spark, sf_dir)
     p = plan_of(wq)
     # plan prints root-first: everything BEFORE "Generate" in the
     # string sits above the posexplode (window/filter/distinct) and
@@ -304,7 +304,7 @@ def main():
     # 21. incremental dedup (MinHash scale path): band-bucket and
     # side joins stay equi-joins (no cartesian), no mandatory
     # broadcast of an unbounded relation
-    iq = m.queries()["incremental_dedup"](spark, sf_dir)
+    iq = m.all_queries()["incremental_dedup"](spark, sf_dir)
     check(
         "incremental dedup equi-join, AQE-owned",
         "CartesianProduct" not in plan_of(iq)
