@@ -468,8 +468,8 @@ def events_json_k_q(spark, sf_dir):
     from bubbles.streaming.events import read_events_batch
 
     # read_events_batch, not _t: tolerates both events.ts generations
-    # (TIMESTAMP(NANOS) needs the nanosAsLong conf even though this
-    # query prunes ts away at scan time)
+    # (a plain scan can't even infer a TIMESTAMP(NANOS) footer, even
+    # though this query prunes ts away at scan time)
     ev = read_events_batch(spark, sf_dir)
     # explicit integral-string guard so both engines agree on
     # non-integral k (Spark's string->long cast NULLs '1.5'; DuckDB's
@@ -562,7 +562,9 @@ def pack_sequences_q(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
     )
-    return pack_sequences(docs, max_tokens=512)
+    # n_streams pinned: the DuckDB twin hashes into % 100, and the
+    # explicit width also skips the auto-derivation's count job
+    return pack_sequences(docs, max_tokens=512, n_streams=100)
 
 
 def decontaminate_q(spark, sf_dir):

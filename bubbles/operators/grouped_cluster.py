@@ -74,8 +74,14 @@ def hdbscan_per_group(
             }
         )
 
+    from pyspark.sql import functions as F
+
     return (
         df.select(group_col, id_col, features_col)
+        # NULL-vector rows are excluded, same contract as the ANN
+        # family (similarity.py): one NULL row must not np.stack-fail
+        # an entire group's kernel
+        .filter(F.col(features_col).isNotNull())
         .groupBy(group_col)
         .applyInPandas(fit, schema=out_schema)
     )

@@ -54,6 +54,11 @@ def _check_terms(terms: list[str]) -> None:
         raise ValueError(
             f"terms must match [a-z0-9_]+ (lowercased single tokens): {bad}"
         )
+    dupes = sorted({t for t in terms if terms.count(t) > 1})
+    if dupes:
+        # a repeated term would alias two tf_<term> columns on both
+        # engines (ambiguous references, double-counted score)
+        raise ValueError(f"duplicate terms: {dupes}")
 
 
 def keyword_search(

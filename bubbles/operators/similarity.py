@@ -171,11 +171,14 @@ def lsh_topk(
         planes = max(6, math.ceil(math.log2(max(df.count(), 2) / 256)))
     # a single-file corpus arrives in one split; the per-row bucket
     # projections (tables × planes × dim aggregate expressions) would
-    # then run on one core. Widen only when under-split — at scale the
-    # split count already exceeds the core count and this is a no-op.
+    # then run on one core. Unconditional round-robin repartition of
+    # the slim (id, vec) rows — same pattern as minhash_lsh_pairs
+    # (dedup.py): reading the split count via df.rdd.getNumPartitions()
+    # would force a DataFrame->RDD plan conversion just to decide, and
+    # at scale one extra narrow shuffle is noise next to the bucket
+    # projections it parallelizes.
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    df = df.repartition(par)
     # per-(table, bucket) scoring in a self-cogroup kernel instead of a
     # per-bucket self-JOIN: the join materialized every candidate pair
     # carrying both vectors (|bucket|² rows x 2 vectors of Arrow+shuffle
@@ -468,7 +471,13 @@ def ivf_topk(
         n_rows = base.count()
     par = df.sparkSession.sparkContext.defaultParallelism
     width = min(par, max(1, -(-n_rows // 50_000)))
-    if base.rdd.getNumPartitions() < width:
+    # only pin the width while the data-derived target is at or below
+    # the core count (small corpus: coalescing to `width` tasks is
+    # harmless and widens a single-split scan). A big corpus keeps the
+    # scan's natural splits — and the decision comes from n_rows, not
+    # df.rdd.getNumPartitions(), which would force a DataFrame->RDD
+    # plan conversion just to read the split count.
+    if -(-n_rows // 50_000) <= par:
         base = base.repartition(width)
     # centroids are driver-bounded (n_centroids rows) — same bounded
     # collect pattern as fit()'s sample lists
@@ -530,7 +539,7 @@ def ivf_topk(
         )
         qn = n_queries if n_queries is not None else qbase.count()
         qwidth = min(par, max(1, -(-qn // 50_000)))
-        if qbase.rdd.getNumPartitions() < qwidth:
+        if -(-qn // 50_000) <= par:
             qbase = qbase.repartition(qwidth)
         both = _ivf_assign_probe(qbase, cids, cmat, n_probe).localCheckpoint()
     # each query probes its n_probe nearest centroids (computed in the

@@ -46,7 +46,9 @@ def pack_sequences(
     max_tokens: int = 2048,
     id_col: str = "doc_id",
     tokens_col: str = "n_tokens",
-    n_streams: int = 100,
+    n_streams: int | None = None,
+    n_docs: int | None = None,
+    target_docs_per_stream: int = 100_000,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing (the GPT-style pre-training
     layout): documents are laid out on ``n_streams`` independent
@@ -61,12 +63,30 @@ def pack_sequences(
     Documents longer than ``max_tokens`` simply span sequences, as in
     the real layout.
 
-    Scale shape: one exchange on ``stream`` (100 independent groups —
-    width the shuffle, not the data), a running-sum window inside
-    each stream, all arithmetic exact integers. No global sort, no
-    single-partition window, engine-replayable (DuckDB twin is the
-    same window sum)."""
-    stream = split_bucket(F.col(id_col)) % n_streams
+    Scale shape: one exchange on ``stream``, a running-sum window
+    inside each stream, all arithmetic exact integers. No global
+    sort, no single-partition window, engine-replayable (DuckDB twin
+    is the same window sum). ``n_streams`` defaults to
+    ``max(100, ceil(n_docs / target_docs_per_stream))`` so each
+    window partition holds ~``target_docs_per_stream`` docs at ANY
+    corpus size (10^9 docs -> 10 000 streams), instead of 1% of the
+    corpus sorting inside each of 100 windows. Deriving it needs the
+    corpus size — pass ``n_docs`` (or ``n_streams`` directly, as the
+    oracle twin does to pin ``% 100``) to skip the one count job,
+    mirroring the LSH auto-width pattern (similarity.py)."""
+    if n_streams is None:
+        if n_docs is None:
+            n_docs = df.count()
+        n_streams = max(100, -(-n_docs // target_docs_per_stream))
+    # hash straight into [0, n_streams) — NOT split_bucket % n_streams:
+    # split_bucket is already mod 100, which would leave every stream
+    # >= 100 empty. For n_streams=100 this is bit-identical to
+    # split_bucket (same md5 prefix), which is what the DuckDB twin pins.
+    stream = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % n_streams
+    )
     from pyspark.sql import Window
 
     w = (

@@ -298,12 +298,12 @@ def winnow_fingerprints(
     # window's and the distinct's required distribution, so the whole
     # operator costs exactly ONE exchange (measured 13.3 s -> ~2 s at
     # sf0.1). At 100 TB the scan is already thousands of splits and
-    # this exchange is the one the window needs anyway.
-    width = max(
-        df.sparkSession.sparkContext.defaultParallelism,
-        df.rdd.getNumPartitions(),
-    )
-    df = df.repartition(width, F.col(id_col))
+    # this exchange is the one the window needs anyway. No explicit
+    # width: spark.sql.shuffle.partitions is the cluster-tuned number
+    # and deriving one from df.rdd.getNumPartitions() would force the
+    # DataFrame->RDD plan conversion minhash_lsh_pairs documents
+    # avoiding (dedup.py).
+    df = df.repartition(F.col(id_col))
     grams = char_ngrams(F.col(text_col), k)
     h = F.transform(
         grams,

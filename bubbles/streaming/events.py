@@ -6,12 +6,16 @@ identical semantics so the DuckDB oracle can check the rows (the
 driver runs the batch twin; tests run the stream against the twin).
 
 Timestamp note: the driver parquet has shipped two generations of
-``events.ts`` — TIMESTAMP(NANOS) (which Spark's vectorized reader
-only accepts as int64 via ``spark.sql.legacy.parquet.nanosAsLong``)
-and plain TIMESTAMP(MICROS)/NTZ. ``read_events_batch`` /
-``read_events_stream`` sniff the file schema and normalize both to a
-true TIMESTAMP ``ts`` plus integer-microsecond ``ts_us`` under a UTC
-session timezone, matching DuckDB's ``epoch_us`` on naive wall times.
+``events.ts`` — TIMESTAMP(NANOS) and plain TIMESTAMP(MICROS)/NTZ.
+``read_events_batch`` / ``read_events_stream`` sniff the footer
+(pyarrow, metadata-only) and normalize both to a true TIMESTAMP
+``ts`` plus integer-microsecond ``ts_us`` matching DuckDB's
+``epoch_us`` on naive wall times — WITHOUT touching any session
+conf: the NANOS generation is read under an explicit ``ts long``
+schema and the NTZ generation converts via TIMESTAMP_NTZ
+arithmetic, so reading events never changes timestamp semantics for
+other queries in the session (harnesses may still pin
+``session.timeZone=UTC`` at construction for rendering).
 """
 
 from __future__ import annotations
@@ -29,12 +33,25 @@ EVENT_SCHEMA_NTZ = (
 )
 
 
-def _events_ts_dtype(spark: SparkSession, sf_dir: str) -> str:
-    """Spark dtype of events.ts ('bigint' for legacy nanos files,
-    'timestamp'/'timestamp_ntz' for micro files). Metadata-only —
-    no data job is triggered."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"]
+# naive wall time -> epoch micros WITHOUT the session timezone:
+# TIMESTAMP_NTZ subtraction is pure wall-clock arithmetic, so the
+# result equals DuckDB's epoch_us on the same naive value whatever
+# spark.sql.session.timeZone is. (unix_micros(cast(ntz as timestamp))
+# would route through the session zone and shift by its offset.)
+_NTZ_EPOCH_US = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+
+
+def _events_ts_is_nanos(sf_dir: str) -> bool:
+    """True when events.ts is the legacy TIMESTAMP(NANOS) generation.
+    Sniffed from the parquet footer with pyarrow: metadata-only, no
+    Spark job, and — unlike Spark schema inference — needs no
+    session conf (Spark refuses to even INFER a NANOS column without
+    ``spark.sql.legacy.parquet.nanosAsLong``)."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pt
+
+    t = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    return pt.is_timestamp(t) and t.unit == "ns"
 
 
 def read_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -42,21 +59,23 @@ def read_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIMESTAMP and ``ts_us`` as integer epoch microseconds, for either
     generation of the driver parquet.
 
-    SESSION-GLOBAL side effect (documented contract): pins
-    ``spark.sql.session.timeZone=UTC`` and
-    ``spark.sql.legacy.parquet.nanosAsLong=true`` — all timestamp
-    semantics in this engine assume naive-UTC wall times (the DuckDB
-    oracles compare ``epoch_us`` on naive values). Harness entry
-    points (bench.py, tools/check_oracle.py, tests/conftest.py) set
-    both at session construction; these sets are an idempotent
-    belt-and-braces for externally constructed sessions."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(ev.dtypes)["ts"] == "bigint":
+    Conf-free by construction (no session-global side effects — a
+    reader that flips ``session.timeZone``/``nanosAsLong`` silently
+    changes timestamp semantics for every later query in the session):
+    the NANOS generation is read under an EXPLICIT ``ts long`` schema
+    (legal without the ``nanosAsLong`` conf — only footer inference
+    needs it, and the footer is sniffed via pyarrow), and the NTZ
+    generation converts wall time to epoch micros with TIMESTAMP_NTZ
+    arithmetic, which the session timezone cannot touch."""
+    if _events_ts_is_nanos(sf_dir):
+        ev = spark.read.schema(EVENT_SCHEMA_NANOS).parquet(f"{sf_dir}/events.parquet")
         ev = ev.withColumn("ts_us", F.expr("ts div 1000"))
     else:
-        ev = ev.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if dict(ev.dtypes)["ts"] == "timestamp_ntz":
+            ev = ev.withColumn("ts_us", F.expr(_NTZ_EPOCH_US))
+        else:
+            ev = ev.withColumn("ts_us", F.unix_micros(F.col("ts")))
     return ev.withColumn("ts", F.timestamp_micros("ts_us"))
 
 
@@ -65,9 +84,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch locally; kafka/kinesis in production). The file
     source needs a directory — glob-filter the single table file.
     The file-source schema must be declared up front, so sniff the
-    batch footer (metadata-only) to pick the right one."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    legacy = _events_ts_dtype(spark, sf_dir) == "bigint"
+    footer (pyarrow, metadata-only) to pick the right one. Conf-free,
+    like read_events_batch: explicit schemas + NTZ arithmetic."""
+    legacy = _events_ts_is_nanos(sf_dir)
     raw = (
         spark.readStream.schema(EVENT_SCHEMA_NANOS if legacy else EVENT_SCHEMA_NTZ)
         .option("pathGlobFilter", "events.parquet")
@@ -75,7 +94,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if legacy:
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr(_NTZ_EPOCH_US)))
 
 
 def windowed_counts(events: DataFrame, minutes: int = 5) -> DataFrame:
@@ -425,7 +444,22 @@ def stateful_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                         (key[0], int(cur[0]), int(cur[2]), round(float(cur[3]), 6))
                     )
                     cur = [ts_us, ts_us, 0, 0.0]
-                cur[1] = ts_us
+                elif ts_us < cur[0] - gap_us:
+                    # within-watermark late event landing a full gap
+                    # BEFORE the open session: in the fully-sorted
+                    # batch twin it would have closed as its own
+                    # session, so emit it as one instead of letting it
+                    # drag the stored session's bounds backwards
+                    out.append((key[0], int(ts_us), 1, round(float(v), 6)))
+                    continue
+                # max/min, never plain assignment: a late event inside
+                # the session span must not shrink `last` (that would
+                # shorten the event-time timeout and split sessions
+                # differently from the sorted batch twin); one landing
+                # within the gap before `start` extends the session
+                # backwards, as the sorted twin would have
+                cur[0] = min(cur[0], ts_us)
+                cur[1] = max(cur[1], ts_us)
                 cur[2] += 1
                 cur[3] += v
             if cur is not None:

@@ -705,6 +705,26 @@ def test_pack_sequences_layout(spark):
         assert list(grp["stream_offset"]) == [10 * i for i in range(len(grp))]
 
 
+def test_pack_sequences_stream_width_scales(spark):
+    """The derived stream count grows with corpus size (scale-safe
+    default): ~target_docs_per_stream docs per window partition, never
+    a fixed 100-stream layout at any scale."""
+    from bubbles.operators.splits import pack_sequences
+
+    df = spark.createDataFrame([(1, 10)], "doc_id long, n_tokens long")
+    # small corpus floors at 100 streams
+    small = pack_sequences(df, n_docs=5_000)
+    assert small is not None
+    # n_docs threaded -> no count job, width derived from size
+    for n_docs, want in [(5_000, 100), (10_000_000, 100), (10**9, 10_000), (10**10, 100_000)]:
+        out = pack_sequences(df, n_docs=n_docs)
+        # derive the width the operator used from its projection:
+        # stream = bucket % n_streams, so max possible stream bound
+        # is visible in the plan's literal
+        plan = out._jdf.queryExecution().analyzed().toString()
+        assert f"% {want}" in plan or f"% cast({want}" in plan, (n_docs, want, plan[:500])
+
+
 def test_ngram_decontaminate(spark):
     from bubbles.operators.dedup import ngram_decontaminate
 

@@ -151,6 +151,42 @@ def test_text_profile_adversarial_quality(spark, tmp_path):
     assert_twin(spark, tmp_path, "langid_confusion", ["documents"])
 
 
+@pytest.mark.parametrize("nanos", [True, False], ids=["ts-nanos", "ts-micros"])
+def test_events_read_has_no_session_side_effects(spark, tmp_path, nanos):
+    """Reading events must not mutate session confs: any other query
+    yields identical results whether or not events was read first
+    (the old readers pinned session.timeZone/nanosAsLong as a read
+    side-effect, silently changing timestamp semantics session-wide)."""
+    from bubbles.streaming.events import read_events_batch, read_events_stream
+
+    _write_events(tmp_path, nanos)
+    confs = ["spark.sql.session.timeZone", "spark.sql.legacy.parquet.nanosAsLong"]
+
+    def snapshot():
+        return {c: spark.conf.get(c, None) for c in confs}
+
+    before = snapshot()
+    n = read_events_batch(spark, str(tmp_path)).count()
+    assert n > 0
+    read_events_stream(spark, str(tmp_path))  # plan-time only
+    assert snapshot() == before
+
+    # and the epoch math is timezone-independent: flip the session tz,
+    # re-read, values must not shift
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        a = sorted(
+            r.ts_us for r in read_events_batch(spark, str(tmp_path)).select("ts_us").collect()
+        )
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        b = sorted(
+            r.ts_us for r in read_events_batch(spark, str(tmp_path)).select("ts_us").collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert a == b
+
+
 def test_pii_and_repetition_twins_on_matching_text(spark, tmp_path):
     """The sf corpus contains no PII, so the driver oracle only proves
     the zero case — these fixtures make the regex dialects and the

@@ -301,6 +301,39 @@ def main():
         "md5 per gram happens once below posexplode; window sees longs only",
     )
 
+    # 20b. winnowing + LSH ANN plan CONSTRUCTION runs zero driver jobs
+    # and never converts the DataFrame to an RDD (df.rdd just to read
+    # the split count forces a full plan conversion per call)
+    from bubbles.operators.text import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n0 = store.jobsList(None).size()
+    winnow_fingerprints(docs)
+    n_jobs = store.jobsList(None).size() - n0
+    check(
+        "winnowing zero plan-time jobs",
+        n_jobs == 0,
+        f"winnow_fingerprints plan construction triggered {n_jobs} driver jobs",
+    )
+    # df.rdd never appears in the batch operator modules: reading the
+    # split count through it forces a DataFrame->RDD plan conversion
+    # (jobs-invisible, so checked at the source level)
+    import pathlib
+
+    rdd_hits = [
+        f.name
+        for f in pathlib.Path("bubbles/operators").glob("*.py")
+        if any(
+            ".rdd" in line.split("#", 1)[0]
+            for line in f.read_text().splitlines()
+        )
+    ]
+    check(
+        "no df.rdd in batch operators",
+        not rdd_hits,
+        f"DataFrame->RDD conversions in operator modules: {rdd_hits or 'none'}",
+    )
+
     # 21. incremental dedup (MinHash scale path): band-bucket and
     # side joins stay equi-joins (no cartesian), no mandatory
     # broadcast of an unbounded relation
