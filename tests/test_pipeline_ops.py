@@ -226,6 +226,39 @@ def test_frame_sample(spark):
     assert list(out["offset_ms"]) == [0, 1000, 2000]
 
 
+def test_sample_frames_real_netpbm_stream(spark):
+    """Real per-frame decode of a concatenated-PPM video stream
+    (ffmpeg image2pipe format): only sampled frames decode, pixel
+    stats match numpy exactly, non-streams quarantine per blob."""
+    from bubbles.operators.multimodal import sample_frames_real
+
+    rng = np.random.default_rng(11)
+    frames = [rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8) for _ in range(10)]
+    stream = b"".join(b"P6\n6 4\n255\n" + f.tobytes() for f in frames)
+    torn = stream[: len(stream) - 5]  # truncated last frame payload
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(stream)),
+            (1, bytearray(b"\x00\x01 not a stream")),
+            (2, bytearray(torn)),
+        ],
+        "media_id long, media binary",
+    )
+    out = sample_frames_real(df, every_n=3).toPandas()
+    vid = out[out["media_id"] == 0].sort_values("frame_idx").reset_index(drop=True)
+    assert list(vid["frame_idx"]) == [0, 3, 6, 9]
+    assert (vid["n_frames"] == 10).all()
+    assert (vid["kind"] == "video/netpbm").all()
+    for _, r in vid.iterrows():
+        px = frames[int(r["frame_idx"])].astype(np.float64) / 255.0
+        f = np.array(r["features"])
+        assert f[0] == pytest.approx(px.mean())
+        assert f[1] == pytest.approx(px.std())
+        assert f[4] == pytest.approx(px[:, :, 0].mean())
+    assert out.set_index("media_id").loc[1, "kind"] == "unknown"
+    assert out.set_index("media_id").loc[2, "kind"] == "corrupt"
+
+
 def test_stream_matches_batch(spark):
     from bubbles.streaming.events import (
         read_events_stream,
