@@ -51,17 +51,22 @@ def main():
         F.element_at(cols, 4).cast("long").alias("true_label"),
     ).localCheckpoint()
 
-    # settings from the round-5 sweep (tools/skin_sweep.py; mpts 4..32,
-    # mcs 1000..49000, k 0.1/0.2): mpts=16 + mcs=16000 + the paper's
-    # default k=0.2 + a 1536 per-subset sample cap find the two true
-    # classes on 4/5 seeds — ARI (paper protocol, noise as singletons)
-    # 0.40-0.75 across seeds, mean 0.64 vs the paper's DB 0.425 (0.002)
+    # round-6 chosen config. mpts/mcs from the round-5 sweep
+    # (tools/skin_sweep.py); sample_fraction raised 0.2 -> 0.5 after
+    # the seed-42 diagnosis (tools/skin_diag.py + tools/skin_seeds.py,
+    # QUALITY_r6): at k=0.2 some bubble samples open a density dip
+    # inside the nonskin class that EOM decisively selects (3-4
+    # clusters, ARI 0.24-0.40 on 3/10 seeds; contracted == driver
+    # oracle, so the engine is exact — it's sampling variance). At
+    # k=0.5 all 10 seeds score ARI 0.63-0.70 (mean 0.667) vs the
+    # paper's DB 0.425, with the contested EOM margin negative
+    # (parent wins) on every seed.
     model = MRHDBSCAN(
         min_pts=16,
         min_cluster_size=16000,
-        sample_fraction=0.2,
+        sample_fraction=0.5,
         max_local_size=4096,
-        max_samples_per_subset=1536,
+        max_samples_per_subset=4096,
         seed=42,
         dim=3,
     ).fit(pts.select("point_id", "features"))
