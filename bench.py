@@ -189,15 +189,16 @@ def main():
                     "features"
                 ),
             ).localCheckpoint()
-            # same config as tools/skin_run.py (the round-5 sweep's
-            # quality pick) so the benched runtime is the runtime of
-            # the fit that achieves the reported ARI
+            # same config as tools/skin_run.py (the round-6 quality
+            # pick: k=0.5 after the seed-variance diagnosis,
+            # QUALITY_r6.json) so the benched runtime is the runtime
+            # of the fit that achieves the reported ARI
             m = MRHDBSCAN(
                 min_pts=16,
                 min_cluster_size=16000,
-                sample_fraction=0.2,
+                sample_fraction=0.5,
                 max_local_size=4096,
-                max_samples_per_subset=1536,
+                max_samples_per_subset=4096,
                 seed=42,
                 dim=3,
             ).fit(spts)
