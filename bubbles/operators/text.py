@@ -297,13 +297,16 @@ def winnow_fingerprints(
     # work single-task; partitioning by the id also pre-satisfies the
     # window's and the distinct's required distribution, so the whole
     # operator costs exactly ONE exchange (measured 13.3 s -> ~2 s at
-    # sf0.1). At 100 TB the scan is already thousands of splits and
-    # this exchange is the one the window needs anyway. No explicit
-    # width: spark.sql.shuffle.partitions is the cluster-tuned number
-    # and deriving one from df.rdd.getNumPartitions() would force the
+    # sf0.1). Width = the cluster-tuned shuffle.partitions, passed
+    # EXPLICITLY: a width-less repartition(col) is AQE-coalescible,
+    # and AQE sizes by input BYTES — on a slim (id, text) relation it
+    # coalesces to ~1 task and serializes the downstream per-row gram
+    # explosion (measured 9.7 s vs 1.1 s at sf0.1). Reading the conf
+    # also avoids df.rdd.getNumPartitions(), which forces the
     # DataFrame->RDD plan conversion minhash_lsh_pairs documents
     # avoiding (dedup.py).
-    df = df.repartition(F.col(id_col))
+    width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    df = df.repartition(width, F.col(id_col))
     grams = char_ngrams(F.col(text_col), k)
     h = F.transform(
         grams,

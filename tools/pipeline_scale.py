@@ -67,6 +67,7 @@ def main():
 
     from bubbles.operators.dedup import exact_dedup, minhash_lsh_pairs
     from bubbles.operators.search import keyword_search
+    from bubbles.operators.splits import pack_sequences
     from bubbles.operators.text import repetition_profile, winnow_fingerprints
 
     def run(df):
@@ -77,22 +78,36 @@ def main():
         return "-"
 
     OPS = {
-        "exact_dedup": lambda d: run(exact_dedup(d)),
-        "minhash_lsh_pairs": lambda d: run(minhash_lsh_pairs(d)),
-        "winnow_fingerprints": lambda d: run(winnow_fingerprints(d)),
-        "keyword_search": lambda d: run(
+        "exact_dedup": lambda d, n: run(exact_dedup(d)),
+        "minhash_lsh_pairs": lambda d, n: run(minhash_lsh_pairs(d)),
+        "winnow_fingerprints": lambda d, n: run(winnow_fingerprints(d)),
+        "keyword_search": lambda d, n: run(
             keyword_search(d, ["hash", "join", "vector"])
         ),
-        "repetition_profile": lambda d: run(repetition_profile(d)),
+        "repetition_profile": lambda d, n: run(repetition_profile(d)),
+        # n_docs threaded (known from the replication factor) so the
+        # SIZE-DERIVED stream width is exercised without a count job
+        "pack_sequences": lambda d, n: run(
+            pack_sequences(
+                d.select(
+                    "doc_id",
+                    F.size(F.split(F.lower("text"), r"\s+"))
+                    .cast("long")
+                    .alias("n_tokens"),
+                ),
+                max_tokens=512,
+                n_docs=n,
+            )
+        ),
     }
 
     results: dict[str, dict[int, float]] = {op: {} for op in OPS}
     for factor in factors:
         df, n = corpus(factor)
         for op, thunk in OPS.items():
-            thunk(df)  # warmup (JIT, shuffle-file reuse)
+            thunk(df, n)  # warmup (JIT, shuffle-file reuse)
             t0 = time.time()
-            rows = thunk(df)
+            rows = thunk(df, n)
             el = round(time.time() - t0, 2)
             results[op][n] = el
             print(f"{op:22s} n={n:>8d}  {el:7.2f}s  ({rows} rows)", flush=True)
