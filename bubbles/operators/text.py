@@ -297,15 +297,24 @@ def winnow_fingerprints(
     # work single-task; partitioning by the id also pre-satisfies the
     # window's and the distinct's required distribution, so the whole
     # operator costs exactly ONE exchange (measured 13.3 s -> ~2 s at
-    # sf0.1). Width = the cluster-tuned shuffle.partitions, passed
-    # EXPLICITLY: a width-less repartition(col) is AQE-coalescible,
-    # and AQE sizes by input BYTES — on a slim (id, text) relation it
-    # coalesces to ~1 task and serializes the downstream per-row gram
-    # explosion (measured 9.7 s vs 1.1 s at sf0.1). Reading the conf
-    # also avoids df.rdd.getNumPartitions(), which forces the
+    # sf0.1). Width choices, all measured at sf0.1:
+    # - width-less repartition(col) is AQE-coalescible, and AQE sizes
+    #   by input BYTES — the slim (id, text) relation coalesces to ~1
+    #   task and the per-gram md5 work serializes (9.7 s vs 1.1 s);
+    # - exactly shuffle.partitions (= core count here) leaves no
+    #   headroom for the explosion stage's skew/spill (210 s vs 72 s
+    #   at 500k docs in SCALEBENCH);
+    # - max(shuffle.partitions, 2x cores) gives ~2 tasks per core on
+    #   the heavy stage — standard heavy-stage sizing — while a
+    #   cluster-tuned larger shuffle.partitions still wins the max.
+    # Reading confs (not df.rdd.getNumPartitions()) avoids the
     # DataFrame->RDD plan conversion minhash_lsh_pairs documents
     # avoiding (dedup.py).
-    width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    spark = df.sparkSession
+    width = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        2 * spark.sparkContext.defaultParallelism,
+    )
     df = df.repartition(width, F.col(id_col))
     grams = char_ngrams(F.col(text_col), k)
     h = F.transform(

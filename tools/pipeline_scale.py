@@ -101,20 +101,45 @@ def main():
         ),
     }
 
+    import os
+    import statistics
+
+    # SCALE_OPS=a,b,c limits the measured ops (re-measure only what
+    # changed); small factors take a median of 3 timed reps — the 1x
+    # corpus is noise-dominated (JIT/GC swamp ~1 s absolute times and
+    # single runs swing 3x run-to-run) — big factors stay single-rep.
+    only = set(filter(None, os.environ.get("SCALE_OPS", "").split(",")))
     results: dict[str, dict[int, float]] = {op: {} for op in OPS}
     for factor in factors:
         df, n = corpus(factor)
+        reps = 3 if factor < 100 else 1
         for op, thunk in OPS.items():
+            if only and op not in only:
+                continue
             thunk(df, n)  # warmup (JIT, shuffle-file reuse)
-            t0 = time.time()
-            rows = thunk(df, n)
-            el = round(time.time() - t0, 2)
+            runs = []
+            for _ in range(reps):
+                t0 = time.time()
+                thunk(df, n)
+                runs.append(round(time.time() - t0, 2))
+            el = round(statistics.median(runs), 2)
             results[op][n] = el
-            print(f"{op:22s} n={n:>8d}  {el:7.2f}s  ({rows} rows)", flush=True)
+            print(f"{op:22s} n={n:>8d}  {el:7.2f}s  median of {runs}", flush=True)
         df.unpersist() if factor > 1 else None
 
+    # merge with any existing record so factors can be re-run in
+    # separate invocations without clobbering the others
+    try:
+        with open("SCALEBENCH.json") as f:
+            merged = json.load(f)
+    except FileNotFoundError:
+        merged = {}
+    for op, pts in results.items():
+        merged.setdefault(op, {}).update(
+            {str(n): sec for n, sec in pts.items()}
+        )
     with open("SCALEBENCH.json", "w") as f:
-        json.dump(results, f, indent=1)
+        json.dump(merged, f, indent=1)
     print("wrote SCALEBENCH.json")
     spark.stop()
 
