@@ -713,6 +713,47 @@ def multimodal_decode_fake(spark, sf_dir):
     )
 
 
+def frame_sample_real_q(spark, sf_dir):
+    """REAL video-frame sampling through the netpbm-stream kernel
+    (bubbles/operators/multimodal.py sample_frames_real): each doc
+    becomes a deterministic 3-frame 10x1 RGB PPM stream (frame k's
+    payload = first 30 hex chars of md5(text [|| k]) — pure ASCII, so
+    chars == bytes for every language in the corpus), every 2nd frame
+    is sampled (0 and 2 — frame 1 is SKIPPED via the header-only
+    stream index, which is the seek behavior under test), and the
+    decoded per-frame pixel statistics are checked against a DuckDB
+    twin that computes the same byte stats directly."""
+    from bubbles.operators.multimodal import sample_frames_real
+
+    docs = _t(spark, sf_dir, "documents")
+    header = F.encode(F.lit("P6\n10 1\n255\n"), "UTF-8")
+
+    def frame(k: int):
+        src = F.col("text") if k == 0 else F.concat(F.col("text"), F.lit(str(k)))
+        return F.concat(header, F.encode(F.substring(F.md5(src), 1, 30), "UTF-8"))
+
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(frame(0), frame(1), frame(2)).alias("media"),
+    )
+    out = sample_frames_real(media, every_n=2)
+    return out.select(
+        "media_id",
+        "frame_idx",
+        "n_frames",
+        "width",
+        "height",
+        "channels",
+        F.round(F.element_at("features", 1), 6).alias("f_mean"),
+        F.round(F.element_at("features", 2), 6).alias("f_std"),
+        F.round(F.element_at("features", 3), 6).alias("f_min"),
+        F.round(F.element_at("features", 4), 6).alias("f_max"),
+        F.round(F.element_at("features", 5), 6).alias("ch0_mean"),
+        F.round(F.element_at("features", 6), 6).alias("ch1_mean"),
+        F.round(F.element_at("features", 7), 6).alias("ch2_mean"),
+    )
+
+
 def lsh_ann_topk(spark, sf_dir):
     """LSH ANN — the seeded hyperplanes are deterministic literals, so
     the DuckDB twin embeds the same plane arrays and replays the exact
@@ -908,6 +949,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": _widen(rollup_revenue_q),
         "pivot_revenue": _widen(pivot_revenue_q),
         "repetition_profile_long": _widen(repetition_profile_long_q),
+        "frame_sample_real": _widen(frame_sample_real_q),
     }
 
 
@@ -1821,6 +1863,33 @@ def extra_oracle_sql() -> dict[str, str]:
         # identical to the repetition_profile twin: the long/scale path
         # must produce the SAME rows as the expression path
         "repetition_profile_long": oracle_sql()["repetition_profile"],
+        # real frame decode: the Spark side runs the netpbm-stream
+        # kernel (header index + numpy decode of sampled frames); the
+        # twin computes the same per-frame byte statistics directly
+        # over the md5-hex payload (ASCII -> ord == byte value)
+        "frame_sample_real": """
+            WITH fr AS (
+              SELECT doc_id, k AS frame_idx,
+                     substr(md5(CASE WHEN k = 0 THEN text
+                                     ELSE text || CAST(k AS VARCHAR) END),
+                            1, 30) AS hex
+              FROM documents, (VALUES (0), (2)) t(k)
+            ), b AS (
+              SELECT doc_id, frame_idx, CAST(r.i AS INT) AS i,
+                     ord(substr(hex, CAST(r.i AS INT), 1)) / 255.0 AS v
+              FROM fr, unnest(range(1, 31)) r(i)
+            )
+            SELECT doc_id AS media_id, frame_idx,
+                   3 AS n_frames, 10 AS width, 1 AS height, 3 AS channels,
+                   round(avg(v), 6) AS f_mean,
+                   round(stddev_pop(v), 6) AS f_std,
+                   round(min(v), 6) AS f_min,
+                   round(max(v), 6) AS f_max,
+                   round(avg(v) FILTER ((i - 1) % 3 = 0), 6) AS ch0_mean,
+                   round(avg(v) FILTER ((i - 1) % 3 = 1), 6) AS ch1_mean,
+                   round(avg(v) FILTER ((i - 1) % 3 = 2), 6) AS ch2_mean
+            FROM b GROUP BY doc_id, frame_idx
+        """,
     }
 
 
