@@ -713,6 +713,16 @@ def multimodal_decode_fake(spark, sf_dir):
     )
 
 
+def source_quota_q(spark, sf_dir):
+    """Per-source document cap (domain balancing): keep 10 docs per
+    source, chosen by the deterministic md5-prefix order. Runs through
+    the skew-safe salted two-phase top-k; the twin is the equivalent
+    single window rank."""
+    from bubbles.operators.splits import source_quota
+
+    return source_quota(_t(spark, sf_dir, "documents"), max_per_key=10)
+
+
 def frame_sample_real_q(spark, sf_dir):
     """REAL video-frame sampling through the netpbm-stream kernel
     (bubbles/operators/multimodal.py sample_frames_real): each doc
@@ -950,6 +960,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_revenue": _widen(pivot_revenue_q),
         "repetition_profile_long": _widen(repetition_profile_long_q),
         "frame_sample_real": _widen(frame_sample_real_q),
+        "source_quota": _widen(source_quota_q),
     }
 
 
@@ -1889,6 +1900,17 @@ def extra_oracle_sql() -> dict[str, str]:
                    round(avg(v) FILTER ((i - 1) % 3 = 1), 6) AS ch1_mean,
                    round(avg(v) FILTER ((i - 1) % 3 = 2), 6) AS ch2_mean
             FROM b GROUP BY doc_id, frame_idx
+        """,
+        # the salted two-phase top-k provably equals one per-key
+        # window rank — the twin IS that single window
+        "source_quota": """
+            SELECT source, doc_id FROM (
+              SELECT source, doc_id,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                                doc_id) AS rn
+              FROM documents
+            ) WHERE rn <= 10
         """,
     }
 

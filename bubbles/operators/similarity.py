@@ -233,14 +233,15 @@ def lsh_topk(
     )
 
 
-def _salted_topk_per_key(
+def salted_topk_per_key(
     df: DataFrame, key_col: str, order_cols: list, k: int, n_salts: int = 32
 ) -> DataFrame:
     """Skew-safe exact top-k per key: a per-(key, salt) pre-rank keeps
     each salt partition's top k, then the final per-key rank runs over
     at most ``n_salts·k`` survivors per key — a hard bound independent
     of data skew (a hot key never lands its full group in one window
-    partition). Same rows as a single per-key ``row_number`` window."""
+    partition). Same rows as a single per-key ``row_number`` window.
+    Shared by the IVF inverted-list cap and splits.source_quota."""
     salt = F.pmod(F.xxhash64(*order_cols), F.lit(n_salts))
     w1 = Window.partitionBy(key_col, "__salt").orderBy(*order_cols)
     w2 = Window.partitionBy(key_col).orderBy(*order_cols)
@@ -252,6 +253,10 @@ def _salted_topk_per_key(
         .filter(F.col("__r2") <= k)
         .drop("__salt", "__r1", "__r2")
     )
+
+
+# back-compat alias (tests/tools imported the underscored name)
+_salted_topk_per_key = salted_topk_per_key
 
 
 def _ivf_assign_probe(

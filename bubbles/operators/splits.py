@@ -112,3 +112,35 @@ def pack_sequences(
         (F.col("stream") * F.lit(1 << 40) + seq_in_stream).alias("seq_id"),
         F.pmod(F.col("stream_offset"), F.lit(max_tokens)).cast("long").alias("seq_offset"),
     )
+
+
+def source_quota(
+    df: DataFrame,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    max_per_key: int = 100,
+) -> DataFrame:
+    """Per-source document cap — the domain-balancing step of a crawl
+    pipeline (no single host may dominate the training mix). Keeps a
+    DETERMINISTIC pseudo-random ``max_per_key`` docs per key: rank by
+    (md5-bucket of the id, id) inside each key, keep the first
+    ``max_per_key``. Engine-replayable (same md5-prefix ordering the
+    split bucket uses), order- and partitioning-independent.
+
+    Scale shape: the rank runs through the skew-safe salted two-phase
+    top-k (similarity.salted_topk_per_key) — a hot domain with 10⁸
+    docs never lands its full group in one window partition; each
+    salt sees ~1/32 of the key and the final rank sees at most
+    32·max_per_key survivors per key. Returns (key_col, id_col)."""
+    from bubbles.operators.similarity import salted_topk_per_key
+
+    h = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("__h")
+    )
+    ranked = df.select(F.col(key_col), F.col(id_col), h)
+    kept = salted_topk_per_key(
+        ranked, key_col, [F.col("__h"), F.col(id_col)], max_per_key
+    )
+    return kept.select(key_col, id_col)

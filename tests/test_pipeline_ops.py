@@ -738,6 +738,40 @@ def test_pack_sequences_layout(spark):
         assert list(grp["stream_offset"]) == [10 * i for i in range(len(grp))]
 
 
+def test_source_quota_caps_per_key_deterministically(spark):
+    """Per-source cap keeps exactly max_per_key docs per key, chosen
+    by the md5-prefix order (partitioning-independent), including on
+    a planted hot key that dominates the corpus."""
+    from bubbles.operators.splits import source_quota
+
+    rows = [(i, "hot") for i in range(500)] + [
+        (1000 + i, f"cold{i % 3}") for i in range(9)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = source_quota(df, max_per_key=5).toPandas()
+    sizes = out.groupby("source").size().to_dict()
+    assert sizes["hot"] == 5
+    assert all(sizes[f"cold{k}"] == 3 for k in range(3))  # under cap: all kept
+    # deterministic: same selection from a different partitioning
+    out2 = source_quota(df.repartition(7), max_per_key=5).toPandas()
+    key = lambda p: sorted(map(tuple, p[["source", "doc_id"]].to_numpy()))
+    assert key(out) == key(out2)
+    # and equals the plain single-window rank
+    from pyspark.sql import Window
+
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    want = (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "doc_id")
+        .toPandas()
+    )
+    assert key(out) == key(want)
+
+
 def test_pack_sequences_stream_width_scales(spark):
     """The derived stream count grows with corpus size (scale-safe
     default): ~target_docs_per_stream docs per window partition, never

@@ -87,3 +87,47 @@ def test_keyword_search_invariants(spark, texts):
     zero = out[out.tf_needleterm == 0]
     if len(zero):
         assert (top.score > zero.score).all()
+
+
+# ---------------------------------------------------------------------------
+# netpbm stream index (pure python — no Spark job needed per example)
+# ---------------------------------------------------------------------------
+
+frame_shapes = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=7),   # w
+        st.integers(min_value=1, max_value=5),   # h
+        st.sampled_from([b"P5", b"P6"]),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(frame_shapes, st.randoms(use_true_random=False))
+def test_netpbm_stream_index_roundtrip(shapes, rnd):
+    """Indexing a synthesized multi-frame stream recovers every
+    frame's exact geometry and payload offsets; truncating the last
+    payload byte always raises (torn-stream quarantine contract)."""
+    from bubbles.operators.multimodal import _netpbm_stream_index
+
+    blob = b""
+    want = []
+    for w, h, magic in shapes:
+        c = 3 if magic == b"P6" else 1
+        payload = bytes(rnd.randrange(256) for _ in range(w * h * c))
+        header = magic + b"\n" + f"{w} {h}\n255\n".encode()
+        want.append((len(blob) + len(header), w, h, c, payload))
+        blob += header + payload
+    idx = _netpbm_stream_index(blob)
+    assert len(idx) == len(shapes)
+    for (off, end, w, h, c), (woff, ww, wh, wc, wpayload) in zip(idx, want):
+        assert (off, w, h, c) == (woff, ww, wh, wc)
+        assert blob[off:end] == wpayload
+    # torn stream: last payload byte missing
+    try:
+        _netpbm_stream_index(blob[:-1])
+        raise AssertionError("truncated stream must raise")
+    except ValueError:
+        pass
