@@ -57,3 +57,34 @@ def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     clean = df.filter(F.col("_corrupt").isNull()).drop("_corrupt")
     bad = df.filter(F.col("_corrupt").isNotNull())
     return clean, bad
+
+
+def write_corpus(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple = ("split",),
+    max_records_per_file: int = 1_000_000,
+    mode: str = "error",
+) -> None:
+    """Hive-partitioned parquet corpus writer — the layout a training
+    job consumes (``.../split=train/lang=en/part-*.parquet``).
+    Partition columns become directories, so a downstream
+    ``read.parquet(path).filter(split='train')`` prunes whole
+    directories at plan time (zero I/O for the other splits — the
+    same partition-pruning contract the engine's scans rely on).
+
+    ``maxRecordsPerFile`` bounds file size without an extra
+    repartition job: Spark rolls to a new file mid-task, so one
+    writer task never produces a multi-GB file that a later reader
+    can't split by row group. No coalesce(1)-style funnels — every
+    task writes its own files in parallel (a single-file "tidy"
+    output is a driver-width bottleneck at any real scale)."""
+    missing = [c for c in partition_by if c not in df.columns]
+    if missing:
+        raise ValueError(f"partition columns not in frame: {missing}")
+    (
+        df.write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )

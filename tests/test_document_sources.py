@@ -37,3 +37,44 @@ def test_read_documents_csv_quarantine(spark, tmp_path):
     # .count() on the quarantine side prunes to the corrupt column
     # alone, which Spark disallows on raw CSV scans - materialize
     assert len(bad.toPandas()) == 1
+
+
+def test_write_corpus_partitioned_roundtrip(spark, tmp_path):
+    """Hive-partitioned write: directory layout, round-trip equality,
+    and plan-time partition pruning (a split filter reads only that
+    split's files)."""
+    from pyspark.sql import functions as F
+
+    from bubbles.operators.splits import assign_split
+    from bubbles.sources.documents import write_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "corpus")
+    write_corpus(assign_split(docs), out, partition_by=("split",))
+
+    import os
+
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("split="))
+    assert dirs == ["split=test", "split=train", "split=val"]
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # pruning: the split filter lands in the scan's PartitionFilters
+    # (directory-level pruning, zero I/O for other splits) and the
+    # pruned scan returns exactly the train rows
+    train = back.filter(F.col("split") == "train")
+    plan = train._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "split" in plan.split("PartitionFilters", 1)[1][:200]
+    n_train = docs.count() - back.filter(F.col("split") != "train").count()
+    assert train.count() == n_train > 0
+    # content round-trips (ids + texts)
+    a = sorted(r.doc_id for r in back.select("doc_id").collect())
+    b = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    assert a == b
+
+    # missing partition column fails fast
+    try:
+        write_corpus(docs, str(tmp_path / "x"), partition_by=("nope",))
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
