@@ -51,6 +51,64 @@ def _features_matrix(col: pd.Series) -> np.ndarray:
     return np.array([np.asarray(v, dtype=np.float64) for v in col], dtype=np.float64)
 
 
+def _murmur3_32_long(v: int, seed: int = 42) -> int:
+    """Spark's Murmur3_x86_32.hashLong (seed 42) — the hash behind
+    HashPartitioning of a LONG column. Validated bit-exact against
+    ``F.hash`` and ``repartition(n, col)`` placement; lets the driver
+    PREDICT which partition a long key lands in without any job."""
+
+    def mix_k1(k1: int) -> int:
+        k1 = (k1 * 0xCC9E2D51) & 0xFFFFFFFF
+        k1 = ((k1 << 15) | (k1 >> 17)) & 0xFFFFFFFF
+        return (k1 * 0x1B873593) & 0xFFFFFFFF
+
+    def mix_h1(h1: int, k1: int) -> int:
+        h1 ^= k1
+        h1 = ((h1 << 13) | (h1 >> 19)) & 0xFFFFFFFF
+        return (h1 * 5 + 0xE6546B64) & 0xFFFFFFFF
+
+    v &= 0xFFFFFFFFFFFFFFFF
+    h1 = mix_h1(seed, mix_k1(v & 0xFFFFFFFF))
+    h1 = mix_h1(h1, mix_k1((v >> 32) & 0xFFFFFFFF))
+    h1 ^= 8
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def _partition_reps(n_bins: int) -> list[int]:
+    """One representative long per partition of a
+    ``repartition(n_bins, <long col>)`` exchange: reps[p] hashes to
+    partition p. Pure driver-side search (no job) over small ints;
+    coupon-collector expected cost ~n_bins·ln(n_bins) candidates."""
+    reps: dict[int, int] = {}
+    v = 0
+    while len(reps) < n_bins:
+        p = _murmur3_32_long(v) % n_bins
+        if p not in reps:
+            reps[p] = v
+        v += 1
+    return [reps[p] for p in range(n_bins)]
+
+
+def _lpt_bins(items: list, weights: dict, n_bins: int) -> dict:
+    """Longest-processing-time bin packing: heaviest item first onto
+    the lightest bin — makespan ≤ 4/3·OPT. Returns item -> bin."""
+    import heapq
+
+    heap = [(0.0, b) for b in range(n_bins)]
+    heapq.heapify(heap)
+    out = {}
+    for it in sorted(items, key=lambda x: (-weights[x], x)):
+        w, b = heapq.heappop(heap)
+        out[it] = b
+        heapq.heappush(heap, (w + weights[it], b))
+    return out
+
+
 def _make_exact_edges_kernel(min_pts: int, metric: str):
     profile = bool(os.environ.get("SPARK_GRAFT_PROFILE"))
 
@@ -261,8 +319,15 @@ class MRHDBSCAN:
             _tick(f"it{iteration} sizes ({len(sizes)} subsets)")
             if profile:
                 top = sorted(sizes.values(), reverse=True)[:12]
+                sq = sorted(sizes.values())
+                n_s = len(sq)
+                qs = [sq[int(q * (n_s - 1))] for q in (0.0, 0.25, 0.5, 0.75, 1.0)]
+                # O(c²) kernel-work proxy: sum of squared subset sizes
+                work = sum(c * c for c in sq)
+                at_cap = sum(1 for c in sq if c > self.max_local_size * 0.95)
                 print(
-                    f"##   sizes: n={sum(sizes.values())} top12={top}",
+                    f"##   sizes: n={sum(sizes.values())} subsets={n_s} "
+                    f"q={qs} at_cap={at_cap} sum_sq={work:.3g} top12={top}",
                     file=sys.stderr,
                 )
             force_exact = iteration >= self.max_iterations
@@ -279,20 +344,39 @@ class MRHDBSCAN:
                 # it): the O(m²) MST kernels are CPU-bound on a few MB
                 # of rows, and byte-based AQE coalescing otherwise
                 # merges the whole stage into one task (measured 7.4s →
-                # 1.6s at sf0.01). groupBy requires only clustering by
-                # subset_id, which the repartition already provides —
-                # no second exchange.
-                # width = 2x min(cores, subsets): one task per subset
-                # is wasted dispatch when subsets are few (empty Python
-                # tasks still cost ~100 ms), while exactly one partition
-                # per core leaves stragglers when many subsets hash
-                # unevenly — 2x cores halves the stage (measured 10.4 s
-                # -> 5.9 s at 454 subsets / 32 cores; 4x+ regresses on
-                # dispatch)
-                small_df = _filter_subsets(current, small)
-                edges = small_df.repartition(
-                    2 * min(par, len(small)), "subset_id"
-                ).groupBy("subset_id").applyInPandas(exact_kernel, schema=_EDGE_SCHEMA)
+                # 1.6s at sf0.01).
+                # Work balance: the driver already holds every subset's
+                # size, and kernel cost is O(c²) — hashing subset_id
+                # lets the ~1 s cap-sized subsets collide in one task
+                # while quartile-sized ones finish in 10 ms (sf0.1
+                # lineitem: 29 of 476 subsets at the 4096 cap, stage
+                # 9.7 s). Instead, LPT-pack subsets into 2·cores bins
+                # by c², then PLACE each bin in its own partition via a
+                # representative long whose Murmur3 hash mod n_bins is
+                # that partition (driver-predicted, no job — see
+                # _murmur3_32_long). groupBy (__bin, subset_id) keeps
+                # the single exchange: hashpartitioning(__bin) is a
+                # subset of the group keys, so no re-shuffle. Measured
+                # 9.7 s → ~4 s on the same stage.
+                n_bins = 2 * min(par, len(small))
+                reps = _partition_reps(n_bins)
+                work = {s: float(sizes[s]) ** 2 for s in small}
+                bin_of = _lpt_bins(small, work, n_bins)
+                rep_map = F.create_map(
+                    *[
+                        F.lit(x)
+                        for s in small
+                        for x in (int(s), int(reps[bin_of[s]]))
+                    ]
+                )
+                small_df = _filter_subsets(current, small).withColumn(
+                    "__bin", rep_map[F.col("subset_id")].cast("long")
+                )
+                edges = (
+                    small_df.repartition(n_bins, "__bin")
+                    .groupBy("__bin", "subset_id")
+                    .applyInPandas(exact_kernel, schema=_EDGE_SCHEMA)
+                )
                 leaf_parts.append(edges.localCheckpoint())
                 n_leaf_subsets += len(small)
                 _tick(f"it{iteration} exact leaves ({len(small)} subsets)")

@@ -186,3 +186,46 @@ def test_fit_degenerate_inputs(spark):
     m = fit_rows([(i, [1.0, 2.0]) for i in range(50)])
     p = m.labels.toPandas()
     assert len(p) == 50 and set(p.label) == {0}  # identical: all noise
+
+
+def test_lpt_placement_helpers(spark):
+    """The driver-side Murmur3 twin matches Spark's F.hash AND actual
+    repartition placement; LPT respects capacity monotonicity."""
+    from pyspark.sql import functions as F
+
+    from bubbles.plans.mrhdbscan import (
+        _lpt_bins,
+        _murmur3_32_long,
+        _partition_reps,
+    )
+
+    vals = [0, 1, 7, 42, 476, -1, -987654321, 2**62, 123456789012345]
+    rows = (
+        spark.createDataFrame([(v,) for v in vals], "v long")
+        .select("v", F.hash("v").alias("h"))
+        .collect()
+    )
+    assert all(_murmur3_32_long(r.v) == r.h for r in rows)
+
+    # placement: every row of a repartition(n, col) lands where the
+    # driver predicted
+    df = spark.createDataFrame([(v,) for v in range(300)], "v long")
+    got = (
+        df.repartition(16, "v")
+        .select("v", F.spark_partition_id().alias("p"))
+        .collect()
+    )
+    assert all(_murmur3_32_long(r.v) % 16 == r.p for r in got)
+
+    # reps: a bijection bins -> partitions
+    reps = _partition_reps(16)
+    assert sorted(_murmur3_32_long(r) % 16 for r in reps) == list(range(16))
+
+    # LPT: max bin load within 4/3 + max_item of the ideal split
+    weights = {i: w for i, w in enumerate([100, 90, 80, 10, 10, 5, 5, 1] * 4)}
+    bins = _lpt_bins(list(weights), weights, 4)
+    loads = [0.0] * 4
+    for it, b in bins.items():
+        loads[b] += weights[it]
+    ideal = sum(weights.values()) / 4
+    assert max(loads) <= (4 / 3) * ideal + max(weights.values())
