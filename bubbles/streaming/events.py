@@ -485,3 +485,99 @@ def stateful_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def distinct_types_stream(events: DataFrame) -> DataFrame:
+    """Per-user distinct-event-type tracking on Spark 4's
+    ``transformWithStateInPandas`` (the modern arbitrary-state API —
+    typed state handles + TTL instead of the single-tuple
+    applyInPandasWithState contract). MapState holds the set of types
+    seen per user; each batch emits the user's updated
+    (n_distinct_types, n_events) so the sink converges to the batch
+    twin ``distinct_types_batch``. State is bounded by (users ×
+    event-type vocabulary), both small by construction; a TTL would
+    bound inactive users in a production feed.
+
+    AVAILABILITY: the transformWithStateInPandas worker protocol is
+    protobuf-based; ``protobuf`` is not installed in every runtime
+    (not in this repo's pinned container), so this raises a clear
+    ImportError up front instead of failing inside the micro-batch.
+    ``stateful_sessions`` / ``stateful_user_totals`` cover the
+    custom-stateful surface on the dependency-free
+    applyInPandasWithState API; this operator exists so the engine's
+    streaming story includes the current-generation API where its
+    dependency is present (import-gated, same policy as the Pillow
+    image fallback)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas requires the protobuf package "
+            "(its state-server protocol is protobuf-based); install "
+            "protobuf or use stateful_sessions/stateful_user_totals "
+            "(applyInPandasWithState, no extra dependency)"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class DistinctTypes(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.seen = handle.getMapState("seen", "t string", "one int")
+            self.total = handle.getValueState("total", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n = self.total.get()[0] if self.total.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+                for t in pdf["event_type"]:
+                    if not self.seen.containsKey((str(t),)):
+                        self.seen.updateValue((str(t),), (1,))
+            self.total.update((int(n),))
+            n_types = sum(1 for _ in self.seen.keys())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_distinct_types": [int(n_types)],
+                    "n_events": [int(n)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=DistinctTypes(),
+        outputStructType="user_id long, n_distinct_types long, n_events long",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def distinct_types_batch(events: DataFrame) -> DataFrame:
+    """Batch twin: per-user distinct event types + event count."""
+    return events.groupBy("user_id").agg(
+        F.count_distinct("event_type").alias("n_distinct_types"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def run_distinct_types_to_memory(
+    spark: SparkSession, sf_dir: str, name: str = "distinct_types_out"
+):
+    """Drive the transformWithStateInPandas operator over the parquet
+    micro-batch; single batch -> final state equals the batch twin."""
+    ev = read_events_stream(spark, sf_dir)
+    q = (
+        distinct_types_stream(ev)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}")

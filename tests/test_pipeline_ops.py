@@ -1254,3 +1254,35 @@ def test_stateful_sessions_event_time_timeout(spark, tmp_path):
         if r.user_id != 9
     }
     assert twin_groups == {(7, 2, 3.0), (7, 1, 4.0), (8, 1, 1.5)}
+
+
+def test_distinct_types_stream_matches_batch_or_gates(spark):
+    """transformWithStateInPandas op: runs when protobuf is present
+    (single batch -> equals the batch twin); otherwise raises its
+    documented availability error instead of dying mid-stream."""
+    from bubbles.streaming.events import (
+        distinct_types_batch,
+        distinct_types_stream,
+        read_events_batch,
+        read_events_stream,
+        run_distinct_types_to_memory,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    try:
+        import google.protobuf  # noqa: F401
+
+        has_proto = True
+    except ImportError:
+        has_proto = False
+
+    if not has_proto:
+        with pytest.raises(ImportError, match="protobuf"):
+            distinct_types_stream(read_events_stream(spark, sf))
+        return
+
+    got = run_distinct_types_to_memory(spark, sf).toPandas()
+    want = distinct_types_batch(read_events_batch(spark, sf)).toPandas()
+    g = got.sort_values("user_id").reset_index(drop=True)
+    w = want.sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g[w.columns], w, check_dtype=False)
