@@ -78,3 +78,42 @@ def test_write_corpus_partitioned_roundtrip(spark, tmp_path):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts
+    join with ZERO Exchange in the physical plan (persisted hash
+    partitioning) — the co-located-join layout for repeated joins."""
+    from pyspark.sql import functions as F
+
+    from bubbles.sources.bucketed import bucketed_join, write_bucketed
+
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    od = spark.read.parquet(f"{sf}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(li, "t_li_bucketed", "l_orderkey", 8, mode="overwrite")
+        write_bucketed(od, "t_od_bucketed", "l_orderkey", 8, mode="overwrite")
+        j = bucketed_join(spark, "t_li_bucketed", "t_od_bucketed", "l_orderkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:600]
+        # same rows as the plain (shuffled) join
+        assert j.count() == li.join(od, on="l_orderkey").count()
+        # the plain join DOES shuffle — the bucketing is what removed it
+        p2 = (
+            li.join(od, on="l_orderkey")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" in p2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_od_bucketed")
