@@ -713,6 +713,29 @@ def multimodal_decode_fake(spark, sf_dir):
     )
 
 
+def corpus_length_quantiles_q(spark, sf_dir):
+    """Per-language token-length quantiles — the length-distribution
+    profile a pre-training mix is tuned on. EXACT percentile (Spark's
+    sort-based ``percentile`` aggregate; linear interpolation matches
+    DuckDB's quantile_cont) so the twin is value-exact; the 100 TB
+    path swaps in ``approx_percentile`` (t-digest, one pass, no
+    per-group sort) — tests/test_pipeline_ops.py pins the approx
+    within rank-error of this exact result."""
+    from bubbles.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    n = token_count(F.col("text")).alias("n")
+    qs = docs.select("lang", n).groupBy("lang")
+    pct = F.percentile("n", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.95)]))
+    return qs.agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.element_at(pct, 1), 6).alias("p25"),
+        F.round(F.element_at(pct, 2), 6).alias("p50"),
+        F.round(F.element_at(pct, 3), 6).alias("p75"),
+        F.round(F.element_at(pct, 4), 6).alias("p95"),
+    )
+
+
 def source_quota_q(spark, sf_dir):
     """Per-source document cap (domain balancing): keep 10 docs per
     source, chosen by the deterministic md5-prefix order. Runs through
@@ -961,6 +984,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_profile_long": _widen(repetition_profile_long_q),
         "frame_sample_real": _widen(frame_sample_real_q),
         "source_quota": _widen(source_quota_q),
+        "corpus_length_quantiles": _widen(corpus_length_quantiles_q),
     }
 
 
@@ -1911,6 +1935,22 @@ def extra_oracle_sql() -> dict[str, str]:
                                 doc_id) AS rn
               FROM documents
             ) WHERE rn <= 10
+        """,
+        # exact interpolated percentiles: Spark's percentile() and
+        # DuckDB's quantile_cont share the linear-interpolation
+        # definition, so the twin is value-exact at 6dp
+        "corpus_length_quantiles": """
+            WITH t AS (
+              SELECT lang,
+                     len(string_split_regex(lower(text), '\\s+')) AS n
+              FROM documents
+            )
+            SELECT lang, count(*) AS n_docs,
+                   round(quantile_cont(n, 0.25), 6) AS p25,
+                   round(quantile_cont(n, 0.5), 6) AS p50,
+                   round(quantile_cont(n, 0.75), 6) AS p75,
+                   round(quantile_cont(n, 0.95), 6) AS p95
+            FROM t GROUP BY lang
         """,
     }
 

@@ -1286,3 +1286,32 @@ def test_distinct_types_stream_matches_batch_or_gates(spark):
     g = got.sort_values("user_id").reset_index(drop=True)
     w = want.sort_values("user_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(g[w.columns], w, check_dtype=False)
+
+
+def test_approx_percentile_tracks_exact_quantiles(spark):
+    """The 100 TB path for corpus_length_quantiles is
+    approx_percentile (t-digest, one pass, no per-group sort); at
+    accuracy 10000 the rank error is 1e-4, so on the real corpus the
+    approx p50/p95 must land within a tight absolute band of the
+    exact sort-based percentile."""
+    from bubbles.operators.text import token_count
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    n = token_count(F.col("text")).alias("n")
+    base = docs.select("lang", n)
+    exact = (
+        base.groupBy("lang")
+        .agg(F.percentile("n", F.lit(0.5)).alias("p50"),
+             F.percentile("n", F.lit(0.95)).alias("p95"))
+        .toPandas().set_index("lang").sort_index()
+    )
+    approx = (
+        base.groupBy("lang")
+        .agg(F.approx_percentile("n", F.lit(0.5), F.lit(10000)).alias("p50"),
+             F.approx_percentile("n", F.lit(0.95), F.lit(10000)).alias("p95"))
+        .toPandas().set_index("lang").sort_index()
+    )
+    for c in ("p50", "p95"):
+        # integer token counts: approx returns a member of the column,
+        # exact interpolates — allow one interpolation step of slack
+        assert (abs(exact[c] - approx[c]) <= 1.0).all(), (c, exact[c], approx[c])
