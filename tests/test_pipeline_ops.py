@@ -1315,3 +1315,71 @@ def test_approx_percentile_tracks_exact_quantiles(spark):
         # integer token counts: approx returns a member of the column,
         # exact interpolates — allow one interpolation step of slack
         assert (abs(exact[c] - approx[c]) <= 1.0).all(), (c, exact[c], approx[c])
+
+
+def test_stateful_checkpoint_recovery(spark, tmp_path):
+    """Restarting a stateful query from its checkpoint RECOVERS state
+    instead of recomputing it: after batch 1 the source file is
+    DELETED, so the restarted query can only know batch-1 totals from
+    the state store — and the recovered totals include them."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bubbles.streaming.events import EVENT_SCHEMA_NTZ, stateful_user_totals
+
+    data = tmp_path / "data"
+    data.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    base = 1_700_000_000_000_000
+
+    def write(path, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([base + r[0] * 60_000_000 for r in rows], pa.timestamp("us")),
+                    "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                    "event_type": pa.array(["click"] * len(rows)),
+                    "value": pa.array([r[2] for r in rows], pa.float64()),
+                    "props": pa.array(["{}"] * len(rows)),
+                }
+            ),
+            path,
+        )
+
+    def run_once(sink):
+        raw = (
+            spark.readStream.schema(EVENT_SCHEMA_NTZ)
+            .parquet(str(data))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        q = (
+            stateful_user_totals(raw)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    f1 = str(data / "batch1.parquet")
+    write(f1, [(1, 7, 1.5), (2, 7, 2.5), (3, 8, 10.0)])
+    out1 = []
+    run_once(lambda df, _e: out1.append(df.toPandas()))
+    t1 = pd.concat(out1).set_index("user_id")
+    assert t1.loc[7, "n_events"] == 2 and t1.loc[7, "total_value"] == 4.0
+
+    # the restarted query cannot re-read batch 1
+    os.remove(f1)
+    write(str(data / "batch2.parquet"), [(4, 7, 3.0), (5, 9, 7.0)])
+    out2 = []
+    run_once(lambda df, _e: out2.append(df.toPandas()))
+    t2 = pd.concat([p for p in out2 if len(p)]).set_index("user_id")
+    # user 7: batch-1 state (2 events, 4.0) + batch-2 event => RECOVERED
+    assert t2.loc[7, "n_events"] == 3 and t2.loc[7, "total_value"] == 7.0
+    # user 9 is new; user 8 has no new events so update mode stays quiet
+    assert t2.loc[9, "n_events"] == 1
+    assert 8 not in t2.index
