@@ -713,6 +713,22 @@ def multimodal_decode_fake(spark, sf_dir):
     )
 
 
+def weighted_mixture_q(spark, sf_dir):
+    """Deterministic corpus mixing: per-source keep probabilities
+    applied via an exact integer hash threshold (same md5 bucket on
+    both engines), so the kept row-set is identical everywhere."""
+    from bubbles.operators.splits import weighted_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = weighted_mixture(
+        docs,
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0},
+        default_weight=0.1,
+        seed=7,
+    )
+    return kept.select("source", "doc_id")
+
+
 def corpus_length_quantiles_q(spark, sf_dir):
     """Per-language token-length quantiles — the length-distribution
     profile a pre-training mix is tuned on. EXACT percentile (Spark's
@@ -985,6 +1001,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample_real": _widen(frame_sample_real_q),
         "source_quota": _widen(source_quota_q),
         "corpus_length_quantiles": _widen(corpus_length_quantiles_q),
+        "weighted_mixture": _widen(weighted_mixture_q),
     }
 
 
@@ -1951,6 +1968,21 @@ def extra_oracle_sql() -> dict[str, str]:
                    round(quantile_cont(n, 0.75), 6) AS p75,
                    round(quantile_cont(n, 0.95), 6) AS p95
             FROM t GROUP BY lang
+        """,
+        # same md5(id || 0x1f || seed) integer bucket on both engines
+        "weighted_mixture": """
+            SELECT source, doc_id FROM (
+              SELECT source, doc_id,
+                     CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || '7'), 1, 8)) AS BIGINT)
+                       % 1000000 AS b
+              FROM documents
+            )
+            WHERE b < (CASE source
+                         WHEN 'src0' THEN 1000000
+                         WHEN 'src1' THEN 500000
+                         WHEN 'src2' THEN 250000
+                         WHEN 'src3' THEN 0
+                         ELSE 100000 END)
         """,
     }
 

@@ -144,3 +144,48 @@ def source_quota(
         ranked, key_col, [F.col("__h"), F.col(id_col)], max_per_key
     )
     return kept.select(key_col, id_col)
+
+
+def weighted_mixture(
+    df: DataFrame,
+    weights: dict,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    default_weight: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic corpus mixing: keep each key's rows with its
+    configured probability (``weights[key]`` in [0, 1]) — the
+    source-reweighting step a pre-training mix is tuned with
+    (oversampled wiki, downsampled crawl...). Selection hashes
+    (id, seed), NOT a random draw: the same doc is kept or dropped
+    identically on every run, engine, and partitioning, and changing
+    ``seed`` redraws the whole mixture. Keys absent from ``weights``
+    fall back to ``default_weight`` (0 = drop — an explicit mix is a
+    whitelist). Pure projection + filter: zero shuffles at any scale,
+    and the filter sits directly above the scan.
+
+    Rational thresholds: a weight w is applied as
+    ``md5_bucket_1e6(id, seed) < round(w * 1e6)`` — exact integer
+    comparison, so both engines agree on every row."""
+    for k, w in weights.items():
+        if not (0.0 <= float(w) <= 1.0):
+            raise ValueError(f"weight for {k!r} must be in [0, 1], got {w}")
+    if not (0.0 <= float(default_weight) <= 1.0):
+        raise ValueError("default_weight must be in [0, 1]")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("\x1f", F.col(id_col).cast("string"), F.lit(str(seed)))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    thr = F.lit(int(round(float(default_weight) * 1_000_000)))
+    for k, w in sorted(weights.items()):
+        thr = F.when(F.col(key_col) == k, F.lit(int(round(float(w) * 1_000_000)))).otherwise(thr)
+    return df.filter(bucket < thr)

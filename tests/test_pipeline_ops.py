@@ -1383,3 +1383,32 @@ def test_stateful_checkpoint_recovery(spark, tmp_path):
     # user 9 is new; user 8 has no new events so update mode stays quiet
     assert t2.loc[9, "n_events"] == 1
     assert 8 not in t2.index
+
+
+def test_weighted_mixture_deterministic_and_proportional(spark):
+    """Mixture keeps ~w of each source, identically across
+    partitionings and runs; weight 0 drops a source entirely; bad
+    weights fail fast."""
+    from bubbles.operators.splits import weighted_mixture
+
+    rows = [(i, f"src{i % 4}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    w = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    kept = weighted_mixture(df, w, default_weight=0.25, seed=3).toPandas()
+    by = kept.groupby("source").size().to_dict()
+    assert by["src0"] == 1000                      # w=1 keeps all
+    assert "src2" not in by                        # w=0 drops all
+    assert abs(by["src1"] - 500) < 80              # ~w=0.5 of 1000
+    assert abs(by.get("src3", 0) - 250) < 80       # default 0.25
+    # deterministic under repartitioning
+    k2 = weighted_mixture(df.repartition(13), w, default_weight=0.25, seed=3).toPandas()
+    key = lambda p: sorted(map(tuple, p[["source", "doc_id"]].to_numpy()))
+    assert key(kept) == key(k2)
+    # a different seed redraws the mixture
+    k3 = weighted_mixture(df, w, default_weight=0.25, seed=4).toPandas()
+    assert key(kept) != key(k3)
+    # zero shuffles: filter sits over the scan
+    plan = weighted_mixture(df, w)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError):
+        weighted_mixture(df, {"src0": 1.5})
