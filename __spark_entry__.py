@@ -713,6 +713,20 @@ def multimodal_decode_fake(spark, sf_dir):
     )
 
 
+def token_budget_q(spark, sf_dir):
+    """Per-document token budget: whitespace tokens next to the
+    GPT-2-shaped BPE pre-tokenizer count (the cheap scan-time
+    estimator for 'how many tokens does this corpus cost')."""
+    from bubbles.operators.text import bpe_token_count, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        bpe_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
+    )
+
+
 def weighted_mixture_q(spark, sf_dir):
     """Deterministic corpus mixing: per-source keep probabilities
     applied via an exact integer hash threshold (same md5 bucket on
@@ -1002,6 +1016,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quota": _widen(source_quota_q),
         "corpus_length_quantiles": _widen(corpus_length_quantiles_q),
         "weighted_mixture": _widen(weighted_mixture_q),
+        "token_budget": _widen(token_budget_q),
     }
 
 
@@ -1983,6 +1998,16 @@ def extra_oracle_sql() -> dict[str, str]:
                          WHEN 'src2' THEN 250000
                          WHEN 'src3' THEN 0
                          ELSE 100000 END)
+        """,
+        # same lookahead-free GPT-2-shaped pre-tokenizer on both
+        # engines (Java regex vs RE2)
+        "token_budget": """
+            SELECT doc_id,
+                   len(string_split_regex(lower(text), '\\s+')) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text,
+                     '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'))
+                     AS BIGINT) AS bpe_tokens
+            FROM documents
         """,
     }
 

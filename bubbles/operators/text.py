@@ -30,6 +30,25 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+# GPT-2-style pre-tokenizer, lookahead-free so it runs identically
+# under Java regex (Spark) and RE2 (DuckDB): contraction suffixes,
+# space-prefixed letter runs, digit runs, punctuation runs, then
+# leftover whitespace. The real GPT-2 pattern's trailing
+# "\\s+(?!\\S)" lookahead is RE2-illegal; without it a run of spaces
+# before a word folds into the word's " ?" prefix anyway, so counts
+# differ only on trailing-whitespace edge cases.
+BPE_TOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Approximate BPE token count: non-overlapping matches of the
+    GPT-2-shaped pre-tokenizer regex — the budget estimator a
+    pre-training pipeline uses when the real tokenizer is too
+    expensive to run at scan time. JVM-side ``regexp_count``
+    (no UDF); DuckDB twin: ``len(regexp_extract_all(...))``."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_RE))
+
+
 def char_ngrams(text: Column, n: int = 3) -> Column:
     """All character n-grams of the lowercased text (shingles for
     Jaccard / MinHash)."""

@@ -1412,3 +1412,31 @@ def test_weighted_mixture_deterministic_and_proportional(spark):
     assert "Exchange" not in plan
     with pytest.raises(ValueError):
         weighted_mixture(df, {"src0": 1.5})
+
+
+def test_bpe_token_count_matches_python_re(spark):
+    """The BPE-ish pre-tokenizer count equals Python re on the same
+    pattern (three regex engines agree: Java, RE2/DuckDB via the
+    oracle, and Python here), including contractions and mixed runs."""
+    import re
+
+    from bubbles.operators.text import BPE_TOKEN_RE, bpe_token_count
+
+    texts = [
+        "hello world",
+        "it's the model's turn, we'll see...",
+        "abc123 456def  !!  7e-4",
+        "",
+        "   ",
+        "d'accord l'ami",  # non-suffix apostrophes split as punct runs
+        "CamelCase and UPPER runs",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = (
+        df.select("doc_id", bpe_token_count(F.col("text")).alias("n"))
+        .toPandas()
+        .set_index("doc_id")["n"]
+    )
+    pat = re.compile(BPE_TOKEN_RE)
+    for i, t in enumerate(texts):
+        assert got[i] == len(pat.findall(t)), (t, got[i], pat.findall(t))
