@@ -1,0 +1,132 @@
+"""Measured QUALITY of the approximate pipeline operators — not just
+plumbing correctness: MinHash-LSH near-dup recall/precision against
+the exact n-gram Jaccard ground truth, and ANN (LSH / IVF) recall@k
+against brute-force cosine, on the real documents/embeddings tables.
+
+Writes PIPELINE_EVAL.json. Usage:
+  python tools/pipeline_eval.py [sf_dir] [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "PIPELINE_EVAL.json"
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    results: dict = {"sf_dir": sf_dir}
+
+    # ---- near-dup: MinHash-LSH candidates vs exact Jaccard truth ----
+    # ngram_jaccard_pairs is EXACT and complete for every pair sharing
+    # >= 1 shingle — any pair at jaccard >= theta > 0 shares shingles,
+    # so filtering it at theta IS the full ground truth.
+    from bubbles.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    theta = 0.7
+    # truth in the SAME shingle space MinHash signs (5-gram jaccard):
+    # mixing spaces (3-gram truth vs 5-gram signatures) understates
+    # recall for reasons that have nothing to do with LSH
+    t0 = time.time()
+    truth = {
+        (int(r.id_a), int(r.id_b))
+        for r in ngram_jaccard_pairs(docs, threshold=theta, n=5).collect()
+    }
+    t_truth = round(time.time() - t0, 2)
+    cand_true = {
+        (int(r.id_a), int(r.id_b))
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, n=5).collect()
+    }
+    results["near_dup"] = {"theta_truth": theta, "n_truth_pairs": len(truth)}
+    # the num_hashes knob: 8 (the oracle-pinned cheap default; 2 bands
+    # of 4 -> theoretical detection 1-(1-s^4)^2 = 0.42 at s=0.7) vs 32
+    # (8 bands -> 0.89 at s=0.7, 0.99 at s=0.8) — production recall
+    # needs the bigger signature; the s-curve is the price of cheap
+    for nh in (8, 32):
+        t0 = time.time()
+        cand = {
+            (int(r.id_a), int(r.id_b))
+            for r in minhash_lsh_pairs(docs, num_hashes=nh).collect()
+        }
+        el = round(time.time() - t0, 2)
+        results["near_dup"][f"num_hashes={nh}"] = {
+            "n_candidates": len(cand),
+            "recall_at_theta": round(len(truth & cand) / max(len(truth), 1), 4),
+            "candidate_precision_at_0.5": round(
+                len(cand & cand_true) / max(len(cand), 1), 4
+            ),
+            "sec_lsh": el,
+        }
+    results["near_dup"]["sec_exact_truth"] = t_truth
+    print(json.dumps(results["near_dup"]), flush=True)
+
+    # ---- ANN recall@k vs brute-force cosine ----
+    from bubbles.operators.similarity import cosine_topk, ivf_topk, lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_vec = emb.count()
+    k = 10
+    t0 = time.time()
+    brute = cosine_topk(emb, emb, k=k).collect()
+    t_brute = round(time.time() - t0, 2)
+    truth_nn = {}
+    for r in brute:
+        truth_nn.setdefault(int(r.query_id), set()).add(int(r.neighbor_id))
+
+    def recall(rows, qcol, ncol):
+        got = {}
+        for r in rows:
+            got.setdefault(int(r[qcol]), set()).add(int(r[ncol]))
+        num = sum(len(truth_nn[q] & got.get(q, set())) for q in truth_nn)
+        den = sum(len(truth_nn[q]) for q in truth_nn)
+        return round(num / max(den, 1), 4)
+
+    t0 = time.time()
+    lsh = lsh_topk(emb, k=k, dim=64).collect()
+    t_ann_lsh = round(time.time() - t0, 2)
+    n_cent = max(16, int((n_vec / 200) ** 0.5) ** 2)
+    t0 = time.time()
+    ivf = ivf_topk(emb, k=k, n_centroids=n_cent, n_probe=8, n_rows=n_vec).collect()
+    t_ivf = round(time.time() - t0, 2)
+    results["ann"] = {
+        "n_vectors": int(n_vec),
+        "k": k,
+        "lsh_recall": recall(lsh, "query_id", "neighbor_id"),
+        "ivf_recall": recall(ivf, "query_id", "neighbor_id"),
+        "sec_brute": t_brute,
+        "sec_lsh": t_ann_lsh,
+        "sec_ivf": t_ivf,
+        "note": (
+            "embeddings are barely separable by construction "
+            "(between-centroid 0.2 vs within-spread 0.99, TESTDATA.md) — "
+            "a hard ANN instance; recall here is the floor, not the ceiling."
+        ),
+    }
+    print(json.dumps(results["ann"]), flush=True)
+
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {out}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
