@@ -1412,6 +1412,15 @@ def test_weighted_mixture_deterministic_and_proportional(spark):
     assert "Exchange" not in plan
     with pytest.raises(ValueError):
         weighted_mixture(df, {"src0": 1.5})
+    # NULL source falls to the default weight (CASE-otherwise on both
+    # engines), never to a configured key's weight
+    withnull = spark.createDataFrame(
+        [(i, None) for i in range(1000)], "doc_id long, source string"
+    )
+    kept0 = weighted_mixture(withnull, {"src0": 1.0}, default_weight=0.0).count()
+    assert kept0 == 0
+    kept_half = weighted_mixture(withnull, {"src0": 0.0}, default_weight=0.5).count()
+    assert abs(kept_half - 500) < 80
 
 
 def test_bpe_token_count_matches_python_re(spark):
