@@ -20,9 +20,14 @@ from pyspark.sql import functions as F
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # timestamp literals/casts must not depend on the driver session's
-    # timezone (DuckDB compares naive-UTC wall times)
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # No session-conf mutation (the r5 reader side-effect cleanup,
+    # completed): every registered query is timezone-independent by
+    # construction — timestamps travel as integer epoch micros or
+    # TIMESTAMP_NTZ arithmetic (bubbles/streaming/events.py), date
+    # predicates are DateType, and no output column renders a local
+    # time. Verified: the full registry hash-matches the DuckDB twins
+    # under spark.sql.session.timeZone=America/New_York
+    # (tests/test_twin_robustness.py pins the events family).
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -194,3 +194,19 @@ def test_pii_and_repetition_twins_on_matching_text(spark, tmp_path):
     _write_documents(tmp_path)
     assert_twin(spark, tmp_path, "pii_scrub", ["documents"])
     assert_twin(spark, tmp_path, "repetition_profile", ["documents"])
+
+
+@pytest.mark.parametrize("nanos", [True, False], ids=["ts-nanos", "ts-micros"])
+def test_timestamp_queries_tz_independent(spark, tmp_path, nanos):
+    """The whole events family must hash-match its oracles under a
+    NON-UTC session timezone — no query (and no `_t` table reader)
+    may depend on a session-conf UTC pin."""
+    _write_events(tmp_path, nanos)
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        for name in ("events_json_k", "events_windowed", "events_sessionize",
+                     "events_asof_join", "stream_session_windows"):
+            assert_twin(spark, tmp_path, name, ["events"])
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
