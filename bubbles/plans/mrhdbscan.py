@@ -362,16 +362,19 @@ class MRHDBSCAN:
                 reps = _partition_reps(n_bins)
                 work = {s: float(sizes[s]) ** 2 for s in small}
                 bin_of = _lpt_bins(small, work, n_bins)
-                rep_map = F.create_map(
-                    *[
-                        F.lit(x)
-                        for s in small
-                        for x in (int(s), int(reps[bin_of[s]]))
-                    ]
+                # ship the (subset -> bin-representative) assignment as
+                # a broadcast INNER join, not a literal create_map: at
+                # ~750 subsets the 1500-literal map made Catalyst
+                # planning/codegen the stage's dominant cost (kernels
+                # occupied only the last ~2.5 s of an 8.2 s stage on
+                # Skin), and element_at on a literal map is a linear
+                # scan per row besides. The inner join also subsumes
+                # the small-subset filter.
+                bin_df = spark.createDataFrame(
+                    [(int(s), int(reps[bin_of[s]])) for s in small],
+                    schema="subset_id long, __bin long",
                 )
-                small_df = _filter_subsets(current, small).withColumn(
-                    "__bin", rep_map[F.col("subset_id")].cast("long")
-                )
+                small_df = current.join(F.broadcast(bin_df), on="subset_id")
                 edges = (
                     small_df.repartition(n_bins, "__bin")
                     .groupBy("__bin", "subset_id")
