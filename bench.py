@@ -55,16 +55,21 @@ def main():
 
     import gc
 
-    def bench(name: str, thunk, n_runs: int | None = None):
+    def bench(name: str, thunk, n_runs: int | None = None, n_warmups: int = 1):
         n = n_runs or reps
         runs = []
         info = ""
-        # one untimed warmup before the measured reps (JIT + page cache
+        # untimed warmup(s) before the measured reps (JIT + page cache
         # + shuffle-file reuse): the first execution of a query runs
-        # 2-5x its steady state, which poisons a 3-run median. Queries
-        # pinned to a single run (n_runs=1) stay cold on purpose —
-        # they mirror how the paper measured its runtime table.
-        total = n if n == 1 else n + 1
+        # 2-5x its steady state, which poisons a 3-run median. The two
+        # mrhdbscan fits take n_warmups=2 — their first WARMED rep was
+        # still 1.8x the median (BENCH_r05 runs: 31.4 vs 17.4) because
+        # one warmup doesn't fully JIT the multi-stage fit loop.
+        # Queries pinned to a single run (n_runs=1) stay cold on
+        # purpose — they mirror how the paper measured its runtime
+        # table.
+        warm = 0 if n == 1 else n_warmups
+        total = n + warm
         for i in range(total):
             # reclaim the previous run's unreferenced localCheckpoint
             # blocks OUTSIDE the timed window — accumulated blocks
@@ -75,8 +80,8 @@ def main():
             t0 = time.time()
             info = thunk()
             el = round(time.time() - t0, 3)
-            if total > n and i == 0:
-                warmups[name] = el
+            if i < warm:
+                warmups[name] = el  # keep the last warmup's time
             else:
                 runs.append(el)
         all_runs[name] = runs
@@ -171,7 +176,7 @@ def main():
         ).fit(lpts)
         return f"{lmodel.labels.count()} pts, {lmodel.n_iterations} iters"
 
-    bench("mrhdbscan_lineitem", run_li)
+    bench("mrhdbscan_lineitem", run_li, n_warmups=2)
 
     # the reference's real dataset (Skin_NonSkin 245k×4, BASELINE.md
     # Skin DB row: 60.19 s, the paper's bubbles variant on its cluster)
@@ -204,7 +209,7 @@ def main():
             ).fit(spts)
             return f"{m.labels.count()} pts (paper DB baseline 60.19s)"
 
-        bench("skin_nonskin_fit", run_skin)
+        bench("skin_nonskin_fit", run_skin, n_warmups=2)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -336,7 +336,13 @@ class MRHDBSCAN:
                 for s, c in sizes.items()
                 if c <= self.max_local_size or stalls.get(s, 0) >= 2 or force_exact
             ]
-            big = [s for s in sizes if s not in set(small)]
+            # hoist the set OUT of the comprehension: `if s not in
+            # set(small)` re-builds it per element — O(|sizes|·|small|)
+            # driver CPU, measured 100%-driver / 0%-executor for ~700 s
+            # at 6M points (143 733 leaf subsets at iteration 2) while
+            # being invisible at 600k (476 subsets)
+            small_set = set(small)
+            big = [s for s in sizes if s not in small_set]
 
             if small:
                 # pin the kernel stage's width with an explicit
