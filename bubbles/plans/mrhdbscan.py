@@ -312,10 +312,23 @@ class MRHDBSCAN:
             return df.join(F.broadcast(id_df), on="subset_id", how="left_semi")
 
         while True:
-            sizes = {
-                r["subset_id"]: r["cnt"]
-                for r in current.groupBy("subset_id").agg(F.count("*").alias("cnt")).collect()
-            }
+            # toArrow, not collect(): driver-side materializations in
+            # this loop scale with the SUBSET count (143k rows at 6M
+            # points) and Arrow is the only collect path that doesn't
+            # depend on the caller session's arrow.pyspark.enabled conf
+            # (default FALSE in Spark 4 — row-pickle collect of the 5.5M
+            # reduced events measured 45 s vs ~5 s via Arrow)
+            _sz = (
+                current.groupBy("subset_id")
+                .agg(F.count("*").alias("cnt"))
+                .toArrow()
+            )
+            sizes = dict(
+                zip(
+                    (int(x) for x in _sz.column("subset_id").to_pylist()),
+                    (int(x) for x in _sz.column("cnt").to_pylist()),
+                )
+            )
             _tick(f"it{iteration} sizes ({len(sizes)} subsets)")
             if profile:
                 top = sorted(sizes.values(), reverse=True)[:12]
@@ -401,22 +414,21 @@ class MRHDBSCAN:
                 max_per_key=min(self.max_samples_per_subset, self.max_local_size),
             )
             # driver-bounded sample collect (the reference ships samples
-            # in the FirstStep closure the same way, Main.java:140-169)
-            sample_rows = samples.select(
-                "subset_id", "sample_ord", "point_id", "features"
-            ).collect()
-            _tick(f"it{iteration} sample collect ({len(sample_rows)} rows)")
-            by_subset: dict[int, list] = {}
-            for r in sample_rows:
-                by_subset.setdefault(int(r["subset_id"]), []).append(
-                    (int(r["sample_ord"]), int(r["point_id"]), r["features"])
-                )
+            # in the FirstStep closure the same way, Main.java:140-169);
+            # Arrow path + vectorized packing (row-pickle collect of
+            # 283k feature rows was multi-second at 6M points)
+            spdf = (
+                samples.select("subset_id", "sample_ord", "point_id", "features")
+                .toArrow()
+                .to_pandas()
+            )
+            _tick(f"it{iteration} sample collect ({len(spdf)} rows)")
+            spdf = spdf.sort_values(["subset_id", "sample_ord"], kind="mergesort")
             packed = {}
-            for s, rows in by_subset.items():
-                rows.sort()
-                packed[s] = (
-                    np.array([p for _, p, _ in rows], dtype=np.int64),
-                    np.array([f for _, _, f in rows], dtype=np.float64),
+            for s, grp in spdf.groupby("subset_id", sort=False):
+                packed[int(s)] = (
+                    grp["point_id"].to_numpy(np.int64),
+                    np.array([np.asarray(f, dtype=np.float64) for f in grp["features"]]),
                 )
             assigned = nearest_representative_bulk(
                 big_df, packed, metric=self.distance
@@ -440,19 +452,27 @@ class MRHDBSCAN:
             )
             # induce fresh global subset ids (reference Main.java:272-290
             # does the same renumbering on the driver)
-            pairs = bubble_labels.select("subset_id", "label").distinct().collect()
+            _pt = (
+                bubble_labels.select("subset_id", "label").distinct().toArrow()
+            )
+            pairs = sorted(
+                zip(
+                    (int(x) for x in _pt.column("subset_id").to_pylist()),
+                    (int(x) for x in _pt.column("label").to_pylist()),
+                )
+            )
             _tick(f"it{iteration} relabel distinct")
             mapping = []
             new_stalls: dict[int, int] = {}
             per_parent: dict[int, int] = {}
-            for row in pairs:
-                per_parent[row["subset_id"]] = per_parent.get(row["subset_id"], 0) + 1
-            for row in pairs:
+            for sid, _lbl in pairs:
+                per_parent[sid] = per_parent.get(sid, 0) + 1
+            for sid, lbl in pairs:
                 nid = next_subset_id
                 next_subset_id += 1
-                mapping.append((row["subset_id"], row["label"], nid))
-                parent_stall = stalls.get(row["subset_id"], 0)
-                new_stalls[nid] = parent_stall + 1 if per_parent[row["subset_id"]] == 1 else 0
+                mapping.append((sid, lbl, nid))
+                parent_stall = stalls.get(sid, 0)
+                new_stalls[nid] = parent_stall + 1 if per_parent[sid] == 1 else 0
             stalls = new_stalls
             map_df = spark.createDataFrame(
                 mapping, schema="subset_id long, label long, new_subset_id long"
@@ -536,7 +556,9 @@ class MRHDBSCAN:
         """Stage C/D replacement: one driver-side bottom-up dendrogram
         over the merged edge relation (paper §3.3.3 bottom-up option;
         the reference's top-down loop is broken, bug B7)."""
-        epdf = all_edges.toPandas()
+        # toArrow: exact long/double decode, independent of the caller
+        # session's arrow.pyspark.enabled (default false in Spark 4)
+        epdf = all_edges.toArrow().to_pandas()
         src = epdf["src"].to_numpy(np.int64)
         dst = epdf["dst"].to_numpy(np.int64)
         w = epdf["weight"].to_numpy(np.float64)
@@ -606,7 +628,7 @@ class MRHDBSCAN:
 
         if cross_edges is not None:
             # driver-bounded: one row per inter-cluster edge (O(#bubbles))
-            cpdf = cross_edges.toPandas()
+            cpdf = cross_edges.toArrow().to_pandas()
         else:
             cpdf = pd.DataFrame({"src": [], "dst": [], "weight": []})
         boundary = frozenset(map(int, cpdf["src"])) | frozenset(map(int, cpdf["dst"]))
@@ -633,7 +655,11 @@ class MRHDBSCAN:
             F.col("b").alias("rep_id"),
             F.col("w").alias("core_distance"),
         )
-        red = phase1.filter(F.col("kind") > 0).toPandas()
+        # Arrow collect: the reduced-event relation is the one driver
+        # materialization that scales with retained events (5.5M rows
+        # at 6M points / mcl=2000) — row-pickle collect measured 45 s
+        # vs ~5 s on the Arrow path
+        red = phase1.filter(F.col("kind") > 0).toArrow().to_pandas()
         tick(f"global reduced collect ({len(red)} rows)")
         e1 = red[red["kind"] == 1]
         src = np.concatenate(
@@ -683,17 +709,28 @@ class MRHDBSCAN:
         eps_max = np.fromiter(
             (min_death[int(c)] for c in res.last_cluster), np.float64, len(verts)
         )
+        import pyarrow as pa
+
+        # ship via an Arrow table: createDataFrame(pandas) falls back to
+        # row pickling when the caller session leaves
+        # arrow.pyspark.enabled at its Spark-4 default (false) — at 6M
+        # points rep_df is millions of rows
         rep_df = spark.createDataFrame(
-            pd.DataFrame(
+            pa.table(
                 {
-                    "rep_id": verts,
-                    "label": res.labels.astype(np.int64),
-                    "noise_level": res.noise_level,
-                    "eps_max": eps_max,
+                    "rep_id": pa.array(verts, pa.int64()),
+                    "label": pa.array(res.labels.astype(np.int64), pa.int64()),
+                    "noise_level": pa.array(res.noise_level, pa.float64()),
+                    "eps_max": pa.array(eps_max, pa.float64()),
                 }
             )
         )
-        joined = membership.join(F.broadcast(rep_df), on="rep_id")
+        # broadcast only while the retained-vertex relation is actually
+        # small; past ~2M rows (≈80 MB) a broadcast stresses every
+        # executor's memory and a shuffle join is the right plan
+        if len(verts) <= 2_000_000:
+            rep_df = F.broadcast(rep_df)
+        joined = membership.join(rep_df, on="rep_id")
         labels_df = joined.select("point_id", "label")
         # GLOSH (HDBSCANStar.java:653-686): contracted members share
         # their representative's noise level and deepest cluster exactly
