@@ -727,8 +727,12 @@ class MRHDBSCAN:
         )
         # broadcast only while the retained-vertex relation is actually
         # small; past ~2M rows (≈80 MB) a broadcast stresses every
-        # executor's memory and a shuffle join is the right plan
-        if len(verts) <= 2_000_000:
+        # executor's memory and a shuffle join is the right plan. In
+        # local mode the "broadcast" lives in the one shared JVM heap,
+        # so the cheap path stays cheap much longer.
+        is_local = spark.sparkContext.master.startswith("local")
+        bcast_cap = 8_000_000 if is_local else 2_000_000
+        if len(verts) <= bcast_cap:
             rep_df = F.broadcast(rep_df)
         joined = membership.join(rep_df, on="rep_id")
         labels_df = joined.select("point_id", "label")
