@@ -174,3 +174,242 @@ def make_contract_kernel(boundary_bc, min_cluster_size: int):
         return pd.DataFrame({"kind": k, "a": a, "b": b, "w": ww})
 
     return kernel
+
+
+
+# ---------------------------------------------------------------------------
+# v2: chain-coalescing contraction (opt-in via MRHDBSCAN(coalesce_chains=True))
+#
+# v1 retains one hub edge + one virtual vertex PER MERGE EVENT along any
+# spine whose running mass is >= min_cluster_size — for a cap-sized leaf
+# subset (4096 points, mcl 2000) that is ~2 100 retained events, and at
+# 6M points the driver input measured 5.56M rows. v2 coalesces runs of
+# pure sub-mcl attachments along a PURE >= mcl spine into chunks of
+# cumulative mass < mcl, carrying
+#   kind 3 rows: the chunk's pre-aggregated stability credit Σ m_i/w_i
+#   kind 0 w2 : each member's true detach weight (valid because the
+#               spine side at every absorbed event is >= mcl, so the
+#               small side turns noise exactly at its local event)
+#
+# PURITY of the spine node (no cross-edge endpoint anywhere in its
+# subtree) is what makes the coalescing EXACT: the component at any
+# threshold inside a chunk's span is contained in that pure subtree, so
+# no cross edge — ours or a foreign subset's — can reach it, hence no
+# global birth/split can land inside the span. Every chunk therefore
+# detaches wholly inside one cluster interval: members inherit the
+# chunk vertex's flat label and eps_max exactly, and their true noise
+# level is their own detach weight. (Coalescing on IMPURE spines is
+# NOT exact: a cross edge elsewhere in the shared component can split
+# it mid-span, changing both membership masses at the born child and
+# the members' flat labels — measured as n_points drift in the fit
+# differential before this restriction.) Impure spines and sub-mcl
+# crowns fall back to v1 per-event emission.
+#
+# Float caveat: the driver applies credit − mass/birth where the raw
+# path sums m_i·(1/w_i − 1/birth) term by term; the re-grouping drifts
+# stabilities by ulps, so v2 is differential-tested with allclose and
+# exact label equality, never bit-equality (see tests/test_contract_v2).
+# ---------------------------------------------------------------------------
+
+CONTRACT2_SCHEMA = "kind int, a long, b long, w double, w2 double"
+
+
+def contract_subset_edges_v2(
+    src: np.ndarray,
+    dst: np.ndarray,
+    w: np.ndarray,
+    boundary,
+    min_cluster_size: int,
+):
+    """Contract one subset's edge set with pure-spine chain coalescing.
+
+    ``boundary`` is the global set of cross-edge endpoint ids (same
+    contract as v1). Returns five arrays matching ``CONTRACT2_SCHEMA``
+    (w2 = per-point detach weight for coalesced members, NaN
+    otherwise).
+    """
+    verts = np.unique(np.concatenate([src, dst]))
+    n = len(verts)
+    pos = {int(g): i for i, g in enumerate(verts)}
+    lu = np.fromiter((pos[int(x)] for x in src), np.int64, len(src))
+    lv = np.fromiter((pos[int(x)] for x in dst), np.int64, len(dst))
+    children, merge_w, roots, self_w = _merge_forest(lu, lv, w, n)
+    nc = len(children)
+    total = n + nc
+
+    mass = np.ones(total)
+    pure = np.zeros(total, dtype=bool)
+    minid = np.empty(total, dtype=np.int64)
+    minid[:n] = verts
+    for i in range(n):
+        pure[i] = int(verts[i]) not in boundary
+    for k in range(nc):  # children only reference lower node ids
+        ch = children[k]
+        mass[n + k] = sum(mass[c] for c in ch)
+        pure[n + k] = all(pure[c] for c in ch)
+        minid[n + k] = min(minid[c] for c in ch)
+
+    out_k: list[int] = []
+    out_a: list[int] = []
+    out_b: list[int] = []
+    out_w: list[float] = []
+    out_w2: list[float] = []
+    assign = np.empty(n, dtype=np.int64)
+    detach = np.full(n, np.nan)
+
+    def emit(kind: int, a: int, b: int, ww: float, ww2: float = np.nan) -> None:
+        out_k.append(kind)
+        out_a.append(a)
+        out_b.append(b)
+        out_w.append(ww)
+        out_w2.append(ww2)
+
+    def contract_to(node: int, rep: int, det: float = np.nan) -> None:
+        st = [node]
+        while st:
+            x = st.pop()
+            if x < n:
+                assign[x] = rep
+                detach[x] = det
+            else:
+                st.extend(children[x - n])
+
+    mcl = min_cluster_size
+    work: list[tuple[int, bool]] = []
+    for root in roots:
+        if pure[root] and mass[root] < mcl:
+            rep = int(minid[root])
+            wtop = merge_w[root - n] if root >= n else float(self_w[root])
+            emit(2, rep, 0, float(mass[root]))
+            if wtop > 0:
+                emit(1, rep, rep, float(wtop))
+            contract_to(root, rep)
+        else:
+            work.append((root, True))
+
+    def emit_v1_node(node: int) -> None:
+        """v1-style per-event emission for one structural node; pushes
+        its big/impure kids onto the work queue."""
+        W = float(merge_w[node - n])
+        kids = children[node - n]
+        reps: list[int] = []
+        virt: list[int] = []
+        for c in kids:
+            if pure[c] and mass[c] < mcl:
+                virt.append(c)
+            else:
+                reps.append(int(minid[c]))
+                work.append((c, False))
+        virt.sort(key=lambda c: int(minid[c]))
+        cur: list[int] = []
+        cm = 0.0
+        bins: list[tuple[list[int], float]] = []
+        for c in virt:
+            if cur and cm + mass[c] >= mcl:
+                bins.append((cur, cm))
+                cur, cm = [], 0.0
+            cur.append(c)
+            cm += float(mass[c])
+        if cur:
+            bins.append((cur, cm))
+        for group, gm in bins:
+            rep = int(min(minid[c] for c in group))
+            emit(2, rep, 0, gm)
+            for c in group:
+                contract_to(c, rep)
+            reps.append(rep)
+        hub = reps[0]
+        for r in reps[1:]:
+            emit(1, hub, r, W)
+
+    while work:
+        node, is_root = work.pop()
+        if node < n:
+            emit(2, int(verts[node]), 0, 1.0)
+            if is_root and self_w[node] > 0:
+                emit(1, int(verts[node]), int(verts[node]), float(self_w[node]))
+            assign[node] = verts[node]
+            continue
+
+        # segment descent: coalesce while the CURRENT node's whole
+        # subtree is pure and its single continuing child is >= mcl
+        chunk: list[tuple[int, float]] = []  # (virt node, event weight)
+        chunk_mass = 0.0
+        chunk_credit = np.float64(0.0)
+        chunk_watt = 0.0
+        hub = 0  # minid of the continuing child below the open chunk
+
+        def flush() -> None:
+            nonlocal chunk, chunk_mass, chunk_credit, chunk_watt
+            if not chunk:
+                return
+            rep = int(min(minid[c] for c, _ in chunk))
+            emit(2, rep, 0, float(chunk_mass))
+            emit(3, rep, 0, float(chunk_credit))
+            emit(1, hub, rep, float(chunk_watt))
+            for c, cw in chunk:
+                contract_to(c, rep, det=cw)
+            chunk = []
+            chunk_mass = 0.0
+            chunk_credit = np.float64(0.0)
+            chunk_watt = 0.0
+
+        cur = node
+        while True:
+            W = np.float64(merge_w[cur - n])
+            kids = children[cur - n]
+            bigimp = [c for c in kids if mass[c] >= mcl or not pure[c]]
+            if (
+                not pure[cur]
+                or len(bigimp) != 1
+                or mass[bigimp[0]] < mcl
+                or bigimp[0] < n
+            ):
+                # impure subtree / structural event / leaf continuation:
+                # close the open chunk above it, then emit per-event
+                flush()
+                emit_v1_node(cur)
+                break
+            cc = bigimp[0]
+            for c in sorted(
+                (c for c in kids if c is not cc), key=lambda c: int(minid[c])
+            ):
+                if chunk and chunk_mass + mass[c] >= mcl:
+                    flush()
+                if not chunk:
+                    chunk_watt = float(W)
+                hub = int(minid[cc])
+                chunk.append((c, float(W)))
+                chunk_mass += float(mass[c])
+                chunk_credit = chunk_credit + np.float64(mass[c]) * (
+                    np.float64(1.0) / W
+                )
+            hub = int(minid[cc])
+            cur = cc
+
+    mk = np.zeros(n, dtype=np.int32)
+    return (
+        np.concatenate([np.asarray(out_k, np.int32), mk]),
+        np.concatenate([np.asarray(out_a, np.int64), verts.astype(np.int64)]),
+        np.concatenate([np.asarray(out_b, np.int64), assign]),
+        np.concatenate([np.asarray(out_w, np.float64), self_w.astype(np.float64)]),
+        np.concatenate([np.asarray(out_w2, np.float64), detach]),
+    )
+
+
+def make_contract_kernel_v2(boundary_bc, min_cluster_size: int):
+    """``applyInPandas`` wrapper for the chain-coalescing contraction;
+    ``boundary_bc`` broadcasts the frozenset of cross-edge endpoint
+    ids (same contract as v1's wrapper)."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        k, a, b, ww, ww2 = contract_subset_edges_v2(
+            pdf["src"].to_numpy(np.int64),
+            pdf["dst"].to_numpy(np.int64),
+            pdf["weight"].to_numpy(np.float64),
+            boundary_bc.value,
+            min_cluster_size,
+        )
+        return pd.DataFrame({"kind": k, "a": a, "b": b, "w": ww, "w2": ww2})
+
+    return kernel

@@ -361,8 +361,21 @@ def build_hierarchy(
     vertex_weights: np.ndarray,
     min_cluster_size: int,
     constraints: list | None = None,
+    vertex_credit: np.ndarray | None = None,
 ) -> HierarchyResult:
     """Cluster tree + flat EOM labels + noise levels over an edge set.
+
+    ``vertex_credit``: optional per-vertex pre-aggregated stability
+    credit (NaN = none) for chain-coalesced virtual vertices
+    (contract_kernel v2). A credited vertex stands for a run of
+    sub-``min_cluster_size`` attachments at weights w_i with masses
+    m_i; its credit is Σ m_i/w_i computed in the original attach
+    order. When the subtree containing it turns noise at weight W,
+    its contribution is credit − mass·(1/birth) instead of
+    mass·(1/W − 1/birth) — exactly the sum of the per-event terms the
+    un-coalesced graph would have produced (up to float re-grouping,
+    which is why the coalesced path is opt-in and differential-tested
+    with allclose, not bit-equality).
 
     ``vertex_weights`` is all-ones for the point-level hierarchy and
     the bubble cardinalities ``nB`` for the bubble-level one
@@ -394,6 +407,22 @@ def build_hierarchy(
     sub_w[:n] = vw
     for idx in range(len(children)):  # children only reference lower ids
         sub_w[n + idx] = sum(sub_w[c] for c in children[idx])
+
+    credit_fixed = mass_nc = None
+    if vertex_credit is not None:
+        vc = np.asarray(vertex_credit, dtype=np.float64)
+        has_c = ~np.isnan(vc)
+        # per-subtree split of noise contributions: credited vertices
+        # carry a fixed Σ m_i/w_i term, uncredited mass contributes
+        # mass/W at the noise event
+        credit_fixed = np.zeros(n + len(children))
+        mass_nc = np.zeros(n + len(children))
+        credit_fixed[:n] = np.where(has_c, vc, 0.0)
+        mass_nc[:n] = np.where(has_c, 0.0, vw)
+        for idx in range(len(children)):
+            ch = children[idx]
+            credit_fixed[n + idx] = sum(credit_fixed[c] for c in ch)
+            mass_nc[n + idx] = sum(mass_nc[c] for c in ch)
 
     def subtree_vertices(node: int):
         out = []
@@ -442,7 +471,14 @@ def build_hierarchy(
         small = [k for k in kids if sub_w[k] < min_cluster_size]
         for k in small:
             verts = subtree_vertices(k)
-            C.stability += float(sub_w[k] * (np.float64(1.0) / W - inv_birth))
+            if credit_fixed is None:
+                C.stability += float(sub_w[k] * (np.float64(1.0) / W - inv_birth))
+            else:
+                C.stability += float(
+                    credit_fixed[k]
+                    + mass_nc[k] * (np.float64(1.0) / W)
+                    - sub_w[k] * inv_birth
+                )
             for x in verts:
                 noise_level[x] = W
                 last_cluster[x] = cl

@@ -235,9 +235,18 @@ class MRHDBSCAN:
         id_col: str = "point_id",
         global_mode: str = "contracted",
         dim: int | None = None,
+        coalesce_chains: bool = False,
     ):
         if global_mode not in ("driver", "contracted"):
             raise ValueError("global_mode must be 'driver' or 'contracted'")
+        # chain-coalescing contraction (contract_kernel v2): collapses
+        # runs of sub-mcl attachments along >=mcl spines into chunks
+        # with pre-aggregated stability credits — shrinks the driver's
+        # retained-event input by ~an order of magnitude at scale.
+        # Opt-in: stabilities drift by float re-grouping ulps vs the
+        # default path (allclose-differential-tested), and constraints
+        # fall back to the per-event kernel.
+        self.coalesce_chains = coalesce_chains
         self.min_pts = min_pts
         self.min_cluster_size = min_cluster_size
         self.sample_fraction = sample_fraction
@@ -622,8 +631,10 @@ class MRHDBSCAN:
         broadcast join against the distributed membership relation —
         no O(n) collect anywhere."""
         from bubbles.kernels.contract_kernel import (
+            CONTRACT2_SCHEMA,
             CONTRACT_SCHEMA,
             make_contract_kernel,
+            make_contract_kernel_v2,
         )
 
         if cross_edges is not None:
@@ -631,10 +642,20 @@ class MRHDBSCAN:
             cpdf = cross_edges.toArrow().to_pandas()
         else:
             cpdf = pd.DataFrame({"src": [], "dst": [], "weight": []})
-        boundary = frozenset(map(int, cpdf["src"])) | frozenset(map(int, cpdf["dst"]))
+        # constraints need per-event retained vertices for endpoint
+        # mapping — the coalescing path falls back to the v1 kernel
+        coalesce = self.coalesce_chains and not constraints
+        boundary = frozenset(map(int, cpdf["src"])) | frozenset(
+            map(int, cpdf["dst"])
+        )
         bc = spark.sparkContext.broadcast(boundary)
         par = spark.sparkContext.defaultParallelism
         width = 2 * (par if n_subsets is None else min(par, max(1, n_subsets)))
+        kernel = (
+            make_contract_kernel_v2(bc, self.min_cluster_size)
+            if coalesce
+            else make_contract_kernel(bc, self.min_cluster_size)
+        )
         phase1 = (
             # explicit width pin for the same reason as the leaf-kernel
             # stage: the contraction replay is CPU-bound per subset and
@@ -644,17 +665,22 @@ class MRHDBSCAN:
             leaf_edges.repartition(width, "subset_id")
             .groupBy("subset_id")
             .applyInPandas(
-                make_contract_kernel(bc, self.min_cluster_size),
-                schema=CONTRACT_SCHEMA,
+                kernel,
+                schema=CONTRACT2_SCHEMA if coalesce else CONTRACT_SCHEMA,
             )
             .localCheckpoint()
         )
         tick("global contract checkpoint")
-        membership = phase1.filter(F.col("kind") == 0).select(
+        member_cols = [
             F.col("a").alias("point_id"),
             F.col("b").alias("rep_id"),
             F.col("w").alias("core_distance"),
-        )
+        ]
+        if coalesce:
+            # per-point detach weight (NaN = inherits the
+            # representative's driver-assigned noise level)
+            member_cols.append(F.col("w2").alias("detach"))
+        membership = phase1.filter(F.col("kind") == 0).select(*member_cols)
         # Arrow collect: the reduced-event relation is the one driver
         # materialization that scales with retained events (5.5M rows
         # at 6M points / mcl=2000) — row-pickle collect measured 45 s
@@ -684,6 +710,14 @@ class MRHDBSCAN:
         v2 = red[red["kind"] == 2]
         for a, m in zip(v2["a"].to_numpy(np.int64), v2["w"].to_numpy(np.float64)):
             vw[idx[int(a)]] = m
+        vertex_credit = None
+        k3 = red[red["kind"] == 3] if coalesce else red.iloc[0:0]
+        if coalesce and len(k3):
+            vertex_credit = np.full(len(verts), np.nan)
+            for a, c in zip(
+                k3["a"].to_numpy(np.int64), k3["w"].to_numpy(np.float64)
+            ):
+                vertex_credit[idx[int(a)]] = c
 
         local_constraints = None
         if constraints:
@@ -702,7 +736,13 @@ class MRHDBSCAN:
                 if int(a) in rep_of and int(b) in rep_of
             ]
         res = hk.build_hierarchy(
-            lu, lv, wts, vw, self.min_cluster_size, constraints=local_constraints
+            lu,
+            lv,
+            wts,
+            vw,
+            self.min_cluster_size,
+            constraints=local_constraints,
+            vertex_credit=vertex_credit,
         )
         tick(f"global hierarchy ({len(verts)} verts)")
         min_death = hk.cluster_min_death(res)
@@ -737,12 +777,24 @@ class MRHDBSCAN:
         joined = membership.join(rep_df, on="rep_id")
         labels_df = joined.select("point_id", "label")
         # GLOSH (HDBSCANStar.java:653-686): contracted members share
-        # their representative's noise level and deepest cluster exactly
+        # their representative's noise level and deepest cluster
+        # exactly. Chain-coalesced members (coalesce_chains=True) share
+        # the chunk's flat label and eps_max — exact because chunks
+        # live inside PURE subtrees where no global event can land
+        # inside their span (contract_kernel v2 docstring) — but carry
+        # their TRUE per-point detach weight as the noise level.
+        if coalesce:
+            nl = F.when(
+                F.isnan("detach") | F.col("detach").isNull(),
+                F.col("noise_level"),
+            ).otherwise(F.col("detach"))
+        else:
+            nl = F.col("noise_level")
         scores_df = joined.select(
             "point_id",
             F.when(
-                F.col("noise_level") > 0,
-                F.lit(1.0) - F.col("eps_max") / F.col("noise_level"),
+                nl > 0,
+                F.lit(1.0) - F.col("eps_max") / nl,
             )
             .otherwise(F.lit(0.0))
             .alias("score"),

@@ -94,6 +94,10 @@ def main():
         # materialize so the fit timing excludes replication
         return df.repartition(64).localCheckpoint()
 
+    import os
+
+    coalesce = bool(os.environ.get("SPARK_GRAFT_COALESCE"))
+
     def fit(pts, n):
         model = MRHDBSCAN(
             min_pts=4,
@@ -103,6 +107,7 @@ def main():
             max_samples_per_subset=768,
             seed=42,
             dim=4,
+            coalesce_chains=coalesce,
         ).fit(pts)
         return model.labels.count(), model.n_iterations
 
@@ -132,7 +137,8 @@ def main():
             merged = json.load(f)
     except FileNotFoundError:
         merged = {}
-    merged.setdefault("mrhdbscan_lineitem", {}).update(results)
+    key = "mrhdbscan_lineitem_coalesce" if coalesce else "mrhdbscan_lineitem"
+    merged.setdefault(key, {}).update(results)
     with open("SCALEBENCH.json", "w") as f:
         json.dump(merged, f, indent=1)
     print("wrote SCALEBENCH.json")
