@@ -1001,6 +1001,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def bloom_incremental_dedup_q(spark, sf_dir):
+    """EXACT incremental dedup of a new batch against a historical
+    corpus through a Bloom pre-filter (bubbles/operators/dedup.py
+    bloom_new_documents): the corpus reduces to a fixed n_bits/64-row
+    (word, bits) relation via one JVM-side bit_or aggregation; batch
+    rows with any unset bit are definitely new and never touch the
+    corpus; only the Bloom survivors get the exact content-hash
+    anti-join. At 100 TB the historical corpus costs one columnar
+    scan per filter (re)build instead of a corpus-sized shuffle per
+    batch. The Bloom stage only prunes, so the result is exactly the
+    plain anti-join the oracle computes."""
+    from bubbles.operators.dedup import bloom_new_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) < 8)
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) >= 8)
+    new = bloom_new_documents(corpus, batch, n_bits=1 << 18)
+    return (
+        batch.join(new.select("doc_id"), on="doc_id", how="left_semi")
+        .select("doc_id", F.length("text").alias("n_chars"))
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries kept OUT of the official gate registry to stay inside
     its ~50-row window: batch twins of streaming queries already
@@ -1022,6 +1045,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_length_quantiles": _widen(corpus_length_quantiles_q),
         "weighted_mixture": _widen(weighted_mixture_q),
         "token_budget": _widen(token_budget_q),
+        "bloom_incremental_dedup": _widen(bloom_incremental_dedup_q),
     }
 
 
@@ -1912,6 +1936,15 @@ def extra_oracle_sql() -> dict[str, str]:
     but still exercised by tests/test_twin_robustness.py and
     tools/check_oracle.py via all_oracle_sql()."""
     return {
+        "bloom_incremental_dedup": """
+            SELECT b.doc_id AS doc_id, length(b.text) AS n_chars
+            FROM documents b
+            WHERE b.doc_id % 10 >= 8
+              AND NOT EXISTS (
+                SELECT 1 FROM documents c
+                WHERE c.doc_id % 10 < 8 AND c.text = b.text
+              )
+        """,
         "events_windowed": """
             SELECT CAST((epoch_us(ts) // 300000000) * 300 AS BIGINT) AS win_epoch,
                    event_type, count(*) AS n, round(sum(value), 6) AS sum_value

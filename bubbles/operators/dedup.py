@@ -431,3 +431,106 @@ def ngram_decontaminate(
             .alias("contaminated"),
         )
     )
+
+
+def bloom_filter_words(
+    df: DataFrame,
+    text_col: str = "text",
+    n_bits: int = 1 << 20,
+    n_hashes: int = 4,
+    seed: int = 7000,
+) -> DataFrame:
+    """Bloom-filter bitmap over a corpus's contents as a (word, bits)
+    relation: word = bit_index >> 6, bits = OR of 1 << (bit_index & 63).
+
+    Built entirely JVM-side — k xxhash64 positions per row, one
+    partial-aggregated ``bit_or`` — and bounded by ``n_bits / 64``
+    OUTPUT rows regardless of corpus size: the 100 TB shape is "scan
+    the historical corpus once, reduce to a fixed-size bitmap". No
+    driver collect, no Python in the hot path.
+    """
+    pos = [
+        F.pmod(F.xxhash64(F.col(text_col), F.lit(seed + i)), F.lit(n_bits))
+        for i in range(n_hashes)
+    ]
+    return (
+        df.select(F.explode(F.array(*pos)).alias("p"))
+        .select(
+            F.shiftright("p", 6).alias("word"),
+            # shiftleft() in pyspark.sql.functions only takes a literal
+            # shift count; a column amount needs the SQL form
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p & 63 AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_new_documents(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 1 << 20,
+    n_hashes: int = 4,
+    seed: int = 7000,
+) -> DataFrame:
+    """Incremental exact dedup of ``batch`` against a historical
+    ``corpus`` through a Bloom pre-filter: rows with any unset bit are
+    DEFINITELY new (no false negatives) and skip the corpus entirely;
+    only the ~fpp + true-dup survivors are exact-verified with a
+    semi-join on the full content hash. Result is EXACT — identical to
+    a plain anti-join on content — the Bloom filter only prunes.
+
+    Scale shape: the corpus is scanned once into the n_bits/64-row
+    words relation (broadcast to the batch side); the expensive
+    content-hash join touches only Bloom survivors, so a 100 TB
+    historical corpus costs one columnar scan + a fixed-size bitmap
+    instead of a corpus-sized shuffle per incoming batch. Returns the
+    new (unseen) batch rows as (id_col, definitely_new) where
+    definitely_new marks rows the filter alone proved new.
+    """
+    words = bloom_filter_words(corpus, text_col, n_bits, n_hashes, seed)
+    pos = [
+        F.pmod(F.xxhash64(F.col(text_col), F.lit(seed + i)), F.lit(n_bits))
+        for i in range(n_hashes)
+    ]
+    probe = (
+        batch.select(F.col(id_col), F.explode(F.array(*pos)).alias("p"))
+        .select(
+            id_col,
+            F.shiftright("p", 6).alias("word"),
+            # shiftleft() in pyspark.sql.functions only takes a literal
+            # shift count; a column amount needs the SQL form
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p & 63 AS INT))").alias(
+                "mask"
+            ),
+        )
+        .join(F.broadcast(words), on="word", how="left")
+        .select(
+            id_col,
+            (
+                F.col("bits").isNotNull()
+                & (F.col("bits").bitwiseAND(F.col("mask")) != 0)
+            )
+            .cast("int")
+            .alias("hit"),
+        )
+        .groupBy(id_col)
+        .agg(F.min("hit").alias("all_hit"))
+    )
+    definitely_new = probe.filter(F.col("all_hit") == 0).select(
+        id_col, F.lit(True).alias("definitely_new")
+    )
+    candidates = batch.join(
+        probe.filter(F.col("all_hit") == 1).select(id_col), on=id_col, how="left_semi"
+    )
+    corpus_hashes = corpus.select(F.md5(F.col(text_col)).alias("__ch")).distinct()
+    survivors = (
+        candidates.withColumn("__ch", F.md5(F.col(text_col)))
+        .join(corpus_hashes, on="__ch", how="left_anti")
+        .select(id_col, F.lit(False).alias("definitely_new"))
+    )
+    return definitely_new.unionByName(survivors)

@@ -1449,3 +1449,37 @@ def test_bpe_token_count_matches_python_re(spark):
     pat = re.compile(BPE_TOKEN_RE)
     for i, t in enumerate(texts):
         assert got[i] == len(pat.findall(t)), (t, got[i], pat.findall(t))
+
+
+def test_bloom_new_documents_exact(spark):
+    """Bloom incremental dedup == plain anti-join on content, exactly:
+    the filter only prunes (no false negatives by construction; false
+    positives die in the content-hash verify)."""
+    import random
+
+    from bubbles.operators.dedup import bloom_new_documents
+
+    rng = random.Random(5)
+    corpus_rows = [(i, f"corpus doc {rng.randrange(10**9)}") for i in range(400)]
+    # batch: 150 new + 50 verbatim corpus dups + a NULL-text row
+    batch_rows = (
+        [(1000 + i, f"batch doc {rng.randrange(10**9)}") for i in range(150)]
+        + [(2000 + i, corpus_rows[i][1]) for i in range(50)]
+        + [(3000, None)]
+    )
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+
+    # tiny bitmap: forces false positives so the exact verify is
+    # actually exercised (400 docs * 4 hashes over 512 bits)
+    out = bloom_new_documents(corpus, batch, n_bits=512).toPandas()
+    got = set(out.doc_id)
+    want = {1000 + i for i in range(150)} | {3000}
+    assert got == want  # dups removed, all new kept, NULL text is new
+    # with 512 bits the filter alone cannot prove much: every
+    # definitely_new row must really be new (no false negatives)
+    assert set(out[out.definitely_new].doc_id) <= want
+    # a roomy bitmap proves most new rows without touching the corpus
+    roomy = bloom_new_documents(corpus, batch, n_bits=1 << 20).toPandas()
+    assert set(roomy.doc_id) == want
+    assert roomy.definitely_new.sum() >= 140
