@@ -65,7 +65,11 @@ def main():
         df = df.repartition(64).localCheckpoint()
         return df, n_base * factor
 
-    from bubbles.operators.dedup import exact_dedup, minhash_lsh_pairs
+    from bubbles.operators.dedup import (
+        bloom_new_documents,
+        exact_dedup,
+        minhash_lsh_pairs,
+    )
     from bubbles.operators.search import keyword_search
     from bubbles.operators.splits import pack_sequences
     from bubbles.operators.text import repetition_profile, winnow_fingerprints
@@ -79,6 +83,15 @@ def main():
 
     OPS = {
         "exact_dedup": lambda d, n: run(exact_dedup(d)),
+        # 80/20 corpus/batch split by doc_id; bitmap sized ~16 bits/doc
+        # (power of two) so fpp stays comparable across factors
+        "bloom_incremental_dedup": lambda d, n: run(
+            bloom_new_documents(
+                d.filter(F.pmod("doc_id", F.lit(10)) < 8),
+                d.filter(F.pmod("doc_id", F.lit(10)) >= 8),
+                n_bits=1 << max(16, (16 * n - 1).bit_length()),
+            )
+        ),
         "minhash_lsh_pairs": lambda d, n: run(minhash_lsh_pairs(d)),
         "winnow_fingerprints": lambda d, n: run(winnow_fingerprints(d)),
         "keyword_search": lambda d, n: run(
