@@ -1029,11 +1029,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     its ~50-row window: batch twins of streaming queries already
     registered (events_windowed / events_sessionize duplicate
     stream_windowed_counts / stream_session_windows row-for-row), two
-    simple OLAP groupBy variants, and the repetition scale path whose
+    simple OLAP groupBy variants, the repetition scale path whose
     equality with the expression path is pinned by
-    tests/test_pipeline_ops.py. All remain covered by pytest
-    (tests/test_twin_robustness.py runs their oracle twins), bench.py,
-    and tools/plan_audit.py via all_queries()."""
+    tests/test_pipeline_ops.py, and the round-6 additions (real frame
+    sampling, source quotas, length quantiles, weighted mixing, token
+    budgets, Bloom incremental dedup). All remain covered by pytest
+    (tests/test_twin_robustness.py runs their oracle twins),
+    tools/check_oracle.py (which sweeps all_queries), bench.py, and
+    tools/plan_audit.py."""
     return {
         "events_windowed": _widen(events_windowed_q),
         "events_sessionize": _widen(events_sessionize_q),

@@ -125,7 +125,10 @@ def _make_exact_edges_kernel(min_pts: int, metric: str):
             core = hk.core_distances(X, min_pts, metric)
             src, dst, w = hk.mst_edges(X, core, metric, self_edges=True, ids=ids)
         sid = np.full(len(src), int(pdf["subset_id"].iloc[0]), dtype=np.int64)
-        if profile:
+        # only print sizeable kernels: at 6M points iteration 2 runs
+        # ~143k micro-subset kernels and per-call prints would swamp
+        # stderr AND skew the very stage being profiled
+        if profile and len(ids) >= 512:
             print(
                 f"##k exact pid={os.getpid()} t0={t0:.3f} n={len(ids)}"
                 f" uniq={len(uniq)} grouped={grouped} {time.time() - t0:.3f}s",
