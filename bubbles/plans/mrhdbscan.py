@@ -489,11 +489,20 @@ class MRHDBSCAN:
             map_df = spark.createDataFrame(
                 mapping, schema="subset_id long, label long, new_subset_id long"
             )
+            # relabel has one row per BUBBLE. Broadcast while that is
+            # small (it always is at the benched scales); past ~10M
+            # bubbles a broadcast pressures every executor and the
+            # equi-join should shuffle instead — same policy as the
+            # rep_df label join in the global step.
+            if len(mapping) <= 10_000_000:
+                map_df = F.broadcast(map_df)
             relabel = bubble_labels.join(
-                F.broadcast(map_df), on=["subset_id", "label"]
+                map_df, on=["subset_id", "label"]
             ).select("subset_id", "bubble_id", "new_subset_id")
+            if len(mapping) <= 10_000_000:
+                relabel = F.broadcast(relabel)
             current = (
-                assigned.join(F.broadcast(relabel), on=["subset_id", "bubble_id"])
+                assigned.join(relabel, on=["subset_id", "bubble_id"])
                 .select(
                     "point_id",
                     "features",
