@@ -1,9 +1,11 @@
 """Chain-coalescing contraction (contract_kernel v2) differentials.
 
 v2 (MRHDBSCAN(coalesce_chains=True)) coalesces runs of pure sub-mcl
-attachments along locally->=mcl spines into chunks carrying stability
-credits (kind 3) and per-point detach weights (kind 0 w2). Its
-contract vs the per-event v1 kernel and the raw hierarchy:
+attachments along PURE locally->=mcl spines (no cross-edge endpoint
+anywhere in the subtree — the exactness condition) into chunks
+carrying stability credits (kind 3) and per-point detach weights
+(kind 0 w2). Its contract vs the per-event v1 kernel and the raw
+hierarchy:
 
 - flat labels: EXACTLY equal (cluster identity is decided at
   structural events, which v2 never coalesces)
@@ -292,3 +294,32 @@ def test_fit_coalesce_constraints_falls_back(spark):
         global_mode="contracted", coalesce_chains=True, **params
     ).fit(df, constraints=constraints)
     _assert_equivalent(m_v1, m_v2)
+
+
+def test_fit_coalesce_hierarchy_levels_match(spark):
+    # compact-mode per-level label matrix must be identical between the
+    # default and coalescing paths: levels are cluster birth weights
+    # (structural events), and chunks never straddle one — every chunk
+    # member shares its representative's label at every listed level
+    rng = np.random.default_rng(31)
+    X = np.vstack(
+        [rng.normal(0, 0.8, (260, 2)), rng.uniform(-8, 8, (100, 2))]
+    )
+    m_v1, m_v2 = _fit_pair(
+        spark, X, min_cluster_size=30, max_local_size=256,
+        max_samples_per_subset=48,
+    )
+    lv1 = {
+        (round(float(r["level_weight"]), 9), int(r["point_id"])): int(r["label"])
+        for r in m_v1.hierarchy_levels().collect()
+    }
+    lv2 = {
+        (round(float(r["level_weight"]), 9), int(r["point_id"])): int(r["label"])
+        for r in m_v2.hierarchy_levels().collect()
+    }
+    assert set(lv1) == set(lv2)
+    fwd: dict = {}
+    for key, l1 in lv1.items():
+        l2 = lv2[key]
+        assert (l1 == 0) == (l2 == 0)
+        assert fwd.setdefault((key[0], l1), l2) == l2
