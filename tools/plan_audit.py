@@ -345,6 +345,20 @@ def main():
         "LSH band equi-join + side equi-joins; strategies AQE-owned",
     )
 
+    # 22. Bloom incremental dedup: the bitmap words relation reaches
+    # the batch probe as a BROADCAST (it is n_bits/64 rows by
+    # construction), and the plan has no cartesian product — the
+    # historical corpus is only ever scanned/aggregated, never joined
+    # row-for-row against the batch
+    bq = m.all_queries()["bloom_incremental_dedup"](spark, sf_dir)
+    bp = plan_of(bq)
+    check(
+        "bloom dedup broadcast bitmap, no cartesian",
+        "BroadcastHashJoin" in bp and "CartesianProduct" not in bp,
+        "fixed-size (word, bits) relation broadcast to the probe; "
+        "survivor-only anti-join for the exact verify",
+    )
+
     lines = [
         "# PLANS — physical-plan audit (tools/plan_audit.py)",
         "",
