@@ -1024,6 +1024,21 @@ def bloom_incremental_dedup_q(spark, sf_dir):
     )
 
 
+def lm_score_q(spark, sf_dir):
+    """Bigram-LM document scoring (bubbles/operators/lm.py): an
+    add-one-smoothed bigram model trained on the 80% doc_id-mod split
+    scores the held-out 20% by exact integer micro-unit inverse
+    probability — the CCNet-style quality-filter signal with no
+    log/exp so the DuckDB twin is bit-identical. One count agg to
+    train, two equi-joins + one agg to score, all JVM-side."""
+    from bubbles.operators.lm import bigram_lm_score
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) < 8)
+    heldout = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) >= 8)
+    return bigram_lm_score(heldout, corpus)
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries kept OUT of the official gate registry to stay inside
     its ~50-row window: batch twins of streaming queries already
@@ -1049,6 +1064,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_mixture": _widen(weighted_mixture_q),
         "token_budget": _widen(token_budget_q),
         "bloom_incremental_dedup": _widen(bloom_incremental_dedup_q),
+        "lm_score": _widen(lm_score_q),
     }
 
 
@@ -1939,6 +1955,47 @@ def extra_oracle_sql() -> dict[str, str]:
     but still exercised by tests/test_twin_robustness.py and
     tools/check_oracle.py via all_oracle_sql()."""
     return {
+        # bigram LM scoring: corpus bigram/context counts + vocab size
+        # -> add-one inverse probability in integer micro-units
+        "lm_score": """
+            WITH corpus AS (
+              SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+              FROM documents WHERE doc_id % 10 < 8
+            ), held AS (
+              SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+              FROM documents WHERE doc_id % 10 >= 8
+            ), cb AS (
+              SELECT unnest(list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i+1])) AS bg
+              FROM corpus
+            ), big AS (
+              SELECT bg, count(*) AS big_n FROM cb GROUP BY bg
+            ), ctx AS (
+              SELECT split_part(bg, ' ', 1) AS w1, sum(big_n) AS ctx_n
+              FROM big GROUP BY 1
+            ), vocab AS (
+              SELECT count(DISTINCT tok) AS v
+              FROM (SELECT unnest(toks) AS tok FROM corpus)
+            ), events AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i+1])) AS bg
+              FROM held
+            ), scored AS (
+              SELECT e.doc_id,
+                     (1000000 * (coalesce(c.ctx_n, 0) + vocab.v))
+                       // (coalesce(b.big_n, 0) + 1) AS tok_micro
+              FROM events e
+              LEFT JOIN big b USING (bg)
+              LEFT JOIN ctx c ON split_part(e.bg, ' ', 1) = c.w1
+              CROSS JOIN vocab
+            )
+            SELECT doc_id,
+                   count(*) AS n_bigrams,
+                   CAST(sum(tok_micro) AS BIGINT) AS inv_sum_micro,
+                   CAST(sum(tok_micro) AS BIGINT) // count(*) AS inv_avg_micro
+            FROM scored GROUP BY doc_id
+        """,
         "bloom_incremental_dedup": """
             SELECT b.doc_id AS doc_id, length(b.text) AS n_chars
             FROM documents b

@@ -1,0 +1,114 @@
+"""Corpus-trained bigram language-model scoring.
+
+CCNet-style (Wenzek et al., 2019) quality filtering scores each
+document under a language model trained on a trusted corpus and keeps
+the low-perplexity tail.  This module is the Spark-native version of
+that signal: an add-one-smoothed bigram model whose counts are ONE
+aggregation over the training split, and whose per-document score is
+two equi-joins plus one aggregation — no UDFs, fully JVM-side.
+
+Score definition (exact integer arithmetic so the DuckDB oracle twin
+is bit-identical — same micro-unit discipline as
+``bubbles/operators/text.py::quality_micros``):
+
+    inv_p(w2 | w1)  =  (ctx(w1) + V) / (big(w1, w2) + 1)
+
+the inverse of the add-one-smoothed bigram probability.  Each token's
+contribution is floored into integer micro-units,
+
+    tok_micro = (1_000_000 * (ctx + V)) div (big + 1)
+
+and a document's score is the int64 sum / integer-division average of
+its bigram contributions.  Low inv_avg_micro == fluent under the
+corpus LM; unseen contexts score V * 1e6.  No log/exp anywhere, so
+Java vs libm ulp drift cannot produce oracle hash mismatches, and the
+int64 sum is aggregation-order independent.
+
+Scale notes (100 TB): training is one shuffled count over corpus
+bigrams (map-side partial agg applies); the context relation is
+DERIVED from the bigram relation by a second, much smaller
+aggregation — the corpus is scanned exactly once for bigrams plus
+once for the vocab size.  Scoring shuffles on the bigram string
+(high-cardinality, near-uniform — no skew salting needed; AQE
+broadcasts the count tables when they fit).  The single-row vocab
+relation rides a broadcast nested-loop join, never a driver collect,
+so building the plan launches no Spark job.  int64 micro-units hold
+up to ~9e12 per-token inverse probabilities (ctx + V up to ~9e12 —
+about a 10-trillion-token corpus); past that, pass ``micro=1``.
+
+Reference parity: the reference engine has no LM surface; this is a
+training-data-pipeline extension (task brief: text analysis / quality
+scoring family, alongside quality_score at
+bubbles/operators/text.py:116).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from bubbles.operators.text import tokens, word_bigrams
+
+
+def bigram_counts(
+    corpus: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the model: returns (bigram, context, vocab) relations.
+
+    * ``big``   — (bg, big_n): corpus count of each "w1 w2" bigram.
+    * ``ctx``   — (w1, ctx_n): count of bigrams starting with w1,
+      derived from ``big`` by summation (no second corpus scan).
+    * ``vocab`` — single row (v): distinct unigram count.
+
+    All lazy — nothing here launches a job.
+    """
+    bg = corpus.select(F.explode(word_bigrams(F.col(text_col))).alias("bg"))
+    big = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("big_n"))
+    ctx = (
+        big.withColumn("w1", F.substring_index(F.col("bg"), " ", 1))
+        .groupBy("w1")
+        .agg(F.sum("big_n").alias("ctx_n"))
+    )
+    vocab = corpus.select(
+        F.explode(tokens(F.col(text_col))).alias("tok")
+    ).agg(F.count_distinct("tok").alias("v"))
+    return big, ctx, vocab
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Score ``docs`` under an add-one bigram LM trained on ``corpus``.
+
+    Returns (id_col, n_bigrams, inv_sum_micro, inv_avg_micro) — one
+    row per document that has at least one bigram (texts of fewer
+    than two tokens have no bigram events and are omitted; the oracle
+    twin applies the same contract).  ``inv_avg_micro`` is the
+    integer-division mean inverse probability in micro-units: lower
+    is more fluent under the corpus model.
+    """
+    big, ctx, vocab = bigram_counts(corpus, text_col)
+    events = docs.select(
+        F.col(id_col), F.explode(word_bigrams(F.col(text_col))).alias("bg")
+    )
+    scored = (
+        events.join(big, "bg", "left")
+        .withColumn("w1", F.substring_index(F.col("bg"), " ", 1))
+        .join(ctx, "w1", "left")
+        .join(F.broadcast(vocab))  # 1 row — broadcast, no driver job
+        .select(
+            F.col(id_col),
+            F.expr(
+                f"CAST({micro} AS BIGINT) * (coalesce(ctx_n, CAST(0 AS BIGINT)) + v)"
+                " div (coalesce(big_n, CAST(0 AS BIGINT)) + 1)"
+            ).alias("tok_micro"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("tok_micro").alias("inv_sum_micro"),
+        F.expr("sum(tok_micro) div count(1)").alias("inv_avg_micro"),
+    )

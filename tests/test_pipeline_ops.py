@@ -1483,3 +1483,88 @@ def test_bloom_new_documents_exact(spark):
     roomy = bloom_new_documents(corpus, batch, n_bits=1 << 20).toPandas()
     assert set(roomy.doc_id) == want
     assert roomy.definitely_new.sum() >= 140
+
+
+def test_bigram_lm_score_differential_and_degenerates(spark):
+    """bigram_lm_score vs a pure-Python add-one bigram LM on a corpus
+    with unseen words, 0/1-token docs, NULL text, and leading
+    whitespace (empty-string tokens)."""
+    from bubbles.operators.lm import bigram_lm_score
+
+    corpus_rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat ran"),
+        (2, " leading space text"),  # empty-string first token
+        (3, None),
+        (4, "solo"),
+    ]
+    doc_rows = [
+        (10, "the cat sat"),        # all seen bigrams
+        (11, "the zebra sat"),      # unseen bigram, seen context
+        (12, "purple monkey dishwasher"),  # fully unseen
+        (13, "one"),                # 1 token -> no bigrams -> omitted
+        (14, ""),                   # empty -> [""] single token -> omitted
+        (15, None),                 # NULL -> omitted
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    docs = spark.createDataFrame(doc_rows, "doc_id long, text string")
+
+    out = (
+        bigram_lm_score(docs, corpus)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+
+    # python twin
+    import re
+    from collections import Counter
+
+    def toks(t):
+        return re.split(r"\s+", t.lower())
+
+    big, ctx, vocab = Counter(), Counter(), set()
+    for _, t in corpus_rows:
+        if t is None:
+            continue
+        ts = toks(t)
+        vocab.update(ts)
+        for a, b in zip(ts, ts[1:]):
+            big[(a, b)] += 1
+            ctx[a] += 1
+    V = len(vocab)
+
+    expect = {}
+    for did, t in doc_rows:
+        if t is None:
+            continue
+        ts = toks(t)
+        if len(ts) < 2:
+            continue
+        micros = [
+            (1_000_000 * (ctx[a] + V)) // (big[(a, b)] + 1)
+            for a, b in zip(ts, ts[1:])
+        ]
+        expect[did] = (len(micros), sum(micros), sum(micros) // len(micros))
+
+    assert set(out.index) == set(expect)
+    for did, (n, s, avg) in expect.items():
+        row = out.loc[did]
+        assert (row.n_bigrams, row.inv_sum_micro, row.inv_avg_micro) == (n, s, avg)
+
+    # fluency ordering: fully-seen doc scores lower than fully-unseen
+    assert expect[10][2] < expect[12][2]
+    assert out.loc[10].inv_avg_micro < out.loc[11].inv_avg_micro
+
+
+def test_bigram_lm_score_empty_corpus(spark):
+    """Empty corpus: V=0, all counts 0 -> every token scores 0 micro
+    (well-formed, no division by zero, no crash)."""
+    from bubbles.operators.lm import bigram_lm_score
+
+    corpus = spark.createDataFrame([], "doc_id long, text string")
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    out = bigram_lm_score(docs, corpus).toPandas()
+    assert len(out) == 1
+    assert out.iloc[0].n_bigrams == 2
+    assert out.iloc[0].inv_sum_micro == 0

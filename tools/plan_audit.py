@@ -359,6 +359,24 @@ def main():
         "survivor-only anti-join for the exact verify",
     )
 
+    # 23. bigram LM scoring: the context-count aggregation reuses the
+    # bigram-count shuffle (ReusedExchange — corpus bigrams explode +
+    # partial-agg run ONCE), the single-row vocab relation arrives by
+    # broadcast (no driver collect, no plan-time job), no cartesian
+    lq = m.all_queries()["lm_score"](spark, sf_dir)
+    # execute THIS df (not a derived count) so AQE finalizes the
+    # runtime exchange reuse on the audited plan
+    lq.collect()
+    lp = plan_of(lq)
+    check(
+        "lm_score reused bigram shuffle + broadcast vocab",
+        "ReusedExchange" in lp
+        and "IdentityBroadcastMode" in lp
+        and "CartesianProduct" not in lp,
+        "ctx agg reuses the bigram-count exchange; vocab rides a "
+        "1-row broadcast nested-loop join",
+    )
+
     lines = [
         "# PLANS — physical-plan audit (tools/plan_audit.py)",
         "",
