@@ -1039,6 +1039,20 @@ def lm_score_q(spark, sf_dir):
     return bigram_lm_score(heldout, corpus)
 
 
+def semantic_dedup_q(spark, sf_dir):
+    """SemDeDup-style semantic dedup (bubbles/operators/dedup.py
+    semantic_dedup): nearest-centroid bucketing (pinned vec_id%25
+    centroids so the DuckDB twin replicates the assignment exactly —
+    same technique as ivf_ann_topk) then within-bucket
+    smallest-id-neighbor marking at 6dp-rounded cosine >= 0.25."""
+    from bubbles.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, threshold=0.25, centroid_ids=list(range(0, 2000, 25))
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries kept OUT of the official gate registry to stay inside
     its ~50-row window: batch twins of streaming queries already
@@ -1065,6 +1079,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": _widen(token_budget_q),
         "bloom_incremental_dedup": _widen(bloom_incremental_dedup_q),
         "lm_score": _widen(lm_score_q),
+        "semantic_dedup": _widen(semantic_dedup_q),
     }
 
 
@@ -1955,6 +1970,43 @@ def extra_oracle_sql() -> dict[str, str]:
     but still exercised by tests/test_twin_robustness.py and
     tools/check_oracle.py via all_oracle_sql()."""
     return {
+        # SemDeDup twin: same assign CTE as _IVF_ANN_SQL (unrounded
+        # cosine-distance argmin, smallest centroid id wins ties),
+        # then an equi-self-join per bucket, 6dp-rounded cosine >=
+        # 0.25, min smaller id as dup_of
+        "semantic_dedup": """
+            WITH e AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ),
+            c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
+            sims AS (
+              SELECT e.vec_id, e.v, c.cid,
+                     CASE WHEN sqrt(list_sum(list_transform(e.v, x -> x * x)))
+                               * sqrt(list_sum(list_transform(c.cv, x -> x * x))) = 0 THEN 0.0
+                          ELSE list_sum(list_transform(list_zip(e.v, c.cv), p -> p[1] * p[2]))
+                               / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+                                  * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) END AS s
+              FROM e CROSS JOIN c
+            ),
+            assign AS (
+              SELECT vec_id, v, cid AS centroid FROM sims
+              QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY 1.0 - s ASC, cid ASC) = 1
+            ),
+            pairs AS (
+              SELECT a.vec_id AS i, b.vec_id AS j
+              FROM assign a JOIN assign b
+                ON a.centroid = b.centroid AND b.vec_id < a.vec_id
+              WHERE round(CASE WHEN sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                                    * sqrt(list_sum(list_transform(b.v, x -> x * x))) = 0 THEN 0.0
+                          ELSE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+                               / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                                  * sqrt(list_sum(list_transform(b.v, x -> x * x)))) END, 6) >= 0.25
+            ),
+            dup AS (SELECT i AS vec_id, min(j) AS dup_of FROM pairs GROUP BY i)
+            SELECT a.vec_id, a.centroid, d.dup_of
+            FROM assign a LEFT JOIN dup d USING (vec_id)
+        """,
         # bigram LM scoring: corpus bigram/context counts + vocab size
         # -> add-one inverse probability in integer micro-units
         "lm_score": """

@@ -534,3 +534,114 @@ def bloom_new_documents(
         .select(id_col, F.lit(False).alias("definitely_new"))
     )
     return definitely_new.unionByName(survivors)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.3,
+    n_centroids: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_ids: list | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023):
+    bucket the corpus by nearest centroid (one k-means-assign step,
+    same deterministic machinery as ``similarity.ivf_topk``), then
+    within each bucket mark every vector that has a SMALLER-id
+    neighbor whose 6dp-rounded cosine similarity reaches
+    ``threshold``.  Output is one row per non-NULL input vector:
+    (id_col, centroid, dup_of) — ``dup_of`` is the smallest such
+    neighbor id, NULL for survivors.  Keeping ``dup_of IS NULL`` rows
+    implements the dedup; the exists-a-smaller-neighbor rule (rather
+    than greedy keep-list maintenance) makes the operator a pure
+    function of the bucket, so the DuckDB twin is an equi-self-join +
+    min() and the result is partitioning-independent.
+
+    Scale: the corpus is scanned ONCE for assignment (broadcast
+    centroids + mapInPandas numpy argmin — no shuffle), then shuffled
+    ONCE on centroid id for the per-bucket kernel.  The kernel walks
+    the bucket's similarity matrix in 1024-row chunks, so task memory
+    is O(chunk × bucket) not O(bucket²); compute is O(bucket²) per
+    task, which is the SemDeDup design point — ``n_centroids`` must
+    scale with corpus size (n / target_bucket_size) to bound it, and
+    a skewed bucket is bounded by the same choice.  ``centroid_ids``
+    pins centroids to explicit corpus ids for the SQL-expressible
+    oracle twin (assignment ties break toward the smallest centroid
+    id, matching ``_ivf_assign_probe``).
+
+    NULL-vector rows are excluded (ANN-family contract: np.stack in
+    the assignment kernel would throw on the whole Arrow batch).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from bubbles.operators.sampling import stratified_sample_exact
+    from bubbles.operators.similarity import _ivf_assign_probe
+
+    df = df.filter(F.col(vec_col).isNotNull())
+    base = df.select(
+        F.col(id_col).alias("point_id"),
+        F.col(vec_col).cast("array<double>").alias("features"),
+        F.lit(0).alias("subset_id"),
+    )
+    if centroid_ids is not None:
+        ord_of = {int(p): i for i, p in enumerate(centroid_ids)}
+        crows = sorted(
+            base.filter(F.col("point_id").isin([int(x) for x in centroid_ids]))
+            .select("point_id", "features")
+            .collect(),
+            key=lambda r: ord_of[int(r.point_id)],
+        )
+    else:
+        cents = stratified_sample_exact(
+            base, "subset_id", 0.0, seed=seed, min_per_key=n_centroids
+        )
+        crows = sorted(
+            cents.select("sample_ord", "point_id", "features").collect(),
+            key=lambda r: r.sample_ord,
+        )
+    cids = np.array([r.point_id for r in crows], dtype=np.int64)
+    cmat = np.array([r.features for r in crows], dtype=np.float64)
+    assigned = _ivf_assign_probe(base, cids, cmat, n_probe=1).select(
+        "point_id", "features", "centroid"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["point_id"].to_numpy())
+        ids = pdf["point_id"].to_numpy()[order]
+        X = np.stack(
+            [
+                np.frombuffer(b, dtype=np.float64)
+                for b in pdf["features"].to_numpy()[order]
+            ]
+        )
+        norms = np.linalg.norm(X, axis=1)
+        dup = np.full(len(ids), -1, dtype=np.int64)
+        for lo in range(1, len(ids), 1024):
+            hi = min(lo + 1024, len(ids))
+            num = X[lo:hi] @ X.T
+            den = norms[lo:hi, None] * norms[None, :]
+            sim = np.round(
+                np.where(den == 0.0, 0.0, num / np.where(den == 0.0, 1.0, den)), 6
+            )
+            for r in range(lo, hi):
+                m = sim[r - lo, :r] >= threshold
+                if m.any():
+                    dup[r] = ids[int(np.argmax(m))]
+        return pd.DataFrame(
+            {
+                "point_id": ids,
+                "centroid": pdf["centroid"].to_numpy()[order],
+                "dup_of": dup,
+            }
+        )
+
+    out = assigned.groupBy("centroid").applyInPandas(
+        kernel, "point_id long, centroid long, dup_of long"
+    )
+    return out.select(
+        F.col("point_id").alias(id_col),
+        F.col("centroid"),
+        F.when(F.col("dup_of") >= 0, F.col("dup_of")).alias("dup_of"),
+    )

@@ -1568,3 +1568,80 @@ def test_bigram_lm_score_empty_corpus(spark):
     assert len(out) == 1
     assert out.iloc[0].n_bigrams == 2
     assert out.iloc[0].inv_sum_micro == 0
+
+
+def test_semantic_dedup_differential_and_degenerates(spark):
+    """semantic_dedup vs a brute-force python twin on seeded blobs,
+    plus: all-identical vectors (everything dups to the min id),
+    NULL vectors excluded, zero vectors, single row."""
+    import numpy as np
+
+    from bubbles.operators.dedup import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    # two tight blobs + spread: near-dups exist within blobs
+    pts = np.vstack(
+        [
+            rng.normal(0, 0.01, (20, 8)) + 1.0,
+            rng.normal(0, 0.01, (20, 8)) - 1.0,
+            rng.normal(0, 1.0, (10, 8)),
+        ]
+    )
+    rows = [(i, pts[i].tolist()) for i in range(len(pts))]
+    rows.append((100, None))  # NULL vector -> excluded
+    rows.append((101, [0.0] * 8))  # zero vector -> sim 0 everywhere
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    tau, cent_ids = 0.95, [0, 20, 40]
+    out = (
+        semantic_dedup(df, threshold=tau, centroid_ids=cent_ids)
+        .toPandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    assert 100 not in out.index and 101 in out.index
+    assert out.loc[101].dup_of != out.loc[101].dup_of or out.loc[101].dup_of is None
+
+    # python twin: same assignment (unrounded cosine-dist argmin,
+    # smallest centroid id on ties) + same within-bucket rule
+    ids = np.array([i for i in range(len(pts))] + [101])
+    X = np.vstack([pts, np.zeros((1, 8))])
+    C = X[[0, 20, 40]]
+
+    def cos(a, b):
+        den = np.linalg.norm(a) * np.linalg.norm(b)
+        return 0.0 if den == 0 else float(a @ b / den)
+
+    assign = {}
+    for i, x in zip(ids, X):
+        dists = [1.0 - cos(x, c) for c in C]
+        assign[i] = cent_ids[int(np.argmin(dists))]
+    expect = {}
+    for i, x in zip(ids, X):
+        cands = [
+            j
+            for j, y in zip(ids, X)
+            if j < i and assign[j] == assign[i] and round(cos(x, y), 6) >= tau
+        ]
+        expect[i] = min(cands) if cands else None
+    for i in ids:
+        got = out.loc[i]
+        assert got.centroid == assign[i], (i, got.centroid, assign[i])
+        g = None if got.dup_of != got.dup_of else int(got.dup_of)
+        assert g == expect[i], (i, g, expect[i])
+    # the blobs actually produced dups
+    assert sum(v is not None for v in expect.values()) >= 30
+
+    # all-identical corpus: one bucket, every row dups to the min id
+    same = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(5)], "vec_id long, embedding array<double>"
+    )
+    o2 = semantic_dedup(same, threshold=0.99, centroid_ids=[2]).toPandas()
+    o2 = o2.set_index("vec_id").sort_index()
+    assert o2.loc[0].dup_of != o2.loc[0].dup_of  # NaN: survivor
+    assert all(o2.loc[i].dup_of == 0 for i in range(1, 5))
+
+    # single row
+    one = spark.createDataFrame([(9, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    o3 = semantic_dedup(one, threshold=0.5, centroid_ids=[9]).toPandas()
+    assert len(o3) == 1 and o3.iloc[0].dup_of != o3.iloc[0].dup_of

@@ -377,6 +377,19 @@ def main():
         "1-row broadcast nested-loop join",
     )
 
+    # 24. semantic dedup: corpus scanned once for assignment (no
+    # shuffle before the mapInPandas kernel), ONE hash exchange on
+    # centroid id for the bucket kernel, no cartesian product
+    sq = m.all_queries()["semantic_dedup"](spark, sf_dir)
+    sp_ = plan_of(sq)
+    n_exch = len(re.findall(r"Exchange hashpartitioning", sp_))
+    check(
+        "semantic dedup single centroid shuffle",
+        "CartesianProduct" not in sp_ and n_exch == 1 and "centroid" in sp_,
+        f"assignment is shuffle-free; {n_exch} hash exchange(s) "
+        "(centroid bucket kernel only)",
+    )
+
     lines = [
         "# PLANS — physical-plan audit (tools/plan_audit.py)",
         "",
