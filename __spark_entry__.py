@@ -1053,6 +1053,20 @@ def semantic_dedup_q(spark, sf_dir):
     )
 
 
+def kmeans_fit_q(spark, sf_dir):
+    """Distributed Lloyd's k-means (bubbles/operators/kmeans.py): two
+    assignment passes with one exact fixed-point centroid update in
+    between, pinned vec_id%100 centroids. The integer-quantized
+    update makes iteration bit-deterministic, so the DuckDB twin is
+    the two iterations unrolled as CTEs."""
+    from bubbles.operators.kmeans import kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_fit(
+        emb, n_iter=2, centroid_ids=list(range(0, 2000, 100))
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries kept OUT of the official gate registry to stay inside
     its ~50-row window: batch twins of streaming queries already
@@ -1080,6 +1094,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_incremental_dedup": _widen(bloom_incremental_dedup_q),
         "lm_score": _widen(lm_score_q),
         "semantic_dedup": _widen(semantic_dedup_q),
+        "kmeans_fit": _widen(kmeans_fit_q),
     }
 
 
@@ -1970,6 +1985,52 @@ def extra_oracle_sql() -> dict[str, str]:
     but still exercised by tests/test_twin_robustness.py and
     tools/check_oracle.py via all_oracle_sql()."""
     return {
+        # k-means twin: both Lloyd iterations unrolled. Assignment =
+        # squared-euclid argmin, centroid ordinal asc on ties; update
+        # = int64 sums of floor(v*2^20) dequantized with the pinned
+        # division sequence CAST(s AS DOUBLE)/n/1048576.0 — exact, so
+        # iteration-2 centroids are bit-identical to the engine's.
+        "kmeans_fit": """
+            WITH e AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ),
+            c0 AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ord, v AS cv
+              FROM e WHERE vec_id % 100 = 0
+            ),
+            a1 AS (
+              SELECT e.vec_id, e.v, c0.ord FROM e CROSS JOIN c0
+              QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                list_sum(list_transform(list_zip(e.v, c0.cv),
+                         p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC,
+                c0.ord ASC) = 1
+            ),
+            u1 AS (
+              SELECT ord, pos, sum(qv) AS s, count(*) AS n
+              FROM (
+                SELECT ord, unnest(list_transform(range(1, len(v) + 1),
+                       i -> {'pos': i, 'qv': CAST(floor(v[i] * 1048576.0) AS BIGINT)}),
+                       recursive := true)
+                FROM a1
+              ) GROUP BY ord, pos
+            ),
+            c1 AS (
+              SELECT c0.ord, coalesce(m.cv, c0.cv) AS cv
+              FROM c0 LEFT JOIN (
+                SELECT ord, list(CAST(s AS DOUBLE) / n / 1048576.0 ORDER BY pos) AS cv
+                FROM u1 GROUP BY ord
+              ) m USING (ord)
+            ),
+            a2 AS (
+              SELECT e.vec_id, c1.ord FROM e CROSS JOIN c1
+              QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                list_sum(list_transform(list_zip(e.v, c1.cv),
+                         p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC,
+                c1.ord ASC) = 1
+            )
+            SELECT vec_id, ord AS cluster FROM a2
+        """,
         # SemDeDup twin: same assign CTE as _IVF_ANN_SQL (unrounded
         # cosine-distance argmin, smallest centroid id wins ties),
         # then an equi-self-join per bucket, 6dp-rounded cosine >=

@@ -1645,3 +1645,68 @@ def test_semantic_dedup_differential_and_degenerates(spark):
     one = spark.createDataFrame([(9, [1.0, 0.0])], "vec_id long, embedding array<double>")
     o3 = semantic_dedup(one, threshold=0.5, centroid_ids=[9]).toPandas()
     assert len(o3) == 1 and o3.iloc[0].dup_of != o3.iloc[0].dup_of
+
+
+def test_kmeans_fit_differential_and_degenerates(spark):
+    """kmeans_fit vs a pure-python Lloyd twin with the identical
+    fixed-point update, plus: empty-cluster carryover, NULL vectors,
+    all-identical points, and convergence on separable blobs."""
+    import numpy as np
+
+    from bubbles.operators.kmeans import kmeans_fit
+
+    rng = np.random.default_rng(3)
+    blobs = np.vstack(
+        [
+            rng.normal(0, 0.3, (30, 6)) + c
+            for c in ([3, 0, 0, 0, 0, 0], [0, 3, 0, 0, 0, 0], [0, 0, 3, 0, 0, 0])
+        ]
+    )
+    rows = [(i, blobs[i].tolist()) for i in range(len(blobs))]
+    rows.append((200, None))  # excluded
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # centroid 2 (id 4) starts inside blob 0, so after iter-1 it goes
+    # empty or merges — exercises carryover vs reassignment paths
+    cent_ids = [0, 35, 4]
+
+    out = (
+        kmeans_fit(df, n_iter=3, centroid_ids=cent_ids)
+        .toPandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    assert 200 not in out.index and len(out) == len(blobs)
+
+    # python twin with the same quantized update
+    C = blobs[[0, 35, 4]].astype(np.float64).copy()
+    scale = float(1 << 20)
+    for it in range(3):
+        d2 = ((blobs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        # strict-< scan in ordinal order == argmin with first-wins ties
+        assign = np.argmin(d2, axis=1)
+        if it == 2:
+            break
+        q = np.floor(blobs * scale).astype(np.int64)
+        newC = C.copy()
+        for j in range(3):
+            m = assign == j
+            if m.any():
+                s = q[m].sum(axis=0)
+                newC[j] = np.array([float(x) / int(m.sum()) / scale for x in s])
+        C = newC
+    assert (out["cluster"].to_numpy() == assign).all()
+    # blobs are separable: each blob lands in exactly one cluster
+    for b in range(3):
+        assert len(set(assign[b * 30 : (b + 1) * 30])) == 1
+
+    # all-identical points: every distance ties -> everything joins
+    # ordinal 0; ordinal 1 carries its (identical) centroid forever
+    same = spark.createDataFrame(
+        [(i, [5.0, 5.0]) for i in range(6)], "vec_id long, embedding array<double>"
+    )
+    o2 = kmeans_fit(same, n_iter=2, centroid_ids=[3, 4]).toPandas()
+    assert (o2["cluster"] == 0).all() and len(o2) == 6
+
+    # n_iter=1: pure assignment, no update jobs
+    o3 = kmeans_fit(df, n_iter=1, centroid_ids=cent_ids).toPandas()
+    assert len(o3) == len(blobs)

@@ -390,6 +390,20 @@ def main():
         "(centroid bucket kernel only)",
     )
 
+    # 25. k-means: the returned assignment plan is scan -> broadcast
+    # -centroid mapInPandas with ZERO exchanges — the corpus is never
+    # shuffled; only the k x dim partial-sum agg (inside the update
+    # jobs, not this plan) ever exchanges anything
+    kq = m.all_queries()["kmeans_fit"](spark, sf_dir)
+    kp = plan_of(kq)
+    check(
+        "kmeans assignment shuffle-free",
+        "MapInPandas" in kp
+        and "Exchange hashpartitioning" not in kp
+        and "CartesianProduct" not in kp,
+        "final assignment pass: columnar scan + Arrow kernel, no exchange",
+    )
+
     lines = [
         "# PLANS — physical-plan audit (tools/plan_audit.py)",
         "",
