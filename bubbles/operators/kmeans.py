@@ -4,7 +4,8 @@ The missing "train" step in front of ``similarity.ivf_topk`` and
 ``dedup.semantic_dedup`` (both take one assign step against sampled
 or pinned centroids): ``kmeans_fit`` iterates
 assign → update ``n_iter`` times and returns the final per-point
-assignment.
+assignment; ``kmeans_centroids`` returns the trained centroids in
+the shape those operators consume.
 
 Determinism is the hard part of distributed k-means: the centroid
 update is a MEAN, and floating-point partial sums depend on partition
@@ -43,27 +44,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def kmeans_fit(
-    df: DataFrame,
-    k: int = 8,
-    n_iter: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    centroid_ids: list | None = None,
-    seed: int = 42,
-    scale_bits: int = 20,
-) -> DataFrame:
-    """Lloyd's k-means; returns (id_col, cluster) after ``n_iter``
-    assignment passes with ``n_iter - 1`` exact centroid updates in
-    between.  ``cluster`` is the centroid ordinal 0..k-1 (the order
-    of ``centroid_ids``, or sample order).  NULL vectors excluded
-    (ANN-family contract)."""
+def _base_and_init(df, k, id_col, vec_col, centroid_ids, seed):
+    """NULL-filtered (point_id, features) frame + initial centroid
+    matrix (pinned corpus ids, or seeded hash-rank sample)."""
     import numpy as np
-    import pandas as pd
 
     from bubbles.operators.sampling import stratified_sample_exact
 
-    scale = float(1 << scale_bits)
     df = df.filter(F.col(vec_col).isNotNull())
     base = df.select(
         F.col(id_col).alias("point_id"),
@@ -87,31 +74,41 @@ def kmeans_fit(
             key=lambda r: r.sample_ord,
         )[:k]
     cmat = np.array([r.features for r in crows], dtype=np.float64)
-    k_eff = len(cmat)
+    return base, cmat
+
+
+def _assign_of(sc, cmat_now):
+    """Batch argmin over centroid ordinals, ascending, strict < (ties
+    → smallest ordinal) on SQUARED euclidean distance — sqrt-free,
+    same interior as kernels.hdbscan_kernel._rows_euclidean."""
+    import numpy as np
+
+    bc = sc.broadcast(cmat_now)
+
+    def best(X: "np.ndarray") -> "np.ndarray":
+        m = bc.value
+        best_d = np.full(len(X), np.inf)
+        best_j = np.zeros(len(X), dtype=np.int64)
+        for j in range(len(m)):
+            d0 = X - m[j]
+            d = np.einsum("ij,ij->i", d0, d0)
+            upd = d < best_d
+            best_d[upd] = d[upd]
+            best_j[upd] = j
+        return best_j
+
+    return best
+
+
+def _train(base, cmat, n_iter, scale):
+    """Run ``n_iter - 1`` exact quantized Lloyd updates; returns the
+    final centroid matrix."""
+    import numpy as np
+    import pandas as pd
+
     sc = base.sparkSession.sparkContext
-
-    def assign_of(cmat_now: np.ndarray):
-        """Argmin over centroid ordinals, ascending, strict < (ties →
-        smallest ordinal) on SQUARED euclidean distance — sqrt-free,
-        same interior as kernels.hdbscan_kernel._rows_euclidean."""
-        bc = sc.broadcast(cmat_now)
-
-        def best(X: np.ndarray) -> np.ndarray:
-            m = bc.value
-            best_d = np.full(len(X), np.inf)
-            best_j = np.zeros(len(X), dtype=np.int64)
-            for j in range(len(m)):
-                d0 = X - m[j]
-                d = np.einsum("ij,ij->i", d0, d0)
-                upd = d < best_d
-                best_d[upd] = d[upd]
-                best_j[upd] = j
-            return best_j
-
-        return best
-
     for _ in range(n_iter - 1):
-        best = assign_of(cmat)
+        best = _assign_of(sc, cmat)
 
         def partial(it):
             dim = None
@@ -155,8 +152,30 @@ def kmeans_fit(
         for r in stats:
             new[int(r.cluster)][int(r.pos)] = float(r.s) / int(r.n) / scale
         cmat = new
+    return cmat
 
-    best = assign_of(cmat)
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_ids: list | None = None,
+    seed: int = 42,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Lloyd's k-means; returns (id_col, cluster) after ``n_iter``
+    assignment passes with ``n_iter - 1`` exact centroid updates in
+    between.  ``cluster`` is the centroid ordinal 0..k-1 (the order
+    of ``centroid_ids``, or sample order).  NULL vectors excluded
+    (ANN-family contract)."""
+    import numpy as np
+    import pandas as pd
+
+    base, cmat = _base_and_init(df, k, id_col, vec_col, centroid_ids, seed)
+    cmat = _train(base, cmat, n_iter, float(1 << scale_bits))
+    best = _assign_of(base.sparkSession.sparkContext, cmat)
 
     def assign_out(it):
         for pdf in it:
@@ -170,3 +189,26 @@ def kmeans_fit(
         .mapInPandas(assign_out, "point_id long, cluster long")
         .select(F.col("point_id").alias(id_col), "cluster")
     )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_ids: list | None = None,
+    seed: int = 42,
+    scale_bits: int = 20,
+) -> "tuple":
+    """Train exactly as ``kmeans_fit`` (same init, same quantized
+    updates) but return the final centroids as driver-side
+    ``(ordinals ndarray, matrix ndarray)`` — the (cids, cmat) shape
+    ``similarity._ivf_assign_probe`` consumes, composing
+    train-then-index pipelines (k-means → IVF inverted lists, or
+    k-means → SemDeDup buckets).  k rows: inherently driver-sized."""
+    import numpy as np
+
+    base, cmat = _base_and_init(df, k, id_col, vec_col, centroid_ids, seed)
+    cmat = _train(base, cmat, n_iter, float(1 << scale_bits))
+    return np.arange(len(cmat), dtype=np.int64), cmat

@@ -1710,3 +1710,48 @@ def test_kmeans_fit_differential_and_degenerates(spark):
     # n_iter=1: pure assignment, no update jobs
     o3 = kmeans_fit(df, n_iter=1, centroid_ids=cent_ids).toPandas()
     assert len(o3) == len(blobs)
+
+
+def test_kmeans_centroids_compose_with_ivf_assign(spark):
+    """kmeans_centroids returns the (cids, cmat) shape the IVF
+    assignment kernel consumes; the composed assignment agrees with
+    kmeans_fit's own final assignment on separable blobs (euclid vs
+    cosine argmin coincide when blobs are angularly separated)."""
+    import numpy as np
+
+    from bubbles.operators.kmeans import kmeans_centroids, kmeans_fit
+
+    rng = np.random.default_rng(5)
+    blobs = np.vstack(
+        [rng.normal(0, 0.05, (15, 4)) + c for c in ([4, 0, 0, 0], [0, 4, 0, 0])]
+    )
+    df = spark.createDataFrame(
+        [(i, blobs[i].tolist()) for i in range(len(blobs))],
+        "vec_id long, embedding array<double>",
+    )
+    cids, cmat = kmeans_centroids(df, n_iter=3, centroid_ids=[0, 16])
+    assert list(cids) == [0, 1] and cmat.shape == (2, 4)
+    # trained centroids sit near the blob means
+    assert np.linalg.norm(cmat[0] - blobs[:15].mean(axis=0)) < 0.1
+    assert np.linalg.norm(cmat[1] - blobs[15:].mean(axis=0)) < 0.1
+
+    from bubbles.operators.similarity import _ivf_assign_probe
+
+    base = df.select(
+        F.col("vec_id").alias("point_id"),
+        F.col("embedding").cast("array<double>").alias("features"),
+    )
+    assigned = (
+        _ivf_assign_probe(base, cids, cmat, n_probe=1)
+        .select("point_id", "centroid")
+        .toPandas()
+        .set_index("point_id")
+        .sort_index()
+    )
+    fit = (
+        kmeans_fit(df, n_iter=3, centroid_ids=[0, 16])
+        .toPandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    assert (assigned["centroid"].to_numpy() == fit["cluster"].to_numpy()).all()

@@ -81,6 +81,15 @@ def main():
         results[name] = bool(ok)
         print(f"[{'OK' if ok else 'MISMATCH':<9}] {name}: {len(ra)} rows")
 
+    # subset runs MERGE into the existing record instead of clobbering
+    # the full-sweep results for the queries that didn't run
+    if only:
+        try:
+            with open("DETERMINISM.json") as f:
+                prior = json.load(f)
+        except (FileNotFoundError, ValueError):
+            prior = {}
+        results = {**prior, **results}
     with open("DETERMINISM.json", "w") as f:
         json.dump(results, f, indent=1, sort_keys=True)
     bad = sorted(n for n, ok in results.items() if not ok)
