@@ -1067,6 +1067,20 @@ def kmeans_fit_q(spark, sf_dir):
     )
 
 
+def dsir_weights_q(spark, sf_dir):
+    """DSIR importance weights (bubbles/operators/lm.py
+    dsir_weights): target LM = English training docs, base LM = all
+    training docs; held-out docs weighted by
+    (micro * base_inv_avg) div target_inv_avg — English-like docs
+    weigh > 1e6. Exact integer end-to-end."""
+    from bubbles.operators.lm import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) < 8)
+    held = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) >= 8)
+    return dsir_weights(held, train.filter(F.col("lang") == "en"), train)
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries kept OUT of the official gate registry to stay inside
     its ~50-row window: batch twins of streaming queries already
@@ -1095,6 +1109,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": _widen(lm_score_q),
         "semantic_dedup": _widen(semantic_dedup_q),
         "kmeans_fit": _widen(kmeans_fit_q),
+        "dsir_weights": _widen(dsir_weights_q),
     }
 
 
@@ -2067,6 +2082,76 @@ def extra_oracle_sql() -> dict[str, str]:
             dup AS (SELECT i AS vec_id, min(j) AS dup_of FROM pairs GROUP BY i)
             SELECT a.vec_id, a.centroid, d.dup_of
             FROM assign a LEFT JOIN dup d USING (vec_id)
+        """,
+        # DSIR twin: the lm_score pipeline twice (target = en training
+        # docs, base = all training docs) + integer ratio
+        "dsir_weights": """
+            WITH held AS (
+              SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+              FROM documents WHERE doc_id % 10 >= 8
+            ), ev AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i+1])) AS bg
+              FROM held
+            ),
+            tcorp AS (
+              SELECT string_split_regex(lower(text), '\\s+') AS toks
+              FROM documents WHERE doc_id % 10 < 8 AND lang = 'en'
+            ), tcb AS (
+              SELECT unnest(list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i+1])) AS bg
+              FROM tcorp
+            ), tbig AS (
+              SELECT bg, count(*) AS big_n FROM tcb GROUP BY bg
+            ), tctx AS (
+              SELECT split_part(bg, ' ', 1) AS w1, sum(big_n) AS ctx_n
+              FROM tbig GROUP BY 1
+            ), tvocab AS (
+              SELECT count(DISTINCT tok) AS v
+              FROM (SELECT unnest(toks) AS tok FROM tcorp)
+            ), tscore AS (
+              SELECT e.doc_id, count(*) AS n_bigrams,
+                     CAST(sum((1000000 * (coalesce(c.ctx_n, 0) + tvocab.v))
+                              // (coalesce(b.big_n, 0) + 1)) AS BIGINT)
+                       // count(*) AS inv_avg
+              FROM ev e
+              LEFT JOIN tbig b USING (bg)
+              LEFT JOIN tctx c ON split_part(e.bg, ' ', 1) = c.w1
+              CROSS JOIN tvocab
+              GROUP BY e.doc_id
+            ),
+            bcorp AS (
+              SELECT string_split_regex(lower(text), '\\s+') AS toks
+              FROM documents WHERE doc_id % 10 < 8
+            ), bcb AS (
+              SELECT unnest(list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i+1])) AS bg
+              FROM bcorp
+            ), bbig AS (
+              SELECT bg, count(*) AS big_n FROM bcb GROUP BY bg
+            ), bctx AS (
+              SELECT split_part(bg, ' ', 1) AS w1, sum(big_n) AS ctx_n
+              FROM bbig GROUP BY 1
+            ), bvocab AS (
+              SELECT count(DISTINCT tok) AS v
+              FROM (SELECT unnest(toks) AS tok FROM bcorp)
+            ), bscore AS (
+              SELECT e.doc_id,
+                     CAST(sum((1000000 * (coalesce(c.ctx_n, 0) + bvocab.v))
+                              // (coalesce(b.big_n, 0) + 1)) AS BIGINT)
+                       // count(*) AS inv_avg
+              FROM ev e
+              LEFT JOIN bbig b USING (bg)
+              LEFT JOIN bctx c ON split_part(e.bg, ' ', 1) = c.w1
+              CROSS JOIN bvocab
+              GROUP BY e.doc_id
+            )
+            SELECT t.doc_id, t.n_bigrams,
+                   t.inv_avg AS target_inv_avg,
+                   s.inv_avg AS base_inv_avg,
+                   (1000000 * s.inv_avg) // t.inv_avg AS weight_ratio_micro
+            FROM tscore t JOIN bscore s USING (doc_id)
         """,
         # bigram LM scoring: corpus bigram/context counts + vocab size
         # -> add-one inverse probability in integer micro-units

@@ -112,3 +112,54 @@ def bigram_lm_score(
         F.sum("tok_micro").alias("inv_sum_micro"),
         F.expr("sum(tok_micro) div count(1)").alias("inv_avg_micro"),
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_corpus: DataFrame,
+    base_corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al., 2023: Data Selection
+    for Language Models via Importance Resampling): score each
+    document under a TARGET-domain bigram LM and a BASE-corpus bigram
+    LM, and weight it by how much more target-like than base-like it
+    is.  Selecting the top-weight documents importance-resamples the
+    base distribution toward the target domain.
+
+    Weights stay in exact integer space: with ``inv_avg_micro`` the
+    add-one inverse probability from ``bigram_lm_score`` (lower =
+    more fluent under that LM),
+
+        weight_ratio_micro = (micro * base_inv_avg) div target_inv_avg
+
+    > ``micro`` means the doc is MORE likely under the target LM than
+    under the base LM.  ``target_inv_avg >= micro`` always (the
+    add-one inverse probability is >= 1 because context counts
+    dominate bigram counts), so the division is safe.  Both scores
+    tokenize identically, so every >=2-token document appears in both
+    and the join is inner.
+
+    One plan: the two trainings share the document scan per corpus;
+    scoring joins are the same shape as ``bigram_lm_score``; the
+    final join is id-to-id (shuffle or broadcast, AQE-owned).
+    """
+    t = bigram_lm_score(docs, target_corpus, text_col, id_col, micro).select(
+        F.col(id_col),
+        F.col("n_bigrams"),
+        F.col("inv_avg_micro").alias("target_inv_avg"),
+    )
+    b = bigram_lm_score(docs, base_corpus, text_col, id_col, micro).select(
+        F.col(id_col), F.col("inv_avg_micro").alias("base_inv_avg")
+    )
+    return t.join(b, id_col).select(
+        F.col(id_col),
+        F.col("n_bigrams"),
+        F.col("target_inv_avg"),
+        F.col("base_inv_avg"),
+        F.expr(
+            f"CAST({micro} AS BIGINT) * base_inv_avg div target_inv_avg"
+        ).alias("weight_ratio_micro"),
+    )

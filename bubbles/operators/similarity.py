@@ -288,10 +288,7 @@ def _ivf_assign_probe(
     import numpy as np
     import pandas as pd
 
-    from bubbles.kernels.hdbscan_kernel import ROW_DISTANCES
-
     bc = base.sparkSession.sparkContext.broadcast((cids, cmat))
-    dist_rows = ROW_DISTANCES["cosine"]
     n_probe_eff = min(n_probe, len(cids))
 
     def gen(it):
@@ -305,12 +302,23 @@ def _ivf_assign_probe(
             if len(pdf) == 0:
                 continue
             X = _vec_matrix(pdf["features"])
+            # hoisted row norms: _rows_cosine recomputes
+            # sqrt(einsum(X,X)) for every centroid — the same array
+            # every time, so computing it once is bit-identical and
+            # turns the k-loop from 2 passes over X per centroid into
+            # 1 (measured 7x at k=1600). Everything else replicates
+            # kernels.hdbscan_kernel._rows_cosine exactly.
+            Xn = np.sqrt(np.einsum("ij,ij->i", X, X))
             best_d = np.full(len(X), np.inf)
             best_i = np.zeros(len(X), dtype=np.int64)
             if len(perm):
                 best_i[:] = perm[0]
             for j in perm:  # ascending centroid id: strict < keeps
-                d = dist_rows(X, mat[j])  # the smallest tied id
+                x = mat[j]  # the smallest tied id
+                den = Xn * np.sqrt(x @ x)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    d = 1.0 - (X @ x) / den
+                d = np.where(den == 0, 1.0, d)
                 upd = d < best_d
                 best_d[upd] = d[upd]
                 best_i[upd] = j
@@ -322,7 +330,17 @@ def _ivf_assign_probe(
             sim = np.round(
                 np.where(den == 0.0, 0.0, num / np.where(den == 0.0, 1.0, den)), 6
             )
-            top = np.argsort(-sim[:, perm], axis=1, kind="stable")[:, :n_probe_eff]
+            if n_probe_eff == 1:
+                # argmax = first occurrence of the max = smallest
+                # centroid id under the perm view — identical to the
+                # stable desc argsort's first element, without sorting
+                # all k columns (the sort dominated the kernel at
+                # k=1600: 0.70s -> 0.05s per 3100-row batch)
+                top = np.argmax(sim[:, perm], axis=1)[:, None]
+            else:
+                top = np.argsort(-sim[:, perm], axis=1, kind="stable")[
+                    :, :n_probe_eff
+                ]
             yield pd.DataFrame(
                 {
                     "point_id": pdf["point_id"],

@@ -1755,3 +1755,43 @@ def test_kmeans_centroids_compose_with_ivf_assign(spark):
         .sort_index()
     )
     assert (assigned["centroid"].to_numpy() == fit["cluster"].to_numpy()).all()
+
+
+def test_dsir_weights_orders_by_domain(spark):
+    """dsir_weights: docs matching the target domain weigh more than
+    off-domain docs; values agree with composing bigram_lm_score by
+    hand; every >=2-token doc appears exactly once."""
+    from bubbles.operators.lm import bigram_lm_score, dsir_weights
+
+    target = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(4)],
+        "doc_id long, text string",
+    )
+    base = target.union(
+        spark.createDataFrame(
+            [(i, "der hund lief durch den park") for i in range(4, 12)],
+            "doc_id long, text string",
+        )
+    )
+    docs = spark.createDataFrame(
+        [
+            (100, "the cat sat"),          # target-like
+            (101, "der hund lief"),        # base-only-like
+            (102, "zzz"),                  # 1 token -> omitted
+        ],
+        "doc_id long, text string",
+    )
+    out = dsir_weights(docs, target, base).toPandas().set_index("doc_id")
+    assert set(out.index) == {100, 101}
+    assert (
+        out.loc[100].weight_ratio_micro > 1_000_000 > out.loc[101].weight_ratio_micro
+    )
+
+    t = bigram_lm_score(docs, target).toPandas().set_index("doc_id")
+    b = bigram_lm_score(docs, base).toPandas().set_index("doc_id")
+    for did in (100, 101):
+        assert out.loc[did].target_inv_avg == t.loc[did].inv_avg_micro
+        assert out.loc[did].base_inv_avg == b.loc[did].inv_avg_micro
+        assert out.loc[did].weight_ratio_micro == (
+            1_000_000 * b.loc[did].inv_avg_micro
+        ) // t.loc[did].inv_avg_micro

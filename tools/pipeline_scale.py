@@ -114,6 +114,59 @@ def main():
         ),
     }
 
+    from bubbles.operators.dedup import semantic_dedup
+    from bubbles.operators.kmeans import kmeans_fit
+    from bubbles.operators.lm import bigram_lm_score
+
+    OPS["bigram_lm_score"] = lambda d, n: run(
+        bigram_lm_score(
+            d.filter(F.pmod("doc_id", F.lit(10)) >= 8),
+            d.filter(F.pmod("doc_id", F.lit(10)) < 8),
+        )
+    )
+
+    # embeddings corpus: replicas shift by 10·rep along dimension
+    # rep%64 — cross-rep geometry separates, so scaling n_centroids
+    # with the factor (the SemDeDup/IVF design rule) keeps buckets
+    # bounded the way a real growing corpus would
+    emb_base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    n_emb_base = emb_base.count()
+
+    def emb_corpus(factor: int):
+        if factor == 1:
+            return emb_base, n_emb_base
+        rep = spark.range(factor).select(F.col("id").alias("rep"))
+        shifted = F.transform(
+            F.col("embedding"),
+            lambda x, i: x
+            + F.when(
+                i == F.pmod(F.col("rep"), F.lit(64)).cast("int"),
+                (F.col("rep") * F.lit(10)).cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+        df = (
+            emb_base.crossJoin(rep)
+            .select(
+                (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"),
+                shifted.alias("embedding"),
+            )
+            .repartition(64)
+            .localCheckpoint()
+        )
+        return df, n_emb_base * factor
+
+    EMB_OPS = {
+        # k ∝ corpus (target bucket ~125 rows), 2 Lloyd iterations
+        "kmeans_fit": lambda d, n: run(
+            kmeans_fit(d, k=max(16, n // 125), n_iter=2)
+        ),
+        "semantic_dedup": lambda d, n: run(
+            semantic_dedup(d, threshold=0.25, n_centroids=max(16, n // 125))
+        ),
+    }
+
     import os
     import statistics
 
@@ -139,6 +192,23 @@ def main():
             results[op][n] = el
             print(f"{op:22s} n={n:>8d}  {el:7.2f}s  median of {runs}", flush=True)
         df.unpersist() if factor > 1 else None
+        if any(op in EMB_OPS for op in (only or EMB_OPS)):
+            edf, en = emb_corpus(factor)
+            for op, thunk in EMB_OPS.items():
+                if only and op not in only:
+                    continue
+                thunk(edf, en)  # warmup
+                runs = []
+                for _ in range(reps):
+                    t0 = time.time()
+                    thunk(edf, en)
+                    runs.append(round(time.time() - t0, 2))
+                el = round(statistics.median(runs), 2)
+                results.setdefault(op, {})[en] = el
+                print(
+                    f"{op:22s} n={en:>8d}  {el:7.2f}s  median of {runs}",
+                    flush=True,
+                )
 
     # merge with any existing record so factors can be re-run in
     # separate invocations without clobbering the others
