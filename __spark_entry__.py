@@ -1081,6 +1081,27 @@ def dsir_weights_q(spark, sf_dir):
     return dsir_weights(held, train.filter(F.col("lang") == "en"), train)
 
 
+def funnel_counts_q(spark, sf_dir):
+    """Sequential-min funnel (bubbles/operators/analytics.py
+    funnel_counts): one shuffle, one F.aggregate fold per user; the
+    DuckDB twin computes the same semantics through the independent
+    lateral list_min/list_filter formulation."""
+    from bubbles.operators.analytics import funnel_counts
+
+    ev = _events_us(spark, sf_dir)
+    return funnel_counts(ev, ["signup", "view", "click", "purchase"])
+
+
+def cohort_retention_q(spark, sf_dir):
+    """Weekly cohort retention triangle (bubbles/operators/analytics.py
+    cohort_retention): exact integer week arithmetic, two exchanges
+    (per-user agg, then the tiny cohort x offset count)."""
+    from bubbles.operators.analytics import cohort_retention
+
+    ev = _events_us(spark, sf_dir)
+    return cohort_retention(ev)
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries kept OUT of the official gate registry to stay inside
     its ~50-row window: batch twins of streaming queries already
@@ -1110,6 +1131,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _widen(semantic_dedup_q),
         "kmeans_fit": _widen(kmeans_fit_q),
         "dsir_weights": _widen(dsir_weights_q),
+        "funnel_counts": _widen(funnel_counts_q),
+        "cohort_retention": _widen(cohort_retention_q),
     }
 
 
@@ -2082,6 +2105,49 @@ def extra_oracle_sql() -> dict[str, str]:
             dup AS (SELECT i AS vec_id, min(j) AS dup_of FROM pairs GROUP BY i)
             SELECT a.vec_id, a.centroid, d.dup_of
             FROM assign a LEFT JOIN dup d USING (vec_id)
+        """,
+        # funnel twin: INDEPENDENT formulation — lateral sequential
+        # mins (t_k = first step-k ts >= t_{k-1}) vs the engine's
+        # sorted-array fold; provably equal semantics, so hash
+        # equality cross-checks both
+        "funnel_counts": """
+            WITH l AS (
+              SELECT user_id,
+                     list(epoch_us(ts)) FILTER (WHERE event_type = 'signup') AS ts0,
+                     list(epoch_us(ts)) FILTER (WHERE event_type = 'view') AS ts1,
+                     list(epoch_us(ts)) FILTER (WHERE event_type = 'click') AS ts2,
+                     list(epoch_us(ts)) FILTER (WHERE event_type = 'purchase') AS ts3
+              FROM events GROUP BY user_id
+            ), w AS (
+              SELECT user_id,
+                     list_min(ts0) AS t0,
+                     list_min(list_filter(ts1, x -> x >= t0)) AS t1,
+                     list_min(list_filter(ts2, x -> x >= t1)) AS t2,
+                     list_min(list_filter(ts3, x -> x >= t2)) AS t3
+              FROM l
+            ), a AS (
+              SELECT count(t0) AS n0, count(t1) AS n1,
+                     count(t2) AS n2, count(t3) AS n3
+              FROM w
+            )
+            SELECT CAST(0 AS BIGINT) AS step_ord, 'signup' AS step, n0 AS n_users FROM a
+            UNION ALL SELECT 1, 'view', n1 FROM a
+            UNION ALL SELECT 2, 'click', n2 FROM a
+            UNION ALL SELECT 3, 'purchase', n3 FROM a
+        """,
+        # cohort retention twin: exact integer week arithmetic
+        "cohort_retention": """
+            WITH w AS (
+              SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+            ), cu AS (
+              SELECT user_id, min(wk) AS cohort FROM w GROUP BY user_id
+            ), d AS (
+              SELECT DISTINCT w.user_id, cu.cohort, w.wk
+              FROM w JOIN cu USING (user_id)
+            )
+            SELECT cohort AS cohort_week, wk - cohort AS week_offset,
+                   count(*) AS n_users
+            FROM d GROUP BY 1, 2
         """,
         # DSIR twin: the lm_score pipeline twice (target = en training
         # docs, base = all training docs) + integer ratio

@@ -1795,3 +1795,78 @@ def test_dsir_weights_orders_by_domain(spark):
         assert out.loc[did].weight_ratio_micro == (
             1_000_000 * b.loc[did].inv_avg_micro
         ) // t.loc[did].inv_avg_micro
+
+
+def test_funnel_counts_walk_semantics(spark):
+    """Hand-built funnel fixtures: same-instant advancement, steps
+    out of order don't count, later re-occurrence rescues the walk,
+    and the fold matches a python sequential-min twin."""
+    from bubbles.operators.analytics import funnel_counts
+
+    rows = [
+        # u1: clean full funnel
+        (1, "signup", 10), (1, "view", 20), (1, "click", 30), (1, "purchase", 40),
+        # u2: purchase BEFORE click -> reaches click only
+        (2, "signup", 10), (2, "view", 20), (2, "purchase", 25), (2, "click", 30),
+        # u3: same-instant signup+view+click -> >= admits same-ts advancement
+        (3, "signup", 50), (3, "view", 50), (3, "click", 50),
+        # u4: view only, never signed up -> reaches nothing
+        (4, "view", 5), (4, "click", 6),
+        # u5: early purchase ignored, later one counts
+        (5, "purchase", 1), (5, "signup", 2), (5, "view", 3),
+        (5, "click", 4), (5, "purchase", 9),
+        # u6: unrelated event types interleaved
+        (6, "signup", 1), (6, "error", 2), (6, "view", 3),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts_us long")
+    steps = ["signup", "view", "click", "purchase"]
+    out = (
+        funnel_counts(ev, steps)
+        .toPandas()
+        .set_index("step_ord")
+        .sort_index()
+    )
+
+    def walk(urows):
+        t, reached = None, 0
+        for s in steps:
+            cand = [ts for (typ, ts) in urows if typ == s and (t is None or ts >= t)]
+            if not cand:
+                break
+            t = min(cand)
+            reached += 1
+        return reached
+
+    users = {u for (u, _, _) in rows}
+    py = {u: walk([(t2, t3) for (u2, t2, t3) in rows if u2 == u]) for u in users}
+    for i, s in enumerate(steps):
+        assert out.loc[i].step == s
+        assert out.loc[i].n_users == sum(1 for r in py.values() if r >= i + 1), (i, py)
+    # spot semantics
+    assert py[1] == 4 and py[2] == 3 and py[3] == 3 and py[4] == 0 and py[5] == 4
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        funnel_counts(ev, ["signup"])
+    with _pytest.raises(ValueError):
+        funnel_counts(ev, ["a", "a"])
+
+
+def test_cohort_retention_triangle(spark):
+    from bubbles.operators.analytics import WEEK_US, cohort_retention
+
+    W = WEEK_US
+    rows = [
+        (1, 0), (1, W + 1), (1, 3 * W),   # cohort 0, offsets {0,1,3}
+        (2, W), (2, W + 5),               # cohort 1, offset {0} (same week twice)
+        (3, 2 * W), (3, 3 * W),           # cohort 2, offsets {0,1}
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts_us long")
+    out = cohort_retention(ev).toPandas()
+    got = {(r.cohort_week, r.week_offset): r.n_users for r in out.itertuples()}
+    assert got == {
+        (0, 0): 1, (0, 1): 1, (0, 3): 1,
+        (1, 0): 1,
+        (2, 0): 1, (2, 1): 1,
+    }
