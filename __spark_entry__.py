@@ -1102,6 +1102,30 @@ def cohort_retention_q(spark, sf_dir):
     return cohort_retention(ev)
 
 
+def pagerank_q(spark, sf_dir):
+    """Exact fixed-point PageRank (bubbles/operators/graph.py) on the
+    customer<->supplier bipartite graph derived from lineitem x
+    orders (vertex ids: custkey*2 / suppkey*2+1). Two damped
+    iterations in integer micro-units — bit-identical to the DuckDB
+    twin's unrolled CTEs."""
+    from bubbles.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).union(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    return pagerank(edges, n_iter=2)
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries kept OUT of the official gate registry to stay inside
     its ~50-row window: batch twins of streaming queries already
@@ -1133,6 +1157,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _widen(dsir_weights_q),
         "funnel_counts": _widen(funnel_counts_q),
         "cohort_retention": _widen(cohort_retention_q),
+        "pagerank": _widen(pagerank_q),
     }
 
 
@@ -2105,6 +2130,45 @@ def extra_oracle_sql() -> dict[str, str]:
             dup AS (SELECT i AS vec_id, min(j) AS dup_of FROM pairs GROUP BY i)
             SELECT a.vec_id, a.centroid, d.dup_of
             FROM assign a LEFT JOIN dup d USING (vec_id)
+        """,
+        # PageRank twin: both damped iterations unrolled; integer
+        # micro-unit ranks, floor-division shares, rational 85/100
+        # damping — exact, so hashes match bit-for-bit
+        "pagerank": """
+            WITH pairs AS (
+              SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            ), e AS (
+              SELECT c AS src, s AS dst FROM pairs
+              UNION SELECT s, c FROM pairs
+            ), v AS (
+              SELECT src AS vertex FROM e UNION SELECT dst FROM e
+            ), od AS (
+              SELECT src, count(*) AS out_n FROM e GROUP BY src
+            ), r0 AS (
+              SELECT vertex, CAST(1000000 AS BIGINT) AS rank_micro FROM v
+            ), c1 AS (
+              SELECT e.dst AS vertex,
+                     sum(r.rank_micro // od.out_n) AS inflow
+              FROM r0 r JOIN e ON r.vertex = e.src JOIN od USING (src)
+              GROUP BY e.dst
+            ), r1 AS (
+              SELECT v.vertex,
+                     CAST(150000 + (85 * coalesce(c1.inflow, 0)) // 100 AS BIGINT)
+                       AS rank_micro
+              FROM v LEFT JOIN c1 USING (vertex)
+            ), c2 AS (
+              SELECT e.dst AS vertex,
+                     sum(r.rank_micro // od.out_n) AS inflow
+              FROM r1 r JOIN e ON r.vertex = e.src JOIN od USING (src)
+              GROUP BY e.dst
+            ), r2 AS (
+              SELECT v.vertex,
+                     CAST(150000 + (85 * coalesce(c2.inflow, 0)) // 100 AS BIGINT)
+                       AS rank_micro
+              FROM v LEFT JOIN c2 USING (vertex)
+            )
+            SELECT vertex, rank_micro FROM r2
         """,
         # funnel twin: INDEPENDENT formulation — lateral sequential
         # mins (t_k = first step-k ts >= t_{k-1}) vs the engine's

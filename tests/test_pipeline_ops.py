@@ -1870,3 +1870,34 @@ def test_cohort_retention_triangle(spark):
         (1, 0): 1,
         (2, 0): 1, (2, 1): 1,
     }
+
+
+def test_pagerank_fixed_point_differential(spark):
+    """pagerank vs a python twin with identical integer arithmetic on
+    a hand graph with a dangling vertex, a hub, and an isolated pair;
+    plus rank-mass sanity (hub outranks leaves)."""
+    from bubbles.operators.graph import pagerank
+
+    # 1->2, 3->2, 4->2 (hub 2), 2->5 (5 dangles), 6<->7 isolated pair
+    E = [(1, 2), (3, 2), (4, 2), (2, 5), (6, 7), (7, 6), (1, 2)]  # dup edge
+    df = spark.createDataFrame(E, "src long, dst long")
+    out = (
+        pagerank(df, n_iter=3).toPandas().set_index("vertex").sort_index()
+    )
+
+    edges = sorted(set(E))
+    verts = sorted({u for e in edges for u in e})
+    outd = {}
+    for u, _ in edges:
+        outd[u] = outd.get(u, 0) + 1
+    r = {v: 1_000_000 for v in verts}
+    for _ in range(3):
+        inflow = {v: 0 for v in verts}
+        for u, v in edges:
+            inflow[v] += r[u] // outd[u]
+        r = {v: 150_000 + (85 * inflow[v]) // 100 for v in verts}
+    assert {int(v): int(out.loc[v].rank_micro) for v in verts} == r
+    # hub collects more than any of its sources; dangling 5 gets
+    # hub's mass but keeps sending nothing
+    assert r[2] > r[1] and r[2] > r[3]
+    assert out.loc[5].rank_micro > out.loc[1].rank_micro
