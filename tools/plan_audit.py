@@ -404,6 +404,47 @@ def main():
         "final assignment pass: columnar scan + Arrow kernel, no exchange",
     )
 
+    # 26. funnel: the whole sequential walk costs ONE user_id hash
+    # exchange (collect_list agg) — no window, no k-self-join chain
+    # (the textbook funnel shuffles once per step), no cartesian
+    fq = m.all_queries()["funnel_counts"](spark, sf_dir)
+    fp = plan_of(fq)
+    n_exch = len(re.findall(r"Exchange hashpartitioning", fp))
+    check(
+        "funnel single user shuffle, no window",
+        n_exch == 1 and "Window" not in fp and "CartesianProduct" not in fp,
+        f"{n_exch} hash exchange(s); greedy walk is an in-row "
+        "F.aggregate fold, steps never self-join",
+    )
+
+    # 27. cohort retention: exactly two hash exchanges (per-user agg,
+    # then the tiny cohort x offset count), both with map-side partials
+    cq = m.all_queries()["cohort_retention"](spark, sf_dir)
+    cp = plan_of(cq)
+    n_exch = len(re.findall(r"Exchange hashpartitioning", cp))
+    check(
+        "cohort retention two exchanges, partial aggs",
+        n_exch == 2
+        and cp.count("ObjectHashAggregate") + cp.count("HashAggregate") >= 4
+        and "CartesianProduct" not in cp,
+        f"{n_exch} hash exchange(s); collect_set and the final count "
+        "both run partial+final",
+    )
+
+    # 28. pagerank (2 unrolled iterations): equi-joins only — never a
+    # cartesian — and every inflow sum aggregates with map-side
+    # partials (high-in-degree skew is absorbed before the shuffle)
+    pq = m.all_queries()["pagerank"](spark, sf_dir)
+    pp = plan_of(pq)
+    check(
+        "pagerank equi-joins + partial inflow sums",
+        "CartesianProduct" not in pp
+        and "BroadcastNestedLoopJoin" not in pp
+        and pp.count("HashAggregate") >= 4,
+        "rank-edge joins keyed on src/dst; partial_sum before each "
+        "inflow exchange",
+    )
+
     lines = [
         "# PLANS — physical-plan audit (tools/plan_audit.py)",
         "",
