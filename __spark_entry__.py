@@ -1126,6 +1126,28 @@ def pagerank_q(spark, sf_dir):
     return pagerank(edges, n_iter=2)
 
 
+def triangle_count_q(spark, sf_dir):
+    """Exact per-vertex triangle counts (bubbles/operators/graph.py
+    triangle_count, degree-ordered compact-forward) on the part
+    co-occurrence graph: parts are adjacent iff some order contains
+    both. Pair fan-out per order is bounded by the order's line count
+    (<= 7 in TPC-H shape), so edge generation is a bounded equi
+    self-join. The DuckDB twin enumerates triangles in ID order — a
+    completely different orientation — and must match bit-for-bit."""
+    from bubbles.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = li.alias("x").join(
+        li.alias("y"),
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    )
+    edges = pairs.select(
+        F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+    )
+    return triangle_count(edges)
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries kept OUT of the official gate registry to stay inside
     its ~50-row window: batch twins of streaming queries already
@@ -1158,6 +1180,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_counts": _widen(funnel_counts_q),
         "cohort_retention": _widen(cohort_retention_q),
         "pagerank": _widen(pagerank_q),
+        "triangle_count": _widen(triangle_count_q),
     }
 
 
@@ -2130,6 +2153,26 @@ def extra_oracle_sql() -> dict[str, str]:
             dup AS (SELECT i AS vec_id, min(j) AS dup_of FROM pairs GROUP BY i)
             SELECT a.vec_id, a.centroid, d.dup_of
             FROM assign a LEFT JOIN dup d USING (vec_id)
+        """,
+        # triangle-count twin: ID-ordered enumeration (u < v < w by
+        # part id) vs the engine's degree-ordered orientation — each
+        # triangle found exactly once either way, so the exploded
+        # per-vertex counts are identical integers
+        "triangle_count": """
+            WITH e AS (
+              SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+              FROM lineitem x JOIN lineitem y
+                ON x.l_orderkey = y.l_orderkey
+               AND x.l_partkey < y.l_partkey
+            ), tri AS (
+              SELECT e1.a AS u, e1.b AS v, e2.b AS w
+              FROM e e1
+              JOIN e e2 ON e2.a = e1.b
+              JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+            )
+            SELECT vertex, count(*) AS n_triangles
+            FROM (SELECT unnest([u, v, w]) AS vertex FROM tri)
+            GROUP BY vertex
         """,
         # PageRank twin: both damped iterations unrolled; integer
         # micro-unit ranks, floor-division shares, rational 85/100

@@ -85,3 +85,98 @@ def pagerank(
             ).alias("rank_micro"),
         )
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(vertex, n_triangles): exact per-vertex triangle counts over
+    the undirected simple graph induced by ``edges`` (direction,
+    duplicate edges and self-loops are normalized away).
+
+    Degree-ordered orientation (the compact-forward algorithm): every
+    undirected edge is oriented from its lower-(degree, id) endpoint
+    to the higher one, making the graph a DAG whose out-degrees are
+    bounded by O(sqrt(m)).  Wedges are then a self-equi-join of the
+    oriented adjacency on the shared LOW endpoint, and a wedge closes
+    into a triangle iff the oriented edge between its two high
+    endpoints exists (checked with a semi-join — equi keys only,
+    never a cartesian).  Each triangle is discovered exactly once (at
+    its lowest-ordered vertex), so exploding the three corners yields
+    exact per-vertex counts, independent of partitioning.
+
+    Scale: the naive neighbor-pair enumeration is quadratic in the
+    degree of HUB vertices (a 10M-degree vertex would emit 5*10^13
+    wedges); degree orientation caps every vertex's enumerated pairs
+    at C(out_deg, 2) with out_deg <= sqrt(2m), the classical
+    m^(3/2) total bound.  Three shuffles: degree agg, wedge join,
+    closing semi-join; all map-side-combinable or equi-keyed.
+    Counts are exact integers, so a DuckDB twin that enumerates
+    triangles in ID order (a completely different orientation)
+    matches bit-for-bit.
+    """
+    e = (
+        edges.select(
+            F.least(src_col, dst_col).alias("a"),
+            F.greatest(src_col, dst_col).alias("b"),
+        )
+        .filter(
+            F.col("a").isNotNull()
+            & F.col("b").isNotNull()
+            & (F.col("a") != F.col("b"))
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    keyed = (
+        e.join(deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+    )
+    a_first = F.struct(F.col("da").alias("d"), F.col("a").alias("v")) < F.struct(
+        F.col("db").alias("d"), F.col("b").alias("v")
+    )
+    oriented = keyed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.when(
+            a_first, F.struct(F.col("db").alias("d"), F.col("b").alias("v"))
+        )
+        .otherwise(F.struct(F.col("da").alias("d"), F.col("a").alias("v")))
+        .alias("hi_key"),
+    )
+    wedges = (
+        oriented.select(
+            F.col("lo").alias("u"),
+            F.col("hi").alias("x"),
+            F.col("hi_key").alias("xk"),
+        )
+        .join(
+            oriented.select(
+                F.col("lo").alias("u"),
+                F.col("hi").alias("y"),
+                F.col("hi_key").alias("yk"),
+            ),
+            "u",
+        )
+        .filter(F.col("xk") < F.col("yk"))
+        .select("u", "x", "y")
+    )
+    triangles = wedges.join(
+        oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y")),
+        ["x", "y"],
+        "left_semi",
+    )
+    return (
+        triangles.select(
+            F.explode(F.array("u", "x", "y")).alias("vertex")
+        )
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

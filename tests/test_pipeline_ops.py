@@ -1901,3 +1901,55 @@ def test_pagerank_fixed_point_differential(spark):
     # hub's mass but keeps sending nothing
     assert r[2] > r[1] and r[2] > r[3]
     assert out.loc[5].rank_micro > out.loc[1].rank_micro
+
+
+def test_triangle_count_brute_force_differential(spark):
+    """triangle_count vs itertools brute force on a graph with a K4
+    clique (4 triangles), a triangle sharing a vertex with it, a hub
+    star (many wedges, zero triangles), duplicate / reversed edges,
+    a self-loop, and an isolated edge."""
+    from itertools import combinations
+
+    from bubbles.operators.graph import triangle_count
+
+    E = (
+        list(combinations([1, 2, 3, 4], 2))  # K4
+        + [(4, 5), (5, 6), (4, 6)]  # triangle sharing vertex 4
+        + [(10, i) for i in range(20, 30)]  # star: wedges, no triangles
+        + [(2, 1), (3, 1), (1, 1), (40, 41)]  # reversed dups, loop, pair
+    )
+    df = spark.createDataFrame(E, "src long, dst long")
+    got = {
+        int(r.vertex): int(r.n_triangles)
+        for r in triangle_count(df).collect()
+    }
+
+    adj = {tuple(sorted(e)) for e in E if e[0] != e[1]}
+    verts = sorted({u for e in adj for u in e})
+    want = {}
+    for u, v, w in combinations(verts, 3):
+        if {(u, v), (v, w), (u, w)} <= adj:
+            for x in (u, v, w):
+                want[x] = want.get(x, 0) + 1
+    assert got == want
+    assert want[4] == 4  # 3 K4 triangles + the shared one
+    assert 10 not in got  # star center: wedges never close
+
+
+def test_triangle_count_degenerate_inputs(spark):
+    """empty edge set, self-loops only, and NULL endpoints all yield
+    an empty (not failing) result."""
+    from bubbles.operators.graph import triangle_count
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert triangle_count(empty).count() == 0
+    loops = spark.createDataFrame([(1, 1), (2, 2)], "src long, dst long")
+    assert triangle_count(loops).count() == 0
+    nulls = spark.createDataFrame(
+        [(1, None), (None, 2), (1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    got = {
+        int(r.vertex): int(r.n_triangles)
+        for r in triangle_count(nulls).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}

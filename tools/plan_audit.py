@@ -445,6 +445,20 @@ def main():
         "inflow exchange",
     )
 
+    # 29. triangle count: wedge generation and the closing check are
+    # equi-joins (never a cartesian / nested-loop), and the close is
+    # a semi-join — wedges are probed, never multiplied
+    tq = m.all_queries()["triangle_count"](spark, sf_dir)
+    tp = plan_of(tq)
+    check(
+        "triangle count equi-joins + semi close",
+        "CartesianProduct" not in tp
+        and "BroadcastNestedLoopJoin" not in tp
+        and "LeftSemi" in tp,
+        "degree-oriented wedge self-join keyed on the low endpoint; "
+        "closing edge check is a left-semi equi-join",
+    )
+
     lines = [
         "# PLANS — physical-plan audit (tools/plan_audit.py)",
         "",
