@@ -1126,6 +1126,18 @@ def pagerank_q(spark, sf_dir):
     return pagerank(edges, n_iter=2)
 
 
+def active_users_q(spark, sf_dir):
+    """Exact DAU + trailing-7-day WAU per observed day
+    (bubbles/operators/analytics.py active_users): rolling
+    COUNT(DISTINCT) via bounded 7x fan-out + two-phase distinct agg —
+    equi-shuffles only, where the textbook formulation is a non-equi
+    range join. The DuckDB twin USES the range join (independent
+    shape); exact integer day arithmetic makes them bit-identical."""
+    from bubbles.operators.analytics import active_users
+
+    return active_users(_events_us(spark, sf_dir))
+
+
 def triangle_count_q(spark, sf_dir):
     """Exact per-vertex triangle counts (bubbles/operators/graph.py
     triangle_count, degree-ordered compact-forward) on the part
@@ -1157,7 +1169,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     equality with the expression path is pinned by
     tests/test_pipeline_ops.py, and the round-6 additions (real frame
     sampling, source quotas, length quantiles, weighted mixing, token
-    budgets, Bloom incremental dedup). All remain covered by pytest
+    budgets, Bloom incremental dedup, bigram LM / DSIR scoring,
+    k-means, semantic dedup, funnel, cohort retention, PageRank,
+    triangle counting). All remain covered by pytest
     (tests/test_twin_robustness.py runs their oracle twins),
     tools/check_oracle.py (which sweeps all_queries), bench.py, and
     tools/plan_audit.py."""
@@ -1181,6 +1195,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": _widen(cohort_retention_q),
         "pagerank": _widen(pagerank_q),
         "triangle_count": _widen(triangle_count_q),
+        "active_users": _widen(active_users_q),
     }
 
 
@@ -2153,6 +2168,24 @@ def extra_oracle_sql() -> dict[str, str]:
             dup AS (SELECT i AS vec_id, min(j) AS dup_of FROM pairs GROUP BY i)
             SELECT a.vec_id, a.centroid, d.dup_of
             FROM assign a LEFT JOIN dup d USING (vec_id)
+        """,
+        # active-users twin: the RANGE-JOIN formulation (window day d
+        # counts users active in [d-6, d]) vs the engine's bounded
+        # fan-out + distinct agg — independent shapes, exact integer
+        # day arithmetic, bit-identical counts
+        "active_users": """
+            WITH per AS (
+              SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+              FROM events
+            ), dau AS (
+              SELECT day, count(*) AS n_dau FROM per GROUP BY day
+            ), wau AS (
+              SELECT d.day, count(DISTINCT p.user_id) AS n_wau
+              FROM dau d JOIN per p
+                ON p.day BETWEEN d.day - 6 AND d.day
+              GROUP BY d.day
+            )
+            SELECT day, n_dau, n_wau FROM dau JOIN wau USING (day)
         """,
         # triangle-count twin: ID-ordered enumeration (u < v < w by
         # part id) vs the engine's degree-ordered orientation — each

@@ -133,3 +133,51 @@ def cohort_retention(
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+DAY_US = 86_400 * 1_000_000
+
+
+def active_users(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    window_days: int = 7,
+    period_us: int = DAY_US,
+) -> DataFrame:
+    """(day, n_dau, n_wau): exact daily active users and exact
+    trailing-``window_days`` active users per observed day.
+
+    Rolling COUNT(DISTINCT) does not decompose into a window frame
+    (distinct is not subtractable), and the textbook range join
+    (days x events ON day BETWEEN d-6 AND d) is a non-equi join Spark
+    plans as a broadcast nested loop.  Instead each (user, day)
+    activity row fans out to the ``window_days`` trailing windows it
+    contributes to (``explode(sequence(day, day+w-1))``) — a bounded
+    w-times fan-out — and each window is then a plain two-phase
+    count(DISTINCT user) keyed on day: equi-shuffles only, map-side
+    partials, no window functions, no range join.  Days are exact
+    integer division of epoch microseconds, so the DuckDB twin (which
+    USES the range-join formulation — an independent shape) matches
+    bit-for-bit.  Only days observed in the data are emitted.
+
+    Scale: |distinct (user, day)| <= |events|; the fan-out multiplies
+    that by w (7 by default) before the partial agg absorbs it.  A
+    viral day is just a hot day key in a sum agg — skew-safe.
+    """
+    day = F.expr(f"{ts_col} div {period_us}")
+    per = events.select(F.col(user_col).alias("u"), day.alias("day")).distinct()
+    dau = per.groupBy("day").agg(F.count(F.lit(1)).alias("n_dau"))
+    wau = (
+        per.select(
+            "u",
+            F.explode(
+                F.sequence(
+                    F.col("day"), F.col("day") + F.lit(window_days - 1)
+                )
+            ).alias("day"),
+        )
+        .groupBy("day")
+        .agg(F.count_distinct("u").alias("n_wau"))
+    )
+    return dau.join(wau, "day")

@@ -1953,3 +1953,29 @@ def test_triangle_count_degenerate_inputs(spark):
         for r in triangle_count(nulls).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_active_users_hand_computed(spark):
+    """DAU/WAU vs a hand-enumerated trailing-window count, including
+    a user active twice on one day (distinct per day), a gap larger
+    than the window, and a 2-day window to exercise the boundary."""
+    from bubbles.operators.analytics import active_users
+
+    DAY = 86_400 * 1_000_000
+    rows = [  # (user, day): u1 on 0,0,1; u2 on 1; u3 on 5
+        (1, 0), (1, 0), (1, 1), (2, 1), (3, 5),
+    ]
+    df = spark.createDataFrame(
+        [(u, d * DAY + 17) for u, d in rows], "user_id long, ts_us long"
+    )
+    out = {
+        int(r.day): (int(r.n_dau), int(r.n_wau))
+        for r in active_users(df, window_days=2).collect()
+    }
+    # day 0: dau {1}; wau(=[‑1,0]) {1}
+    # day 1: dau {1,2}; wau(=[0,1]) {1,2}
+    # day 5: dau {3}; wau(=[4,5]) {3}  (gap: days 2-4 unobserved, absent)
+    assert out == {0: (1, 1), 1: (2, 2), 5: (1, 1)}
+
+    empty = spark.createDataFrame([], "user_id long, ts_us long")
+    assert active_users(empty).count() == 0

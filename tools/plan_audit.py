@@ -459,6 +459,19 @@ def main():
         "closing edge check is a left-semi equi-join",
     )
 
+    # 30. active users: the rolling distinct is the bounded fan-out +
+    # two-phase distinct agg — NO nested-loop range join, no window
+    aq = m.all_queries()["active_users"](spark, sf_dir)
+    ap = plan_of(aq)
+    check(
+        "active users no range join",
+        "BroadcastNestedLoopJoin" not in ap
+        and "CartesianProduct" not in ap
+        and "Window" not in ap,
+        "7x explode fan-out + partial distinct agg; day-keyed "
+        "equi-joins only",
+    )
+
     lines = [
         "# PLANS — physical-plan audit (tools/plan_audit.py)",
         "",
