@@ -1126,6 +1126,20 @@ def pagerank_q(spark, sf_dir):
     return pagerank(edges, n_iter=2)
 
 
+def segment_dedup_q(spark, sf_dir):
+    """Line/segment-level boilerplate removal
+    (bubbles/operators/text.py segment_dedup): drop 16-token
+    segments occurring in >= 2 distinct documents, restitch the
+    survivors in order (the synthetic corpus has no newlines, so the
+    fixed-token mode is exercised; the delim mode shares every
+    downstream stage). Twin groups by segment text directly instead
+    of the md5 the engine shuffles — independent keying."""
+    from bubbles.operators.text import segment_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return segment_dedup(docs, min_docs=2, tokens_per_segment=16)
+
+
 def active_users_q(spark, sf_dir):
     """Exact DAU + trailing-7-day WAU per observed day
     (bubbles/operators/analytics.py active_users): rolling
@@ -1196,6 +1210,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _widen(pagerank_q),
         "triangle_count": _widen(triangle_count_q),
         "active_users": _widen(active_users_q),
+        "segment_dedup": _widen(segment_dedup_q),
     }
 
 
@@ -2168,6 +2183,36 @@ def extra_oracle_sql() -> dict[str, str]:
             dup AS (SELECT i AS vec_id, min(j) AS dup_of FROM pairs GROUP BY i)
             SELECT a.vec_id, a.centroid, d.dup_of
             FROM assign a LEFT JOIN dup d USING (vec_id)
+        """,
+        # segment-dedup twin: groups segments by TEXT (the engine
+        # shuffles md5 keys); 16-token windows, string_agg ORDER BY
+        # position — exact string equality end-to-end
+        "segment_dedup": """
+            WITH d AS (
+              SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
+              FROM documents
+            ), t AS (
+              SELECT doc_id, generate_subscripts(ts, 1) - 1 AS pos,
+                     unnest(ts) AS tok
+              FROM d
+            ), s AS (
+              SELECT doc_id, pos // 16 AS seg,
+                     string_agg(tok, ' ' ORDER BY pos) AS segtext
+              FROM t GROUP BY doc_id, pos // 16
+            ), b AS (
+              SELECT segtext FROM s
+              GROUP BY segtext HAVING count(DISTINCT doc_id) >= 2
+            ), f AS (
+              SELECT s.doc_id, s.seg, s.segtext,
+                     b.segtext IS NULL AS keep
+              FROM s LEFT JOIN b USING (segtext)
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(segtext, ' ' ORDER BY seg)
+                            FILTER (WHERE keep), '') AS text_clean,
+                   count(*) FILTER (WHERE keep) AS n_kept,
+                   count(*) AS n_segs
+            FROM f GROUP BY doc_id
         """,
         # active-users twin: the RANGE-JOIN formulation (window day d
         # counts users active in [d-6, d]) vs the engine's bounded

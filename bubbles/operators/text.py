@@ -378,3 +378,98 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         lang_id(t).alias("lang_guess"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def segment_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    min_docs: int = 2,
+    delim: str = "\n",
+    tokens_per_segment: int | None = None,
+) -> DataFrame:
+    """CCNet/RefinedWeb-style boilerplate removal at SEGMENT
+    granularity: drop every segment whose exact text occurs in
+    ``min_docs`` or more distinct documents (nav bars, license
+    footers, cookie banners — content repeated verbatim across
+    pages), then restitch each document from its surviving segments
+    in original order.  Returns
+    (doc_id, text_clean, n_kept, n_segs).
+
+    Segmentation: by ``delim`` (default newline — the real-corpus
+    mode), or fixed ``tokens_per_segment`` windows of the
+    space-token stream when the corpus has no line structure.  Doc
+    reconstruction uses the same separator, so
+    ``segment_dedup(clean) == clean`` is a fixpoint.
+
+    Every per-segment row that reaches a shuffle carries an md5
+    instead of the segment text where only identity matters (the
+    boilerplate-frequency agg and the anti-semantics join key), the
+    frequency agg is a two-phase count(distinct doc) with map-side
+    partials, and reconstruction is ONE doc-keyed aggregation whose
+    projection sorts/filters/joins the bounded per-doc segment array
+    (array functions evaluate once per doc — no per-element alias
+    re-expansion).  A viral boilerplate line is a hot md5 key in a
+    count agg: skew-safe.  No windows, no non-equi joins.
+    """
+    sep = " " if tokens_per_segment is not None else delim
+    base = docs.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+    )
+    if tokens_per_segment is not None:
+        toks = base.select(
+            "doc_id", F.posexplode(F.split("t", " ")).alias("pos", "tok")
+        )
+        segments = (
+            toks.groupBy(
+                "doc_id",
+                F.expr(f"pos div {int(tokens_per_segment)}").alias("seg"),
+            )
+            .agg(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "tok"))
+                        ),
+                        lambda x: x["tok"],
+                    ),
+                ).alias("segtext")
+            )
+        )
+    else:
+        # java regex: quote the delimiter so "\n" / "." / "|" all
+        # split literally
+        import re as _re
+
+        segments = base.select(
+            "doc_id",
+            F.posexplode(F.split("t", _re.escape(delim))).alias(
+                "seg", "segtext"
+            ),
+        )
+    seghash = segments.withColumn("h", F.md5("segtext"))
+    boiler = (
+        seghash.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= int(min_docs))
+        .select("h", F.lit(True).alias("is_boiler"))
+    )
+    flagged = seghash.join(boiler, "h", "left").select(
+        "doc_id",
+        "seg",
+        "segtext",
+        F.col("is_boiler").isNull().alias("keep"),
+    )
+    kept_sorted = F.filter(
+        F.array_sort(F.collect_list(F.struct("seg", "keep", "segtext"))),
+        lambda x: x["keep"],
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.concat_ws(
+            sep, F.transform(kept_sorted, lambda x: x["segtext"])
+        ).alias("text_clean"),
+        F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+        F.count(F.lit(1)).alias("n_segs"),
+    )

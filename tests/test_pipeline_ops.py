@@ -1979,3 +1979,59 @@ def test_active_users_hand_computed(spark):
 
     empty = spark.createDataFrame([], "user_id long, ts_us long")
     assert active_users(empty).count() == 0
+
+
+def test_segment_dedup_newline_mode(spark):
+    """delim mode: cross-doc repeated lines drop (count is DISTINCT
+    docs — a line twice in ONE doc survives), order is preserved on
+    restitch, all-boiler docs become empty, NULL text is ''."""
+    from bubbles.operators.text import segment_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "keep me\nCOOKIE BANNER\nunique tail"),
+            (2, "COOKIE BANNER\nother body"),
+            (3, "twice\ntwice\nsolo"),  # intra-doc dup: 1 distinct doc
+            (4, "COOKIE BANNER"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.text_clean, r.n_kept, r.n_segs)
+        for r in segment_dedup(docs, min_docs=2).collect()
+    }
+    assert out[1] == ("keep me\nunique tail", 2, 3)
+    assert out[2] == ("other body", 1, 2)
+    assert out[3] == ("twice\ntwice\nsolo", 3, 3)
+    assert out[4] == ("", 0, 1)
+    assert out[5] == ("", 1, 1)  # NULL -> one '' segment, unique -> kept
+
+    # fixpoint: cleaning the cleaned corpus changes nothing
+    clean = segment_dedup(docs, min_docs=2).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    again = {
+        r.doc_id: r.text_clean
+        for r in segment_dedup(clean, min_docs=2).collect()
+    }
+    assert again == {d: t for d, (t, _, _) in out.items()}
+
+
+def test_segment_dedup_fixed_token_mode(spark):
+    """fixed-window mode: a shared 4-token prefix drops from both
+    docs; differing tails survive and restitch with single spaces."""
+    from bubbles.operators.text import segment_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d tail one x y"), (2, "a b c d tail two x z")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.text_clean, r.n_kept, r.n_segs)
+        for r in segment_dedup(
+            docs, min_docs=2, tokens_per_segment=4
+        ).collect()
+    }
+    assert out[1] == ("tail one x y", 1, 2)
+    assert out[2] == ("tail two x z", 1, 2)

@@ -472,6 +472,22 @@ def main():
         "equi-joins only",
     )
 
+    # 31. segment dedup: md5-keyed equi-joins and partial-agg
+    # shuffles only — no window, no nested loop; bounded exchange
+    # count (token agg, freq agg, flag join, doc rebuild)
+    sdq = m.all_queries()["segment_dedup"](spark, sf_dir)
+    sdp = plan_of(sdq)
+    n_exch = len(re.findall(r"Exchange hashpartitioning", sdp))
+    check(
+        "segment dedup equi shuffles only",
+        "Window" not in sdp
+        and "CartesianProduct" not in sdp
+        and "BroadcastNestedLoopJoin" not in sdp
+        and n_exch <= 5,
+        f"{n_exch} hash exchange(s); boilerplate freq is a two-phase "
+        "distinct agg on md5 keys; rebuild is one doc-keyed agg",
+    )
+
     lines = [
         "# PLANS — physical-plan audit (tools/plan_audit.py)",
         "",
