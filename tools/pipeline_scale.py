@@ -114,6 +114,12 @@ def main():
         ),
     }
 
+    from bubbles.operators.text import segment_dedup
+
+    OPS["segment_dedup"] = lambda d, n: run(
+        segment_dedup(d, min_docs=2, tokens_per_segment=16)
+    )
+
     from bubbles.operators.dedup import semantic_dedup
     from bubbles.operators.kmeans import kmeans_fit
     from bubbles.operators.lm import bigram_lm_score
