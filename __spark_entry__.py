@@ -1174,6 +1174,133 @@ def triangle_count_q(spark, sf_dir):
     return triangle_count(edges)
 
 
+def profile_table_q(spark, sf_dir):
+    """Column-level data profiling (bubbles/operators/profile.py
+    profile_columns): null counts, EXACT cardinalities, typed min/max
+    and total stringified length for every documents column, from ONE
+    aggregation node (Spark plans the N count(DISTINCT)s through a
+    single Expand + two-phase hash agg — one shuffle for the whole
+    profile). The twin is a per-column UNION ALL — a completely
+    different decomposition of the same statistics."""
+    from bubbles.operators.profile import profile_columns
+
+    docs = _t(spark, sf_dir, "documents")
+    return profile_columns(
+        docs, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
+def kmv_distinct_q(spark, sf_dir):
+    """KMV bottom-k distinct-count sketch per language
+    (bubbles/operators/sketch.py kmv_distinct, k=16 so both the
+    exact-small-group branch and the (k-1)*2^60 div kth estimator
+    branch are exercised at every sf). Engine-portable by
+    construction — the twin recomputes the identical sketch from the
+    same md5-prefix hashes via a window rank instead of the engine's
+    salted two-phase bottom-k."""
+    from bubbles.operators.sketch import kmv_distinct
+
+    docs = _t(spark, sf_dir, "documents")
+    return kmv_distinct(docs, "lang", "text", k=16)
+
+
+def chunk_documents_q(spark, sf_dir):
+    """Overlapping-window RAG chunking (bubbles/operators/chunking.py
+    chunk_documents, 32-token chunks / 8-token overlap): projection +
+    posexplode, zero shuffles. Chunk text is md5'd on both engines so
+    the value hash pins the full chunk content byte-for-byte."""
+    from bubbles.operators.chunking import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, chunk_tokens=32, overlap_tokens=8
+    ).select(
+        "doc_id",
+        "chunk_ord",
+        "start_token",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+def merge_upsert_q(spark, sf_dir):
+    """CDC merge (bubbles/operators/cdc.py merge_upsert) of a
+    deterministic synthetic change batch onto the documents snapshot:
+    updates (doc_id%5==1, 'v2' prefix), a conflicting higher-seq
+    re-update of a subset (doc_id%25==1, 'v3' wins), deletes
+    (doc_id%5==2), and inserts (doc_id+10_000_000). Winner-per-key is
+    one two-phase max(struct) agg — no window; apply is one anti-join
+    + union. The twin replays the change synthesis in SQL and picks
+    winners with a row_number — an independent formulation."""
+    from bubbles.operators.cdc import merge_upsert
+
+    docs = _t(spark, sf_dir, "documents")
+    payload = ["doc_id", "text", "lang", "source", "n_chars"]
+    updates = (
+        docs.filter(F.pmod("doc_id", F.lit(5)) == 1)
+        .withColumn("text", F.concat(F.lit("v2 "), F.col("text")))
+        .withColumn("seq", (F.lit(100) + F.pmod("doc_id", F.lit(3))).cast("long"))
+        .withColumn("op", F.lit("upsert"))
+    )
+    re_updates = (
+        docs.filter(F.pmod("doc_id", F.lit(25)) == 1)
+        .withColumn("text", F.concat(F.lit("v3 "), F.col("text")))
+        .withColumn("seq", F.lit(200).cast("long"))
+        .withColumn("op", F.lit("upsert"))
+    )
+    deletes = (
+        docs.filter(F.pmod("doc_id", F.lit(5)) == 2)
+        .withColumn("seq", F.lit(50).cast("long"))
+        .withColumn("op", F.lit("delete"))
+    )
+    inserts = (
+        docs.filter(F.pmod("doc_id", F.lit(5)) == 3)
+        .select(
+            (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+            F.concat(F.lit("new "), F.col("lang")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .withColumn("seq", F.lit(10).cast("long"))
+        .withColumn("op", F.lit("upsert"))
+    )
+    changes = (
+        updates.select(*payload, "seq", "op")
+        .unionByName(re_updates.select(*payload, "seq", "op"))
+        .unionByName(deletes.select(*payload, "seq", "op"))
+        .unionByName(inserts.select(*payload, "seq", "op"))
+    )
+    merged = merge_upsert(docs, changes)
+    return merged.select(
+        "doc_id", F.md5("text").alias("text_md5"), "lang", "source", "n_chars"
+    )
+
+
+def salted_join_q(spark, sf_dir):
+    """Skew-safe salted equi-join (bubbles/operators/joins.py
+    salted_join, 8 salts): lineitem joined to orders on the order key
+    with the fact side content-hash-salted and the dim side
+    replicated 8x, aggregated to revenue cents per order priority.
+    The twin is the PLAIN join — hash equality proves salting is pure
+    physical re-balancing. Money sums as exact integer cents
+    (floor(price*100), IEEE-identical on both engines)."""
+    from bubbles.operators.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    od = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, od, "l_orderkey", n_salts=8)
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    return joined.groupBy("o_orderpriority").agg(
+        F.sum(cents).alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries kept OUT of the official gate registry to stay inside
     its ~50-row window: batch twins of streaming queries already
@@ -1211,6 +1338,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": _widen(triangle_count_q),
         "active_users": _widen(active_users_q),
         "segment_dedup": _widen(segment_dedup_q),
+        "profile_table": _widen(profile_table_q),
+        "kmv_distinct": _widen(kmv_distinct_q),
+        "chunk_documents": _widen(chunk_documents_q),
+        "merge_upsert": _widen(merge_upsert_q),
+        "salted_join": _widen(salted_join_q),
     }
 
 
@@ -2555,6 +2687,129 @@ def extra_oracle_sql() -> dict[str, str]:
                      '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'))
                      AS BIGINT) AS bpe_tokens
             FROM documents
+        """,
+        # per-column UNION ALL — a different decomposition than the
+        # engine's single Expand-based aggregation node
+        "profile_table": """
+            SELECT 'doc_id' AS "column", count(*) AS n_rows,
+                   count(*) - count(doc_id) AS n_nulls,
+                   count(DISTINCT doc_id) AS n_distinct,
+                   CAST(min(doc_id) AS VARCHAR) AS min_repr,
+                   CAST(max(doc_id) AS VARCHAR) AS max_repr,
+                   coalesce(sum(length(CAST(doc_id AS VARCHAR))), 0) AS total_len
+            FROM documents
+            UNION ALL
+            SELECT 'text', count(*), count(*) - count(text),
+                   count(DISTINCT text), min(text), max(text),
+                   coalesce(sum(length(text)), 0)
+            FROM documents
+            UNION ALL
+            SELECT 'lang', count(*), count(*) - count(lang),
+                   count(DISTINCT lang), min(lang), max(lang),
+                   coalesce(sum(length(lang)), 0)
+            FROM documents
+            UNION ALL
+            SELECT 'source', count(*), count(*) - count(source),
+                   count(DISTINCT source), min(source), max(source),
+                   coalesce(sum(length(source)), 0)
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', count(*), count(*) - count(n_chars),
+                   count(DISTINCT n_chars),
+                   CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR),
+                   coalesce(sum(length(CAST(n_chars AS VARCHAR))), 0)
+            FROM documents
+        """,
+        # identical 60-bit md5-prefix hash; bottom-16 via one window
+        # rank instead of the engine's salted two-phase top-k; the
+        # (k-1)*2^60 floor-division estimator in HUGEINT
+        "kmv_distinct": """
+            WITH h AS (
+              SELECT DISTINCT lang,
+                     CAST(CONCAT('0x', substr(md5(CAST(text AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+              FROM documents WHERE text IS NOT NULL
+            ),
+            r AS (
+              SELECT lang, hv,
+                     row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn
+              FROM h
+            ),
+            k AS (
+              SELECT lang, count(*) AS n_kept, max(hv) AS kth_min
+              FROM r WHERE rn <= 16 GROUP BY lang
+            )
+            SELECT lang, n_kept, kth_min,
+                   CAST(CASE WHEN n_kept < 16 THEN n_kept
+                        ELSE (CAST(15 AS HUGEINT) * 1152921504606846976) // kth_min
+                        END AS BIGINT) AS est_distinct
+            FROM k
+        """,
+        # generate_series + list_slice replay of the sliding-window
+        # start rule (starts 0..greatest(n-overlap-1,0) step stride)
+        "chunk_documents": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            n AS (
+              SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+            ),
+            s AS (
+              SELECT doc_id, toks, n,
+                     unnest(generate_series(0, greatest(n - 9, 0), 24)) AS st
+              FROM n
+            )
+            SELECT doc_id,
+                   CAST(st // 24 AS BIGINT) AS chunk_ord,
+                   CAST(st AS BIGINT) AS start_token,
+                   CAST(len(list_slice(toks, st + 1, st + 32)) AS BIGINT) AS n_chunk_tokens,
+                   md5(array_to_string(list_slice(toks, st + 1, st + 32), ' ')) AS chunk_md5
+            FROM s
+        """,
+        # change synthesis replayed in SQL; winner-per-key via
+        # row_number (the engine uses max(struct) — independent shape)
+        "merge_upsert": """
+            WITH changes AS (
+              SELECT doc_id, 'v2 ' || text AS text, lang, source, n_chars,
+                     CAST(100 + doc_id % 3 AS BIGINT) AS seq, 'upsert' AS op
+              FROM documents WHERE doc_id % 5 = 1
+              UNION ALL
+              SELECT doc_id, 'v3 ' || text, lang, source, n_chars,
+                     CAST(200 AS BIGINT), 'upsert'
+              FROM documents WHERE doc_id % 25 = 1
+              UNION ALL
+              SELECT doc_id, text, lang, source, n_chars,
+                     CAST(50 AS BIGINT), 'delete'
+              FROM documents WHERE doc_id % 5 = 2
+              UNION ALL
+              SELECT doc_id + 10000000, 'new ' || lang, lang, source, n_chars,
+                     CAST(10 AS BIGINT), 'upsert'
+              FROM documents WHERE doc_id % 5 = 3
+            ),
+            winner AS (
+              SELECT * FROM changes
+              QUALIFY row_number() OVER (PARTITION BY doc_id
+                ORDER BY seq DESC, op DESC,
+                         md5(concat_ws(chr(31), CAST(doc_id AS VARCHAR), text,
+                                       lang, source, CAST(n_chars AS VARCHAR))) DESC) = 1
+            )
+            SELECT d.doc_id, md5(d.text) AS text_md5, d.lang, d.source, d.n_chars
+            FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM winner)
+            UNION ALL
+            SELECT doc_id, md5(text), lang, source, n_chars
+            FROM winner WHERE op = 'upsert'
+        """,
+        # the PLAIN join — hash equality proves the salted physical
+        # plan changes nothing semantically
+        "salted_join": """
+            SELECT o.o_orderpriority,
+                   CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   count(*) AS n_items
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority
         """,
     }
 

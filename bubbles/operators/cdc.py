@@ -1,0 +1,77 @@
+"""Change-data-capture merge — applying an upsert/delete change batch
+onto a corpus snapshot (the MERGE INTO of an incremental crawl
+pipeline: re-crawled pages replace their row, takedowns delete it,
+new pages insert).
+
+``merge_upsert(snapshot, changes)``: ``changes`` carries the snapshot
+payload plus a monotone ``seq`` (change sequence number / LSN) and an
+``op`` in {'upsert', 'delete'}. Per key the HIGHEST-seq change wins;
+ties on seq resolve deterministically by (op, payload-hash) descending
+so reprocessing a change log with duplicated entries is idempotent —
+exactly-once not required of the upstream log.
+
+Shape, and why it scales:
+- winner-per-key is ONE two-phase ``max(struct(seq, op, h, payload))``
+  aggregation — map-side partials absorb a hot key's re-crawl storm
+  before the shuffle; deliberately NOT a row_number window (an
+  unbounded per-key window sorts the hot key in one partition).
+- apply is ONE equi-join: snapshot LEFT ANTI changed-keys (survivors)
+  unioned with the winners' upsert payloads. The change batch is the
+  small side; AQE broadcasts it under threshold, so steady-state cost
+  is one scan of the snapshot + one tiny agg.
+- both legs are insert-only writes of the next snapshot version — no
+  in-place mutation, which is how a parquet data lake takes a merge.
+
+Applying batch B1 then B2 equals applying B1 ∪ B2 in one merge
+whenever max-seq-per-key picks the same winners (seqs globally ordered
+across batches) — pinned by tests/test_cdc_chunk_join.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+OPS = ("upsert", "delete")
+
+
+def merge_upsert(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_col: str = "doc_id",
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Next snapshot version = ``snapshot`` with ``changes`` applied
+    (see module docstring). Payload columns = snapshot columns; the
+    changes relation must carry them all plus ``seq``/``op``."""
+    payload = [c for c in snapshot.columns]
+    if key_col not in payload:
+        raise ValueError(f"{key_col!r} not in snapshot columns {payload}")
+    missing = [c for c in payload + [seq_col, op_col] if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changes is missing columns: {missing}")
+
+    # deterministic winner under duplicated/equal seqs: md5 of the
+    # full payload as the final tie-break (engine-portable)
+    h = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in payload]))
+    winner = (
+        changes.groupBy(key_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(seq_col).alias("seq"),
+                    F.col(op_col).alias("op"),
+                    h.alias("h"),
+                    *[F.col(c).alias(f"p_{c}") for c in payload if c != key_col],
+                )
+            ).alias("w")
+        )
+        .select(
+            F.col(key_col),
+            F.col("w.op").alias("__op"),
+            *[F.col(f"w.p_{c}").alias(c) for c in payload if c != key_col],
+        )
+    )
+    survivors = snapshot.join(winner.select(key_col), on=key_col, how="left_anti")
+    upserts = winner.filter(F.col("__op") == "upsert").select(*payload)
+    return survivors.unionByName(upserts)

@@ -1,0 +1,89 @@
+"""Column-level data profiling — the first query a pipeline runs
+against a new 100 TB corpus drop (null rates, cardinalities, value
+ranges) before any cleaning stage is configured.
+
+``profile_columns`` emits one row per profiled column:
+``(column, n_rows, n_nulls, n_distinct, min_repr, max_repr,
+total_len)``.  All statistics for ALL columns are computed in a
+SINGLE aggregation node: Spark plans the N exact ``count(DISTINCT)``
+aggregates through one Expand (each input row fans out N+1 ways,
+tagged per distinct-group) followed by two-phase partial/final hash
+aggregation — one shuffle for the whole profile, never one job per
+column.  The scan reads only the profiled columns (column pruning),
+and min/max run typed (numeric order, not lexicographic) before the
+final cast to string.
+
+The per-row Expand fan-out is the documented cost of EXACT
+cardinalities: N+1 rows per input row, absorbed by map-side partial
+aggregation (the shuffle carries only distinct (column, value)
+partials, bounded by the true cardinalities, not the row count).
+For a 1000-column table, profile in column batches of ~32 so a
+single Expand never multiplies the scan by 1000; for
+cardinality-only-approximate use cases Spark's native
+``approx_count_distinct`` HLL drops the Expand entirely, but its
+binary sketch is not engine-portable, so the exact form is what the
+DuckDB twin pins (the KMV sketch in operators/sketch.py is the
+portable approximate path).
+
+``min_repr``/``max_repr``/``total_len`` stringify values, so they are
+engine-portable for integer, string, date and timestamp columns;
+floating-point stringification differs across engines in edge cases
+(scientific notation thresholds) — profile floats through an explicit
+``CAST(x AS DECIMAL(p, s))`` column if twin-parity matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
+    """One profile row per column in ``columns``, from one aggregation
+    pass over ``df``. Exact distinct counts (see module docstring for
+    the Expand cost model)."""
+    if not columns:
+        raise ValueError("profile_columns needs at least one column")
+    if len(set(columns)) != len(columns):
+        raise ValueError(f"duplicate columns: {columns}")
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in DataFrame: {missing}")
+
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    for i, c in enumerate(columns):
+        col = F.col(c)
+        aggs += [
+            F.count(col).alias(f"__nn_{i}"),
+            F.count_distinct(col).alias(f"__nd_{i}"),
+            F.min(col).cast("string").alias(f"__mn_{i}"),
+            F.max(col).cast("string").alias(f"__mx_{i}"),
+            F.sum(F.length(col.cast("string"))).alias(f"__tl_{i}"),
+        ]
+    one = df.agg(*aggs)
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n_rows").alias("n_rows"),
+                (F.col("__n_rows") - F.col(f"__nn_{i}")).alias("n_nulls"),
+                F.col(f"__nd_{i}").alias("n_distinct"),
+                F.col(f"__mn_{i}").alias("min_repr"),
+                F.col(f"__mx_{i}").alias("max_repr"),
+                # all-NULL column: sum() is NULL, report 0 chars
+                F.coalesce(F.col(f"__tl_{i}"), F.lit(0).cast("long")).alias(
+                    "total_len"
+                ),
+            )
+            for i, c in enumerate(columns)
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select(
+        "r.column",
+        "r.n_rows",
+        "r.n_nulls",
+        "r.n_distinct",
+        "r.min_repr",
+        "r.max_repr",
+        "r.total_len",
+    )

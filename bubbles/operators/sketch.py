@@ -1,0 +1,138 @@
+"""KMV (k-minimum-values) distinct-count sketch — the mergeable,
+ENGINE-PORTABLE approximate-cardinality primitive (Bar-Yossef et al.
+2002; the bottom-k refinement of Flajolet-Martin that HyperLogLog
+later compressed).
+
+Why not Spark's built-in ``approx_count_distinct``: its HLL++ binary
+sketch is a Spark-internal format — no other engine reproduces it, so
+it can't be twin-checked, persisted for a non-Spark consumer, or
+merged with sketches built elsewhere. KMV is just "the k smallest
+md5 values of the distinct inputs": any engine with md5 computes the
+identical sketch, sketches merge by taking the bottom-k of a union,
+and the estimator is a closed-form integer expression. That also
+makes it bit-deterministic across runs, partitionings and engines —
+the property every oracle twin in this repo is built on.
+
+Hash: first 15 hex chars of md5 → a 60-bit integer in [0, 2^60)
+(``conv(substr(md5(v), 1, 15), 16, 10)`` / DuckDB
+``CAST('0x' || substr(md5(v), 1, 15) AS BIGINT)`` — the repo-standard
+md5-prefix integer, splits.py:20). 60 bits keeps the estimator's
+``(k-1) * 2^60`` numerator inside DECIMAL(38) while leaving birthday
+collisions negligible until ~2^30 distinct values per group.
+
+Estimator: with n_kept = k minimum values and kth = the k-th smallest
+hash, the distinct count is ``(k-1) * 2^60 div kth`` (the classic
+unbiased KMV estimate, floor-divided so both engines agree exactly);
+when a group holds fewer than k distinct values the sketch IS the
+distinct set and the count is exact. Relative error ~ 1/sqrt(k-2)
+(~6% at k=256).
+
+Scale shape: one ``distinct`` on (group, hash) — two-phase, map-side
+partials absorb duplicate values before the shuffle — then the
+bottom-k per group runs through the skew-safe salted two-phase top-k
+(similarity.salted_topk_per_key): a group with 10^9 distinct hashes
+never sorts in one window partition; each salt keeps k, the final
+rank sees ≤ 32·k survivors per group. No windows over unbounded
+groups, no collect, equi-shuffles only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+HASH_BITS = 60
+HASH_SPACE = 1 << HASH_BITS  # 16^15
+
+
+def kmv_hash(col) -> "F.Column":
+    """60-bit md5-prefix hash of a column's string form (NULL-safe:
+    NULL hashes to NULL and is excluded from sketches)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10)
+        .cast("long")
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group KMV sketch + cardinality estimate:
+    ``(group_col, n_kept, kth_min, est_distinct)``.
+
+    ``n_kept`` is the sketch size (min(k, true distinct count)),
+    ``kth_min`` the largest retained hash, ``est_distinct`` the exact
+    count when n_kept < k, else the KMV estimate — all integers, so
+    the DuckDB twin is bit-identical."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from bubbles.operators.similarity import salted_topk_per_key
+
+    hashed = (
+        df.select(F.col(group_col), kmv_hash(F.col(value_col)).alias("__hv"))
+        .filter(F.col("__hv").isNotNull())
+        .distinct()
+    )
+    kept = salted_topk_per_key(hashed, group_col, [F.col("__hv")], k)
+    sk = kept.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("__hv").alias("kth_min"),
+    )
+    # (k-1) * 2^60 needs ~68 bits -> DECIMAL(38,0); `div` floors, and
+    # both inputs are positive, so DuckDB's HUGEINT // matches exactly
+    est = F.when(F.col("n_kept") < k, F.col("n_kept")).otherwise(
+        F.expr(f"CAST({k - 1} AS DECIMAL(38,0)) * {HASH_SPACE} div kth_min")
+    )
+    return sk.select(
+        group_col,
+        "n_kept",
+        "kth_min",
+        est.cast("long").alias("est_distinct"),
+    )
+
+
+def kmv_merge(sketches: DataFrame, group_col: str, k: int = 256) -> DataFrame:
+    """Merge per-partition KMV sketches (rows of (group, __hv), e.g.
+    from sketching corpus shards independently) back into one
+    per-group sketch — bottom-k of the union of bottom-k sets, the
+    property that makes KMV usable across 100 TB worth of
+    independently-profiled parquet drops. Input rows must carry the
+    retained hashes in ``__hv``; output matches ``kmv_distinct`` run
+    over the union of the original inputs exactly (pinned by
+    tests/test_profile_sketch.py)."""
+    from bubbles.operators.similarity import salted_topk_per_key
+
+    uniq = sketches.select(F.col(group_col), F.col("__hv")).distinct()
+    kept = salted_topk_per_key(uniq, group_col, [F.col("__hv")], k)
+    sk = kept.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("__hv").alias("kth_min"),
+    )
+    est = F.when(F.col("n_kept") < k, F.col("n_kept")).otherwise(
+        F.expr(f"CAST({k - 1} AS DECIMAL(38,0)) * {HASH_SPACE} div kth_min")
+    )
+    return sk.select(
+        group_col,
+        "n_kept",
+        "kth_min",
+        est.cast("long").alias("est_distinct"),
+    )
+
+
+def kmv_sketch_rows(
+    df: DataFrame, group_col: str, value_col: str, k: int = 256
+) -> DataFrame:
+    """The raw sketch relation (group, __hv): the k minimum distinct
+    hashes per group — what you persist per corpus shard and later
+    feed to ``kmv_merge``. ≤ k rows per group regardless of input
+    size."""
+    from bubbles.operators.similarity import salted_topk_per_key
+
+    hashed = (
+        df.select(F.col(group_col), kmv_hash(F.col(value_col)).alias("__hv"))
+        .filter(F.col("__hv").isNotNull())
+        .distinct()
+    )
+    return salted_topk_per_key(hashed, group_col, [F.col("__hv")], k)

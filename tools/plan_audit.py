@@ -488,6 +488,68 @@ def main():
         "distinct agg on md5 keys; rebuild is one doc-keyed agg",
     )
 
+    # 32. profile: ONE aggregation node for all columns — a single
+    # Expand (the exact-distinct fan-out), partial+final hash agg,
+    # never one job per column
+    prq = m.all_queries()["profile_table"](spark, sf_dir)
+    prp = plan_of(prq)
+    n_agg = prp.count("HashAggregate") + prp.count("SortAggregate")
+    check(
+        "profile single Expand aggregation",
+        prp.count("Expand") == 1 and n_agg >= 2,
+        "all 5 columns profile through one Expand + two-phase agg "
+        "(partial_first/partial_count below one exchange)",
+    )
+
+    # 33. KMV sketch: the distinct + salted bottom-k shape — hash
+    # exchanges only, no unbounded per-group sort outside the
+    # salt-capped windows
+    kvq = m.all_queries()["kmv_distinct"](spark, sf_dir)
+    kvp = plan_of(kvq)
+    check(
+        "kmv distinct + salted bottom-k",
+        "CartesianProduct" not in kvp
+        and "BroadcastNestedLoopJoin" not in kvp
+        and kvp.count("+- Window ") == 2
+        and kvp.count("WindowGroupLimit") >= 2,
+        "two salt-capped window passes (pre-rank <=k per salt, final "
+        "rank over <=32k survivors), each under a WindowGroupLimit "
+        "rank pushdown; equi-shuffles only",
+    )
+
+    # 34. chunking: pure scan -> project -> generate — zero exchanges
+    chq = m.all_queries()["chunk_documents"](spark, sf_dir)
+    chp = plan_of(chq)
+    check(
+        "chunking zero shuffles",
+        "Exchange" not in chp and "Generate" in chp,
+        "projection + posexplode at scan speed; no exchange in the plan",
+    )
+
+    # 35. CDC merge: winner-per-key is a two-phase max(struct) agg (no
+    # window), apply is equi-join + union
+    muq = m.all_queries()["merge_upsert"](spark, sf_dir)
+    mup = plan_of(muq)
+    check(
+        "cdc merge no window, partial max-struct",
+        "Window" not in mup
+        and "CartesianProduct" not in mup
+        and mup.count("HashAggregate") >= 2,
+        "winner-per-key via partial+final max(struct); anti-join + union apply",
+    )
+
+    # 36. salted join: the dim replication is a bounded Generate and
+    # the join stays an equi hash/merge join on (key, salt)
+    sjq = m.all_queries()["salted_join"](spark, sf_dir)
+    sjp = plan_of(sjq)
+    check(
+        "salted join equi on (key, salt)",
+        "Generate explode" in sjp
+        and "CartesianProduct" not in sjp
+        and "BroadcastNestedLoopJoin" not in sjp,
+        "8x dim replication via explode(sequence); equi-join only",
+    )
+
     lines = [
         "# PLANS — physical-plan audit (tools/plan_audit.py)",
         "",
