@@ -1301,6 +1301,41 @@ def salted_join_q(spark, sf_dir):
     )
 
 
+def pipeline_rag_index_q(spark, sf_dir):
+    """The RAG-indexing pipeline as ONE declarative plan: quality gate
+    (>= 20 whitespace tokens) → exact doc dedup (min-doc_id canonical)
+    → overlapping-window chunking (48-token chunks, 8 overlap,
+    bubbles/operators/chunking.py — zero-shuffle explode) →
+    chunk-level dedup stats → per-source rollup (docs indexed, chunks
+    emitted, distinct chunk fingerprints, chunk tokens). One corpus
+    scan, one content-hash exchange, one doc_id join to re-attach the
+    source, one tiny rollup — the chunk explode rides between
+    shuffles at scan speed. The twin replays every stage as a CTE
+    chain over generate_series + list_slice."""
+    from bubbles.operators.chunking import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+        lambda x: x != "",
+    )
+    base = docs.select(
+        "doc_id", "text", "source", F.md5("text").alias("__h")
+    ).filter(F.size(toks) >= 20)
+    keep = base.groupBy("__h").agg(F.min("doc_id").alias("doc_id"))
+    deduped = base.join(keep, on=["__h", "doc_id"])
+    chunks = chunk_documents(
+        deduped.select("doc_id", "text"), chunk_tokens=48, overlap_tokens=8
+    )
+    with_src = chunks.join(deduped.select("doc_id", "source"), on="doc_id")
+    return with_src.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count_distinct(F.md5("chunk_text")).alias("n_unique_chunks"),
+        F.sum("n_chunk_tokens").alias("chunk_tokens"),
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries kept OUT of the official gate registry to stay inside
     its ~50-row window: batch twins of streaming queries already
@@ -1343,6 +1378,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _widen(chunk_documents_q),
         "merge_upsert": _widen(merge_upsert_q),
         "salted_join": _widen(salted_join_q),
+        "pipeline_rag_index": _widen(pipeline_rag_index_q),
     }
 
 
@@ -2801,6 +2837,42 @@ def extra_oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, md5(text), lang, source, n_chars
             FROM winner WHERE op = 'upsert'
+        """,
+        # the full RAG-indexing pipeline as a CTE chain: gate -> exact
+        # dedup -> sliding-window chunking -> per-source rollup
+        "pipeline_rag_index": """
+            WITH base AS (
+              SELECT doc_id, source, md5(text) AS h,
+                     list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            gated AS (
+              SELECT * FROM base WHERE len(toks) >= 20
+            ),
+            keep AS (
+              SELECT h, min(doc_id) AS doc_id FROM gated GROUP BY h
+            ),
+            ded AS (
+              SELECT g.* FROM gated g
+              JOIN keep k ON g.h = k.h AND g.doc_id = k.doc_id
+            ),
+            st AS (
+              SELECT doc_id, source, toks,
+                     unnest(generate_series(0, greatest(len(toks) - 9, 0), 40)) AS s
+              FROM ded
+            ),
+            ch AS (
+              SELECT doc_id, source,
+                     len(list_slice(toks, s + 1, s + 48)) AS nt,
+                     md5(array_to_string(list_slice(toks, s + 1, s + 48), ' ')) AS cmd5
+              FROM st
+            )
+            SELECT source, count(DISTINCT doc_id) AS n_docs,
+                   count(*) AS n_chunks,
+                   count(DISTINCT cmd5) AS n_unique_chunks,
+                   CAST(sum(nt) AS BIGINT) AS chunk_tokens
+            FROM ch GROUP BY source
         """,
         # the PLAIN join — hash equality proves the salted physical
         # plan changes nothing semantically

@@ -120,6 +120,37 @@ def main():
         segment_dedup(d, min_docs=2, tokens_per_segment=16)
     )
 
+    from bubbles.operators.cdc import merge_upsert
+    from bubbles.operators.chunking import chunk_documents
+    from bubbles.operators.profile import profile_columns
+    from bubbles.operators.sketch import kmv_distinct
+
+    OPS["profile_columns"] = lambda d, n: run(
+        profile_columns(d, ["doc_id", "text", "source"])
+    )
+    # texts are all distinct after replication-perturbation, so the
+    # sketch's bottom-k sees the full n/|sources| cardinality pressure
+    OPS["kmv_distinct"] = lambda d, n: run(
+        kmv_distinct(d, "source", "text", k=256)
+    )
+    OPS["chunk_documents"] = lambda d, n: run(
+        chunk_documents(d, chunk_tokens=64, overlap_tokens=16)
+    )
+
+    def _merge(d, n):
+        changes = (
+            d.filter(F.pmod("doc_id", F.lit(5)) < 2)
+            .withColumn(
+                "op",
+                F.when(F.pmod("doc_id", F.lit(5)) == 0, F.lit("delete"))
+                .otherwise(F.lit("upsert")),
+            )
+            .withColumn("seq", F.lit(1).cast("long"))
+        )
+        return run(merge_upsert(d, changes))
+
+    OPS["merge_upsert"] = _merge
+
     from bubbles.operators.dedup import semantic_dedup
     from bubbles.operators.kmeans import kmeans_fit
     from bubbles.operators.lm import bigram_lm_score

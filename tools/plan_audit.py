@@ -550,6 +550,22 @@ def main():
         "8x dim replication via explode(sequence); equi-join only",
     )
 
+    # 37. RAG pipeline: gate -> dedup -> chunk -> rollup composes in
+    # one plan — the chunk explode (Generate) present, no cartesian,
+    # no window, bounded exchange count
+    rgq = m.all_queries()["pipeline_rag_index"](spark, sf_dir)
+    rgp = plan_of(rgq)
+    n_exch = len(re.findall(r"Exchange hashpartitioning", rgp))
+    check(
+        "rag pipeline composed plan",
+        "Generate" in rgp
+        and "CartesianProduct" not in rgp
+        and "Window" not in rgp
+        and n_exch <= 6,
+        f"{n_exch} hash exchange(s); zero-shuffle chunk explode rides "
+        "between the content-hash dedup and the rollup",
+    )
+
     lines = [
         "# PLANS — physical-plan audit (tools/plan_audit.py)",
         "",
