@@ -1336,6 +1336,68 @@ def pipeline_rag_index_q(spark, sf_dir):
     )
 
 
+def url_canonical_q(spark, sf_dir):
+    """URL canonicalization (bubbles/operators/urls.py): three messy
+    deterministic URL variants per document — case-varied host +
+    default port + shuffled params + tracking params + fragment; a
+    non-default port; and a non-URL garbage row every 10th doc — all
+    normalized by the same RE2-portable grammar on both engines. Pure
+    projection, zero shuffles. Rows whose variants differ only by
+    tracking noise collapse to the same canonical_url (what the hash
+    check pins)."""
+    from bubbles.operators.urls import canonicalize_urls
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    d = F.col("doc_id")
+    base = F.concat(
+        F.lit("/docs/"), d.cast("string"),
+        F.lit("?a="), F.pmod(d, F.lit(5)).cast("string"),
+        F.lit("&b="), F.pmod(d, F.lit(3)).cast("string"),
+    )
+    messy = F.concat(
+        F.lit("HTTPS://WWW."), F.upper("source"), F.lit(".Example.COM:443"),
+        F.lit("/docs/"), d.cast("string"),
+        F.lit("?b="), F.pmod(d, F.lit(3)).cast("string"),
+        F.lit("&utm_source=feed&a="), F.pmod(d, F.lit(5)).cast("string"),
+        F.lit("&fbclid=xyz#top"),
+    )
+    clean = F.concat(
+        F.lit("https://www."), F.col("source"), F.lit(".example.com"), base
+    )
+    odd_port = F.concat(
+        F.lit("http://"), F.col("source"), F.lit(".example.com:8080"),
+        F.lit("?utm_campaign=x"),
+    )
+    url = (
+        F.when(F.pmod(d, F.lit(10)) == 9, F.lit("not a url"))
+        .when(F.pmod(d, F.lit(3)) == 0, messy)
+        .when(F.pmod(d, F.lit(3)) == 1, clean)
+        .otherwise(odd_port)
+    )
+    return canonicalize_urls(docs.select("doc_id", url.alias("url"))).select(
+        "doc_id", "canonical_url", "host"
+    )
+
+
+def privacy_release_q(spark, sf_dir):
+    """Privacy release prep (bubbles/operators/privacy.py): suppress
+    users with < 60 events (rare quasi-identifiers — one count agg +
+    one equi-join), then pseudonymize the survivors with a keyed md5
+    token (pure projection), rolled up per event_type: row count,
+    distinct surviving tokens, suppressed rows. The twin replays
+    both stages as CTEs."""
+    from bubbles.operators.privacy import pseudonymize, suppress_rare
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    kept = suppress_rare(ev, "user_id", min_count=60)
+    tok = pseudonymize(kept, ["user_id"], salt="release-2026")
+    return tok.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_tokens"),
+        F.count(F.when(F.col("user_id").isNull(), 1)).alias("n_suppressed"),
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries kept OUT of the official gate registry to stay inside
     its ~50-row window: batch twins of streaming queries already
@@ -1379,6 +1441,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": _widen(merge_upsert_q),
         "salted_join": _widen(salted_join_q),
         "pipeline_rag_index": _widen(pipeline_rag_index_q),
+        "url_canonical": _widen(url_canonical_q),
+        "privacy_release": _widen(privacy_release_q),
     }
 
 
@@ -2873,6 +2937,82 @@ def extra_oracle_sql() -> dict[str, str]:
                    count(DISTINCT cmd5) AS n_unique_chunks,
                    CAST(sum(nt) AS BIGINT) AS chunk_tokens
             FROM ch GROUP BY source
+        """,
+        # same URL grammar re-implemented in DuckDB's regex/list
+        # functions: scheme/host lowercase, default-port drop,
+        # fragment drop, tracking-param filter + param sort
+        "url_canonical": """
+            WITH u AS (
+              SELECT doc_id,
+                CASE
+                  WHEN doc_id % 10 = 9 THEN 'not a url'
+                  WHEN doc_id % 3 = 0 THEN
+                    'HTTPS://WWW.' || upper(source) || '.Example.COM:443'
+                    || '/docs/' || CAST(doc_id AS VARCHAR)
+                    || '?b=' || CAST(doc_id % 3 AS VARCHAR)
+                    || '&utm_source=feed&a=' || CAST(doc_id % 5 AS VARCHAR)
+                    || '&fbclid=xyz#top'
+                  WHEN doc_id % 3 = 1 THEN
+                    'https://www.' || source || '.example.com'
+                    || '/docs/' || CAST(doc_id AS VARCHAR)
+                    || '?a=' || CAST(doc_id % 5 AS VARCHAR)
+                    || '&b=' || CAST(doc_id % 3 AS VARCHAR)
+                  ELSE
+                    'http://' || source || '.example.com:8080?utm_campaign=x'
+                END AS url
+              FROM documents
+            ),
+            parts AS (
+              SELECT doc_id, url,
+                lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+                regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+                regexp_extract(url, '\\?([^#]*)', 1) AS query
+              FROM u
+            ),
+            hp AS (
+              SELECT *, lower(regexp_extract(auth, '^([^:]*)', 1)) AS host,
+                     regexp_extract(auth, ':([0-9]+)$', 1) AS port
+              FROM parts
+            ),
+            q AS (
+              SELECT *, array_to_string(list_sort(list_filter(
+                       string_split(query, '&'),
+                       p -> p <> '' AND NOT regexp_matches(p,
+                         '^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=.*)?$'))), '&') AS qq
+              FROM hp
+            )
+            SELECT doc_id,
+              CASE WHEN scheme = '' THEN NULL ELSE
+                scheme || '://' || host
+                || CASE WHEN port <> ''
+                         AND NOT (scheme = 'http' AND port = '80')
+                         AND NOT (scheme = 'https' AND port = '443')
+                        THEN ':' || port ELSE '' END
+                || CASE WHEN path = '' THEN '/' ELSE path END
+                || CASE WHEN qq <> '' THEN '?' || qq ELSE '' END
+              END AS canonical_url,
+              CASE WHEN scheme = '' THEN NULL ELSE host END AS host
+            FROM q
+        """,
+        # suppression + keyed tokenization replayed as CTEs
+        "privacy_release": """
+            WITH freq AS (
+              SELECT user_id FROM events
+              GROUP BY user_id HAVING count(*) >= 60
+            ),
+            kept AS (
+              SELECT e.event_id, e.event_type,
+                     CASE WHEN f.user_id IS NOT NULL
+                          THEN substr(md5('release-2026' || chr(31)
+                                          || CAST(e.user_id AS VARCHAR)), 1, 16)
+                     END AS tok
+              FROM events e LEFT JOIN freq f ON e.user_id = f.user_id
+            )
+            SELECT event_type, count(*) AS n_events,
+                   count(DISTINCT tok) AS n_tokens,
+                   count(CASE WHEN tok IS NULL THEN 1 END) AS n_suppressed
+            FROM kept GROUP BY event_type
         """,
         # the PLAIN join — hash equality proves the salted physical
         # plan changes nothing semantically

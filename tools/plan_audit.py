@@ -566,6 +566,28 @@ def main():
         "between the content-hash dedup and the rollup",
     )
 
+    # 38. URL canonicalization: pure projection — no exchange at all
+    ucq = m.all_queries()["url_canonical"](spark, sf_dir)
+    ucp = plan_of(ucq)
+    check(
+        "url canonicalization zero shuffles",
+        "Exchange" not in ucp,
+        "regex grammar + param sort as column expressions at scan speed",
+    )
+
+    # 39. privacy release: suppression is one count agg + one
+    # equi-join; tokenization is a projection — no window, no cartesian
+    pvq = m.all_queries()["privacy_release"](spark, sf_dir)
+    pvp = plan_of(pvq)
+    check(
+        "privacy suppression agg + equi-join",
+        "Window" not in pvp
+        and "CartesianProduct" not in pvp
+        and "BroadcastNestedLoopJoin" not in pvp
+        and pvp.count("HashAggregate") >= 2,
+        "two-phase value counts; keyed md5 tokens ride the projection",
+    )
+
     lines = [
         "# PLANS — physical-plan audit (tools/plan_audit.py)",
         "",
