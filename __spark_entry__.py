@@ -1398,6 +1398,31 @@ def privacy_release_q(spark, sf_dir):
     )
 
 
+def value_histogram_q(spark, sf_dir):
+    """Fixed-width histogram of events.value
+    (bubbles/operators/histogram.py, bin width 25): bin =
+    floor(value/25) — IEEE-identical on both engines, no rounding
+    tolerance needed. One two-phase hash agg; the exchange carries
+    the histogram, not the data."""
+    from bubbles.operators.histogram import histogram
+
+    ev = _t(spark, sf_dir, "events")
+    return histogram(ev, "value", bin_width=25.0)
+
+
+def inverted_index_q(spark, sf_dir):
+    """Materialized inverted index over documents
+    (bubbles/operators/search.py inverted_index, max_postings=5 so
+    the cap genuinely bites: every term's df exceeds it): per term
+    the TRUE document frequency plus the top-5 postings by (tf desc,
+    doc_id) through the skew-safe salted two-phase top-k. The twin
+    uses a plain window rank — independent shape."""
+    from bubbles.operators.search import inverted_index
+
+    docs = _t(spark, sf_dir, "documents")
+    return inverted_index(docs, max_postings=5)
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries kept OUT of the official gate registry to stay inside
     its ~50-row window: batch twins of streaming queries already
@@ -1443,6 +1468,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_rag_index": _widen(pipeline_rag_index_q),
         "url_canonical": _widen(url_canonical_q),
         "privacy_release": _widen(privacy_release_q),
+        "value_histogram": _widen(value_histogram_q),
+        "inverted_index": _widen(inverted_index_q),
     }
 
 
@@ -3013,6 +3040,37 @@ def extra_oracle_sql() -> dict[str, str]:
                    count(DISTINCT tok) AS n_tokens,
                    count(CASE WHEN tok IS NULL THEN 1 END) AS n_suppressed
             FROM kept GROUP BY event_type
+        """,
+        # same IEEE floor(value/width) bin on both engines
+        "value_histogram": """
+            SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,
+                   CAST(floor(value / 25.0) AS BIGINT) * 25.0 AS bin_start,
+                   count(*) AS n
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1
+        """,
+        # plain window rank per term (the engine caps through the
+        # salted two-phase top-k — independent shape); df counted
+        # before the cap
+        "inverted_index": """
+            WITH tf AS (
+              SELECT term, doc_id, count(*) AS tf FROM (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                          x -> x <> '')) AS term
+                FROM documents
+              ) GROUP BY term, doc_id
+            ),
+            dfreq AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY term
+            ),
+            capped AS (
+              SELECT term, doc_id, tf FROM tf
+              QUALIFY row_number() OVER (PARTITION BY term
+                        ORDER BY tf DESC, doc_id) <= 5
+            )
+            SELECT c.term, d.df, c.doc_id, c.tf
+            FROM capped c JOIN dfreq d ON c.term = d.term
         """,
         # the PLAIN join — hash equality proves the salted physical
         # plan changes nothing semantically

@@ -174,3 +174,47 @@ def keyword_search_sql(
         FROM per_doc, stats
         ORDER BY score DESC, {id_col} LIMIT {top_k}
     """
+
+
+def inverted_index(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int = 1000,
+):
+    """Materialized inverted index: ``(term, df, doc_id, tf)`` — per
+    term, its document frequency and the top ``max_postings`` postings
+    by (tf desc, doc_id asc). The persisted form of what
+    ``keyword_search`` computes on the fly; at serving time a query
+    term becomes one equi-lookup instead of a corpus scan.
+
+    Scale shape: explode -> ONE partial-aggregated shuffle to (term,
+    doc) term frequencies; document frequency is a second partial agg
+    over the same slim rows; the posting cap runs through the
+    skew-safe salted two-phase top-k (similarity.salted_topk_per_key)
+    so a stopword term with 10^9 postings never sorts in one window
+    partition — each salt keeps max_postings, the final rank sees
+    <= 32*max_postings survivors. df is counted BEFORE the cap (the
+    true document frequency, what idf needs), ties break on doc_id,
+    and every stage is exact-integer, so the DuckDB twin (a plain
+    window rank) is bit-identical. Tokenization = lowercase
+    whitespace, matching corpus_vocab / keyword_search."""
+    from pyspark.sql import functions as F
+
+    from bubbles.operators.similarity import salted_topk_per_key
+    from bubbles.operators.text import tokens
+
+    if max_postings < 1:
+        raise ValueError(f"max_postings must be >= 1, got {max_postings}")
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(tokens(F.col(text_col)), lambda x: x != "")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    capped = salted_topk_per_key(
+        tf, "term", [(-F.col("tf")), F.col(id_col)], max_postings
+    )
+    return capped.join(dfreq, on="term").select("term", "df", id_col, "tf")

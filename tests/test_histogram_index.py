@@ -1,0 +1,80 @@
+"""Tests for histogram (operators/histogram.py) and the inverted
+index (operators/search.py inverted_index)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bubbles.operators.histogram import histogram
+from bubbles.operators.search import inverted_index
+
+
+def test_histogram_bins_and_negatives(spark):
+    df = spark.createDataFrame(
+        [(x,) for x in [-10.5, -0.1, 0.0, 0.1, 9.99, 10.0, 25.0, None]],
+        "v double",
+    )
+    out = {r["bin"]: (r["bin_start"], r["n"]) for r in histogram(df, "v", 10.0).collect()}
+    # floor rounds toward -inf: -10.5 -> bin -2, -0.1 -> bin -1
+    assert out[-2] == (-20.0, 1)
+    assert out[-1] == (-10.0, 1)
+    assert out[0] == (0.0, 3)     # 0.0, 0.1, 9.99
+    assert out[1] == (10.0, 1)    # 10.0 lands in [10, 20)
+    assert out[2] == (20.0, 1)
+    assert sum(n for _, n in out.values()) == 7  # NULL excluded
+
+
+def test_histogram_validation(spark):
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError):
+        histogram(df, "nope", 1.0)
+    with pytest.raises(ValueError):
+        histogram(df, "v", 0.0)
+
+
+def test_inverted_index_df_tf_and_cap(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "apple banana banana banana"),
+            (3, "apple cherry"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = inverted_index(docs, max_postings=2).collect()
+    by_term = {}
+    for r in rows:
+        by_term.setdefault(r["term"], []).append((r["doc_id"], r["tf"], r["df"]))
+    # df is the TRUE document frequency, counted before the cap
+    assert all(d == 3 for _, _, d in by_term["apple"])
+    assert len(by_term["apple"]) == 2  # capped
+    # top postings by (tf desc, doc_id asc): apple tf=2 in doc 1
+    assert sorted(by_term["apple"])[0] == (1, 2, 3)
+    assert by_term["banana"] == [(2, 3, 2), (1, 1, 2)] or sorted(
+        by_term["banana"]
+    ) == [(1, 1, 2), (2, 3, 2)]
+    assert by_term["cherry"] == [(3, 1, 1)]
+
+
+def test_inverted_index_tie_break_on_doc_id(spark):
+    docs = spark.createDataFrame(
+        [(i, "same") for i in range(10)], "doc_id bigint, text string"
+    )
+    rows = inverted_index(docs, max_postings=3).collect()
+    assert sorted(r["doc_id"] for r in rows) == [0, 1, 2]  # tf all 1 -> lowest ids
+    assert all(r["df"] == 10 for r in rows)
+
+
+def test_inverted_index_case_and_empty(spark):
+    docs = spark.createDataFrame(
+        [(1, "Apple APPLE  apple"), (2, ""), (3, None)],
+        "doc_id bigint, text string",
+    )
+    rows = inverted_index(docs, max_postings=5).collect()
+    assert len(rows) == 1
+    assert rows[0]["term"] == "apple" and rows[0]["tf"] == 3 and rows[0]["df"] == 1
+
+
+def test_inverted_index_validation(spark):
+    docs = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        inverted_index(docs, max_postings=0)

@@ -588,6 +588,31 @@ def main():
         "two-phase value counts; keyed md5 tokens ride the projection",
     )
 
+    # 40. histogram: the exchange carries bins, not rows — two-phase
+    # hash agg, nothing else
+    vhq = m.all_queries()["value_histogram"](spark, sf_dir)
+    vhp = plan_of(vhq)
+    check(
+        "histogram partial agg only",
+        vhp.count("HashAggregate") >= 2 and "Window" not in vhp,
+        "map-side partials reduce each partition to <= #bins rows "
+        "before the shuffle",
+    )
+
+    # 41. inverted index: tf + df partial aggs; the posting cap rides
+    # the salted two-phase top-k (WindowGroupLimit pushdown), df join
+    # is an equi-join
+    iiq = m.all_queries()["inverted_index"](spark, sf_dir)
+    iip = plan_of(iiq)
+    check(
+        "inverted index salted posting cap",
+        iip.count("HashAggregate") >= 4
+        and iip.count("WindowGroupLimit") >= 2
+        and "CartesianProduct" not in iip,
+        "two partial-agged shuffles (tf, df) + salt-capped rank; "
+        "stopword terms never sort in one partition",
+    )
+
     lines = [
         "# PLANS — physical-plan audit (tools/plan_audit.py)",
         "",
