@@ -1423,6 +1423,26 @@ def inverted_index_q(spark, sf_dir):
     return inverted_index(docs, max_postings=5)
 
 
+def substring_dedup_q(spark, sf_dir):
+    """Exact duplicated-substring removal at token-position
+    granularity (bubbles/operators/text.py substring_dedup, Lee et
+    al. 2022 semantics: every token covered by an 8-gram occurring
+    >= 2 times corpus-wide is dropped, docs restitched in order).
+    The twin replays the sliding grams with generate_series +
+    list_slice and an ANTI JOIN — the clean text md5 pins the full
+    reconstruction byte-for-byte."""
+    from bubbles.operators.text import substring_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    out = substring_dedup(docs, gram_tokens=8, min_count=2)
+    return out.select(
+        "doc_id",
+        F.md5("text_clean").alias("clean_md5"),
+        "n_tokens",
+        "n_kept",
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries kept OUT of the official gate registry to stay inside
     its ~50-row window: batch twins of streaming queries already
@@ -1470,6 +1490,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "privacy_release": _widen(privacy_release_q),
         "value_histogram": _widen(value_histogram_q),
         "inverted_index": _widen(inverted_index_q),
+        "substring_dedup": _widen(substring_dedup_q),
     }
 
 
@@ -3071,6 +3092,50 @@ def extra_oracle_sql() -> dict[str, str]:
             )
             SELECT c.term, d.df, c.doc_id, c.tf
             FROM capped c JOIN dfreq d ON c.term = d.term
+        """,
+        # sliding 8-grams via generate_series + list_slice, duplicated
+        # grams by total count, coverage expansion, ANTI JOIN removal,
+        # ordered string_agg restitch — same semantics, different shape
+        "substring_dedup": """
+            WITH base AS (
+              SELECT doc_id, string_split(coalesce(text, ''), ' ') AS arr
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, s - 1 AS p,
+                     md5(array_to_string(list_slice(arr, s, s + 7), ' ')) AS gh
+              FROM base, unnest(generate_series(1, len(arr) - 7)) AS u(s)
+              WHERE len(arr) >= 8
+            ),
+            dup AS (
+              SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2
+            ),
+            starts AS (
+              SELECT g.doc_id, g.p FROM g SEMI JOIN dup ON g.gh = dup.gh
+            ),
+            cov AS (
+              SELECT DISTINCT doc_id, pos FROM (
+                SELECT doc_id, unnest(generate_series(p, p + 7)) AS pos
+                FROM starts
+              )
+            ),
+            toks AS (
+              SELECT doc_id, s - 1 AS pos, arr[s] AS tok
+              FROM base, unnest(generate_series(1, len(arr))) AS u(s)
+            ),
+            kept AS (
+              SELECT t.doc_id, t.pos, t.tok FROM toks t
+              ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+            ),
+            reb AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT b.doc_id, md5(coalesce(r.text_clean, '')) AS clean_md5,
+                   CAST(len(b.arr) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+            FROM base b LEFT JOIN reb r ON b.doc_id = r.doc_id
         """,
         # the PLAIN join — hash equality proves the salted physical
         # plan changes nothing semantically

@@ -473,3 +473,95 @@ def segment_dedup(
         F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
         F.count(F.lit(1)).alias("n_segs"),
     )
+
+
+def substring_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    gram_tokens: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring removal at TOKEN-POSITION
+    granularity (the "Deduplicating Training Data Makes Language
+    Models Better" pass, Lee et al. 2022): every token covered by a
+    ``gram_tokens``-gram whose exact text occurs ``min_count`` or more
+    times across the corpus (within OR across documents) is removed,
+    and each document is restitched from its surviving tokens in
+    order. Unlike ``segment_dedup`` (fixed windows; a duplicated span
+    straddling a window boundary survives), the sliding grams cover
+    every alignment, so any duplicated run of >= gram_tokens tokens
+    is removed IN FULL from all its occurrences — the
+    drop-all-flagged-spans policy production pipelines use (keeping
+    exactly one occurrence needs a global occurrence ordering, which
+    no single-pass distributed formulation provides).
+
+    Returns (doc_id, text_clean, n_tokens, n_kept).
+
+    Shape: gram md5s are computed ONCE below a posexplode (one
+    transform over the start sequence — O(gram_tokens) per position,
+    the same hash-below-generate discipline as winnow_fingerprints,
+    never re-hashed above the explode); duplicated-gram detection is
+    a two-phase count on the md5 (a viral span is a hot md5 in a
+    partial agg — skew-safe); coverage expands each flagged start to
+    its gram_tokens positions (bounded declared fan-out, the
+    active_users pattern); removal is one (doc, pos) anti-join; and
+    reconstruction is ONE doc-keyed aggregation sorting the bounded
+    per-doc token array. Equi-shuffles only — no windows, no
+    non-equi joins, no cartesians.
+    """
+    if gram_tokens < 1:
+        raise ValueError(f"gram_tokens must be >= 1, got {gram_tokens}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    L = int(gram_tokens)
+    base = docs.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("arr"),
+    )
+    n = F.size("arr")
+    gram_md5s = F.transform(
+        F.sequence(F.lit(0), n - F.lit(L)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("arr"), i + 1, L))),
+    )
+    g = base.select(
+        "doc_id",
+        F.posexplode(
+            F.when(n >= L, gram_md5s).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("p", "gh"),
+    )
+    dup = (
+        g.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("gh")
+    )
+    starts = g.join(dup, on="gh", how="left_semi")
+    cov = starts.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("p"), F.col("p") + F.lit(L - 1))).alias("pos"),
+    ).distinct()
+    toks = base.select("doc_id", F.posexplode("arr").alias("pos", "tok"))
+    kept = toks.join(cov, on=["doc_id", "pos"], how="left_anti")
+    reb = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        base.select("doc_id", n.alias("n_tokens"))
+        .join(reb, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

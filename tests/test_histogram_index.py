@@ -78,3 +78,90 @@ def test_inverted_index_validation(spark):
     docs = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
     with pytest.raises(ValueError):
         inverted_index(docs, max_postings=0)
+
+
+# ---------------------------------------------------------- substring dedup
+
+
+def _clean(spark, docs, **kw):
+    from bubbles.operators.text import substring_dedup
+
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    return {
+        r["doc_id"]: (r["text_clean"], r["n_tokens"], r["n_kept"])
+        for r in substring_dedup(df, **kw).collect()
+    }
+
+
+def test_substring_dedup_cross_doc_span_removed_in_full(spark):
+    """A 10-token span shared by two docs is removed ENTIRELY from
+    both (every alignment of the sliding 8-gram covers it), while the
+    unique prefix/suffix tokens survive."""
+    span = " ".join(f"dup{i}" for i in range(10))
+    out = _clean(
+        spark,
+        [(1, f"alpha beta {span} gamma"), (2, f"x {span} y z")],
+        gram_tokens=8,
+        min_count=2,
+    )
+    assert out[1] == ("alpha beta gamma", 13, 3)
+    assert out[2] == ("x y z", 13, 3)
+
+
+def test_substring_dedup_straddles_window_boundary(spark):
+    """The case fixed-window segment_dedup misses: the duplicated span
+    sits at DIFFERENT offsets in the two docs, so no fixed window
+    alignment matches — the sliding grams still catch it."""
+    span = " ".join(f"s{i}" for i in range(9))
+    docs = [
+        (1, "a b c " + span + " tail1"),
+        (2, span + " completely different suffix here"),
+    ]
+    out = _clean(spark, docs, gram_tokens=8, min_count=2)
+    assert out[1][0] == "a b c tail1"
+    assert out[2][0] == "completely different suffix here"
+    # contrast: segment_dedup at the same granularity keeps both copies
+    from bubbles.operators.text import segment_dedup
+
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    seg = {
+        r["doc_id"]: r["text_clean"]
+        for r in segment_dedup(df, min_docs=2, tokens_per_segment=8).collect()
+    }
+    assert "s0" in seg[1] and "s0" in seg[2]  # offset misalignment survives
+
+
+def test_substring_dedup_within_doc_repetition(spark):
+    """min_count counts TOTAL occurrences: a doc repeating its own
+    8-gram loses both copies (Lee et al. count within-doc repeats)."""
+    g = " ".join(f"r{i}" for i in range(8))
+    out = _clean(spark, [(1, f"start {g} mid {g} end")], gram_tokens=8, min_count=2)
+    assert out[1][0] == "start mid end"
+
+
+def test_substring_dedup_short_docs_untouched(spark):
+    out = _clean(
+        spark,
+        [(1, "a b c"), (2, "a b c"), (3, "")],
+        gram_tokens=8,
+        min_count=2,
+    )
+    # identical docs, but shorter than one gram: nothing to flag
+    assert out[1][0] == "a b c" and out[2][0] == "a b c"
+    assert out[3][2] >= 0  # empty doc survives with a row
+
+
+def test_substring_dedup_fully_removed_doc(spark):
+    t = " ".join(f"w{i}" for i in range(8))
+    out = _clean(spark, [(1, t), (2, t)], gram_tokens=8, min_count=2)
+    assert out[1] == ("", 8, 0) and out[2] == ("", 8, 0)
+
+
+def test_substring_dedup_validation(spark):
+    from bubbles.operators.text import substring_dedup
+
+    df = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        substring_dedup(df, gram_tokens=0)
+    with pytest.raises(ValueError):
+        substring_dedup(df, min_count=1)

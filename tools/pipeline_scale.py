@@ -137,6 +137,21 @@ def main():
         chunk_documents(d, chunk_tokens=64, overlap_tokens=16)
     )
 
+    from bubbles.operators.text import substring_dedup
+
+    OPS["substring_dedup"] = lambda d, n: run(
+        substring_dedup(d, gram_tokens=8, min_count=2)
+    )
+
+    from bubbles.operators.search import inverted_index
+
+    # max_postings=100: the synthetic vocab is tiny (~31 terms), so
+    # every term is a "stopword" — the worst case the salted cap
+    # exists for (posting lists = n/31 docs each)
+    OPS["inverted_index"] = lambda d, n: run(
+        inverted_index(d, max_postings=100)
+    )
+
     def _merge(d, n):
         changes = (
             d.filter(F.pmod("doc_id", F.lit(5)) < 2)

@@ -613,6 +613,24 @@ def main():
         "stopword terms never sort in one partition",
     )
 
+    # 42. substring dedup: gram md5 computed once BELOW the generate,
+    # equi-shuffles only (dup-count agg, semi join, coverage distinct,
+    # anti join, rebuild agg), no window, no non-equi join
+    ssq = m.all_queries()["substring_dedup"](spark, sf_dir)
+    ssp = plan_of(ssq)
+    n_exch = len(re.findall(r"Exchange hashpartitioning", ssp))
+    check(
+        "substring dedup equi shuffles only",
+        "Window" not in ssp
+        and "CartesianProduct" not in ssp
+        and "BroadcastNestedLoopJoin" not in ssp
+        and ssp.count("Generate") >= 2
+        and n_exch <= 6,
+        f"{n_exch} hash exchange(s); sliding-gram md5s hash once below "
+        "the posexplode; coverage fan-out is the bounded L-per-start "
+        "explode; removal is one (doc,pos) anti-join",
+    )
+
     lines = [
         "# PLANS — physical-plan audit (tools/plan_audit.py)",
         "",
