@@ -1443,6 +1443,45 @@ def substring_dedup_q(spark, sf_dir):
     )
 
 
+def quantize_embeddings_q(spark, sf_dir):
+    """Symmetric int8 scalar quantization of the embeddings table
+    (bubbles/operators/quantize.py): per-vector scale = max|v|, codes
+    = floor(v*127/scale) — the same IEEE multiply/divide/floor
+    sequence on both engines, so codes are bit-identical (md5 over
+    the comma-joined code array pins all 64 dims per vector). Pure
+    projection, zero shuffles."""
+    from bubbles.operators.quantize import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb, bits=8)
+    return q.select(
+        "vec_id",
+        "n_dims",
+        "scale",
+        F.md5(
+            F.array_join(
+                F.transform(F.col("codes"), lambda c: c.cast("string")), ","
+            )
+        ).alias("codes_md5"),
+    )
+
+
+def resample_ffill_q(spark, sf_dir):
+    """Fixed-grid forward-filled resample of events onto 1-hour
+    buckets per user (bubbles/operators/timeseries.py resample_ffill):
+    last-in-bucket via two-phase max(struct), per-key grid explode
+    bounded by each key's own active span, ONE window pass over the
+    reduced grid. Values carried verbatim; exact integer bucket
+    arithmetic."""
+    from bubbles.operators.timeseries import resample_ffill
+
+    ev = _events_us(spark, sf_dir)
+    return resample_ffill(
+        ev, key_col="user_id", ts_col="ts_us", value_col="value",
+        step_us=3_600_000_000,
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries kept OUT of the official gate registry to stay inside
     its ~50-row window: batch twins of streaming queries already
@@ -1491,6 +1530,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": _widen(value_histogram_q),
         "inverted_index": _widen(inverted_index_q),
         "substring_dedup": _widen(substring_dedup_q),
+        "quantize_embeddings": _widen(quantize_embeddings_q),
+        "resample_ffill": _widen(resample_ffill_q),
     }
 
 
@@ -3136,6 +3177,55 @@ def extra_oracle_sql() -> dict[str, str]:
                    CAST(len(b.arr) AS BIGINT) AS n_tokens,
                    CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
             FROM base b LEFT JOIN reb r ON b.doc_id = r.doc_id
+        """,
+        # same IEEE multiply/divide/floor quantization sequence; md5
+        # over the comma-joined int codes pins every dimension
+        "quantize_embeddings": """
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ),
+            s AS (
+              SELECT vec_id, v,
+                     list_max(list_transform(v, x -> abs(x))) AS amax
+              FROM e
+            )
+            SELECT vec_id, CAST(len(v) AS BIGINT) AS n_dims, amax AS scale,
+                   md5(array_to_string(list_transform(v,
+                     x -> CAST(CASE WHEN amax > 0
+                               THEN CAST(floor(x * 127.0 / amax) AS INT)
+                               ELSE 0 END AS VARCHAR)), ',')) AS codes_md5
+            FROM s
+        """,
+        # same grid semantics, different reduction: max(struct) bucket
+        # dedup + IGNORE NULLS window fill in DuckDB
+        "resample_ffill": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+            ),
+            lastb AS (
+              SELECT user_id, ts_us // 3600000000 AS bucket,
+                     (max(struct_pack(ts := ts_us, v := value))).v AS v
+              FROM e GROUP BY 1, 2
+            ),
+            span AS (
+              SELECT user_id, min(ts_us // 3600000000) AS b0,
+                     max(ts_us // 3600000000) AS b1
+              FROM e GROUP BY user_id
+            ),
+            grid AS (
+              SELECT user_id, unnest(generate_series(b0, b1)) AS bucket
+              FROM span
+            )
+            SELECT g.user_id, g.bucket,
+                   CAST(g.bucket * 3600000000 AS BIGINT) AS bucket_ts_us,
+                   last_value(l.v IGNORE NULLS) OVER (
+                     PARTITION BY g.user_id ORDER BY g.bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS value
+            FROM grid g LEFT JOIN lastb l
+              ON g.user_id = l.user_id AND g.bucket = l.bucket
         """,
         # the PLAIN join — hash equality proves the salted physical
         # plan changes nothing semantically

@@ -631,6 +631,30 @@ def main():
         "explode; removal is one (doc,pos) anti-join",
     )
 
+    # 43. quantization: pure projection — zero exchanges
+    qzq = m.all_queries()["quantize_embeddings"](spark, sf_dir)
+    qzp = plan_of(qzq)
+    check(
+        "quantization zero shuffles",
+        "Exchange" not in qzp,
+        "per-vector scale + int8 codes as column expressions at scan speed",
+    )
+
+    # 44. resample: bucket dedup + span agg are partial-agged; exactly
+    # one window pass, over the reduced grid
+    rsq = m.all_queries()["resample_ffill"](spark, sf_dir)
+    rsp = plan_of(rsq)
+    check(
+        "resample one window over reduced grid",
+        rsp.count("+- Window ") == 1
+        and (rsp.count("HashAggregate") + rsp.count("SortAggregate")) >= 4
+        and "partial_max(struct" in rsp
+        and "CartesianProduct" not in rsp,
+        "two-phase max(struct) bucket dedup (partial+final SortAggregate "
+        "— struct aggs don't hash) + per-key span explode; the single "
+        "window sees one row per bucket, never raw events",
+    )
+
     lines = [
         "# PLANS — physical-plan audit (tools/plan_audit.py)",
         "",
