@@ -1482,6 +1482,19 @@ def resample_ffill_q(spark, sf_dir):
     )
 
 
+def collocations_q(spark, sf_dir):
+    """PMI-style collocation mining (bubbles/operators/text.py
+    collocations): top-20 adjacent token pairs by log-free exact
+    integer lift = 1e6·c(ab)·N div (c(a)·c(b)) — no transcendental
+    functions, so both engines rank identically, ties cut by bigram
+    text. Two partial-agg shuffles + vocab-sized equi-joins +
+    TakeOrderedAndProject."""
+    from bubbles.operators.text import collocations
+
+    docs = _t(spark, sf_dir, "documents")
+    return collocations(docs, min_count=5, top_k=20)
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries kept OUT of the official gate registry to stay inside
     its ~50-row window: batch twins of streaming queries already
@@ -1532,6 +1545,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": _widen(substring_dedup_q),
         "quantize_embeddings": _widen(quantize_embeddings_q),
         "resample_ffill": _widen(resample_ffill_q),
+        "collocations": _widen(collocations_q),
     }
 
 
@@ -3226,6 +3240,42 @@ def extra_oracle_sql() -> dict[str, str]:
                    ) AS value
             FROM grid g LEFT JOIN lastb l
               ON g.user_id = l.user_id AND g.bucket = l.bucket
+        """,
+        # same integer lift in HUGEINT floor division; same
+        # tokenization as the repetition/vocab twins
+        "collocations": """
+            WITH toks AS (
+              SELECT unnest(list_filter(
+                       string_split_regex(lower(text), '\\s+'),
+                       x -> x <> '')) AS w
+              FROM documents
+            ),
+            uni AS (SELECT w, count(*) AS cw FROM toks GROUP BY w),
+            tot AS (SELECT count(*) AS n FROM toks),
+            bg AS (
+              SELECT unnest(list_transform(range(1, len(t)),
+                       i -> t[i] || ' ' || t[i + 1])) AS ab
+              FROM (SELECT string_split_regex(lower(text), '\\s+') AS t
+                    FROM documents)
+            ),
+            bgc AS (
+              SELECT ab, count(*) AS cab FROM bg
+              GROUP BY ab HAVING count(*) >= 5
+            ),
+            sp AS (
+              SELECT ab, cab,
+                     string_split(ab, ' ')[1] AS wa,
+                     string_split(ab, ' ')[2] AS wb
+              FROM bgc
+            )
+            SELECT s.ab, s.cab, a.cw AS ca, b.cw AS cb,
+                   CAST((CAST(1000000 AS HUGEINT) * s.cab * t.n)
+                        // (a.cw * b.cw) AS BIGINT) AS lift_micro
+            FROM sp s
+            JOIN uni a ON s.wa = a.w
+            JOIN uni b ON s.wb = b.w
+            CROSS JOIN tot t
+            ORDER BY lift_micro DESC, s.ab LIMIT 20
         """,
         # the PLAIN join — hash equality proves the salted physical
         # plan changes nothing semantically

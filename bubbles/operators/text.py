@@ -565,3 +565,67 @@ def substring_dedup(
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+def collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """PMI-style collocation mining — the statistic behind multi-word
+    vocabulary entries and tokenizer merges ("new york", "machine
+    learning"): adjacent token pairs that co-occur far more often
+    than their unigram frequencies predict.
+
+    Log-free exact ranking (the keyword_search/bigram-LM discipline):
+    PMI = log(c(ab)·N / (c(a)·c(b))) is monotone in the rational
+    ``lift = c(ab)·N / (c(a)·c(b))``, so the score is computed as
+    integer micro-units ``(1e6·c(ab)·N) div (c(a)·c(b))`` in
+    DECIMAL(38,0) — bit-identical on every engine, no transcendental
+    functions to disagree about. Returns the ``top_k`` pairs by
+    (lift_micro desc, bigram asc) with their counts.
+
+    Shape: ONE exploded-bigram partial-agg shuffle + one unigram
+    partial-agg shuffle; the unigram relation (vocab-sized) joins the
+    bigram relation twice on the word — equi-joins AQE typically
+    broadcasts; the corpus total N rides a 1-row broadcast; the final
+    top-k is TakeOrderedAndProject (driver-bounded, no full sort).
+    ``min_count`` prunes hapax pairs BEFORE the joins — at 100 TB the
+    joined relations are vocab- and surviving-pair-sized, never
+    corpus-sized.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    toks = docs.select(
+        F.explode(
+            F.filter(tokens(F.col(text_col)), lambda x: x != "")
+        ).alias("w")
+    )
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_tokens"))
+    bg = docs.select(
+        F.explode(word_bigrams(F.col(text_col))).alias("ab")
+    )
+    bgc = (
+        bg.groupBy("ab")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= min_count)
+        .withColumn("wa", F.split("ab", " ")[0])
+        .withColumn("wb", F.split("ab", " ")[1])
+    )
+    ua = uni.select(F.col("w").alias("wa"), F.col("cw").alias("ca"))
+    ub = uni.select(F.col("w").alias("wb"), F.col("cw").alias("cb"))
+    joined = bgc.join(ua, "wa").join(ub, "wb").crossJoin(F.broadcast(total))
+    lift = F.expr(
+        "CAST(1000000 AS DECIMAL(38,0)) * cab * n_tokens div (ca * cb)"
+    ).cast("long")
+    return (
+        joined.select(
+            "ab", "cab", "ca", "cb", lift.alias("lift_micro")
+        )
+        .orderBy(F.desc("lift_micro"), "ab")
+        .limit(top_k)
+    )

@@ -165,3 +165,49 @@ def test_substring_dedup_validation(spark):
         substring_dedup(df, gram_tokens=0)
     with pytest.raises(ValueError):
         substring_dedup(df, min_count=1)
+
+
+# ------------------------------------------------------------ collocations
+
+
+def test_collocations_planted_pair_ranks_first(spark):
+    """'san francisco' always co-occurs (lift = N/c) while 'the the'
+    pairs are chance-level (lift ~ 1): the planted collocation must
+    rank first with the exact integer lift."""
+    from bubbles.operators.text import collocations
+
+    rows = [(i, "the cat sat on the mat san francisco") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = collocations(df, min_count=5, top_k=10).collect()
+    got = {r["ab"]: r for r in out}
+    # perfectly-collocated unique pairs: lift = 1e6*10*80/(10*10) = 8e6
+    sf = got["san francisco"]
+    assert sf["lift_micro"] == 8_000_000
+    assert sf["cab"] == 10 and sf["ca"] == 10 and sf["cb"] == 10
+    # pairs involving the doubled word 'the' (c=20) get half the lift
+    # and rank strictly below every perfectly-collocated pair
+    assert got["on the"]["lift_micro"] == 4_000_000
+    ranks = [r["ab"] for r in out]
+    assert ranks.index("san francisco") < ranks.index("on the")
+
+
+def test_collocations_min_count_prunes(spark):
+    from bubbles.operators.text import collocations
+
+    df = spark.createDataFrame(
+        [(1, "rare pair here"), (2, "other words only")],
+        "doc_id bigint, text string",
+    )
+    assert collocations(df, min_count=2, top_k=10).count() == 0
+
+
+def test_collocations_validation(spark):
+    from bubbles.operators.text import collocations
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        collocations(df, min_count=0)
+    with _pytest.raises(ValueError):
+        collocations(df, top_k=0)

@@ -655,6 +655,19 @@ def main():
         "window sees one row per bucket, never raw events",
     )
 
+    # 45. collocations: bigram + unigram partial aggs, bounded top-k,
+    # no full sort, no cartesian beyond the 1-row total broadcast
+    clq = m.all_queries()["collocations"](spark, sf_dir)
+    clp = plan_of(clq)
+    check(
+        "collocations partial aggs + bounded top-k",
+        "TakeOrderedAndProject" in clp
+        and clp.count("HashAggregate") >= 4
+        and "CartesianProduct" not in clp,
+        "two partial-agged count shuffles; vocab-sized equi-joins; "
+        "1-row N broadcast; top-k never sorts the pair relation",
+    )
+
     lines = [
         "# PLANS — physical-plan audit (tools/plan_audit.py)",
         "",
