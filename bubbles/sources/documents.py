@@ -116,3 +116,25 @@ def write_corpus_orc(
 def read_corpus_orc(spark: SparkSession, path: str) -> DataFrame:
     """Read an ORC corpus written by ``write_corpus_orc``."""
     return spark.read.orc(path)
+
+
+def write_corpus_jsonl(
+    df: DataFrame,
+    path: str,
+    compression: str | None = "gzip",
+    max_records_per_file: int = 1_000_000,
+    mode: str = "error",
+) -> None:
+    """JSONL export sink — the interchange format crawl dumps arrive
+    in and annotation/inspection tools consume. Round-trips through
+    ``read_documents_jsonl`` (pinned by tests/test_urls_privacy.py).
+    Every task writes its own (optionally gzipped) part files in
+    parallel with the same per-file record bound as the parquet/ORC
+    writers — no single-file funnel; a ``_corrupt`` column, if
+    present from a quarantined read, is dropped rather than
+    re-exported."""
+    out = df.drop("_corrupt") if "_corrupt" in df.columns else df
+    w = out.write.mode(mode).option("maxRecordsPerFile", max_records_per_file)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)

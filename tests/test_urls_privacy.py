@@ -136,3 +136,30 @@ def test_orc_partition_column_validation(spark, tmp_path):
     df = spark.range(3).select(F.col("id").alias("doc_id"))
     with pytest.raises(ValueError):
         write_corpus_orc(df, str(tmp_path / "x"), partition_by=("nope",))
+
+
+def test_jsonl_round_trip(spark, tmp_path):
+    from bubbles.sources.documents import (
+        read_documents_jsonl,
+        split_quarantine,
+        write_corpus_jsonl,
+    )
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text with \"quotes\" and \\ backslash "), F.col("id")).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("src0").alias("source"),
+        (F.col("id") % 7).alias("n_chars"),
+    )
+    path = str(tmp_path / "jsonl_corpus")
+    write_corpus_jsonl(df, path)
+    # cache before splitting: Spark refuses to answer queries that
+    # reference ONLY the corrupt-record column of a raw JSON scan
+    raw = read_documents_jsonl(spark, path).cache()
+    back, bad = split_quarantine(raw)
+    assert bad.count() == 0
+    assert back.count() == 200
+    row = back.filter(F.col("doc_id") == 13).collect()[0]
+    assert row["text"] == 'text with "quotes" and \\ backslash 13'
+    assert row["n_chars"] == 6
