@@ -180,3 +180,62 @@ def triangle_count(
         .groupBy("vertex")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def k_core(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph where
+    every vertex has degree >= k — the community/spam-analysis
+    companion to ``connected_components`` / ``pagerank`` /
+    ``triangle_count`` (a dense crawl-link k-core is a link farm; a
+    collaboration-graph k-core is a research community).
+
+    Returns (vertex, core_degree): surviving vertices with their
+    degree INSIDE the k-core.
+
+    Algorithm: iterative peeling to the standard fixpoint — drop every
+    vertex with current degree < k, recompute degrees on the induced
+    subgraph, repeat until stable. Each round is: one partial-agged
+    degree count + two semi-joins of the edge list against the
+    surviving-vertex relation (equi-joins, AQE-sized) +
+    ``localCheckpoint`` to cut lineage (the connected_components
+    discipline, components.py:18). Convergence is a deterministic
+    count comparison, never an accumulator (retry-safe). Rounds are
+    data-dependent but bounded: each round removes >= 1 vertex or
+    terminates, and real graphs peel in a handful of rounds; an
+    unconverged loop raises rather than returning silently-wrong
+    cores. Not expressible as a bounded SQL twin (the fixpoint depth
+    is data-dependent), so correctness is pinned by a brute-force
+    Python peeling differential in pytest — the MRHDBSCAN-kernel
+    check pattern."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    sym = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionAll(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = sym.count()
+    for _ in range(max_iter):
+        deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select(F.col("a").alias("v"))
+        pruned = (
+            sym.join(keep.select(F.col("v").alias("a")), on="a", how="left_semi")
+            .join(keep.select(F.col("v").alias("b")), on="b", how="left_semi")
+            .localCheckpoint()
+        )
+        n_next = pruned.count()
+        sym = pruned
+        if n_next == n_edges:
+            return sym.groupBy(F.col("a").alias("vertex")).agg(
+                F.count(F.lit(1)).alias("core_degree")
+            )
+        n_edges = n_next
+        if n_edges == 0:
+            return sym.groupBy(F.col("a").alias("vertex")).agg(
+                F.count(F.lit(1)).alias("core_degree")
+            )
+    raise RuntimeError(
+        f"k_core did not converge within {max_iter} peeling rounds"
+    )

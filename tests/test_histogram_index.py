@@ -211,3 +211,65 @@ def test_collocations_validation(spark):
         collocations(df, min_count=0)
     with _pytest.raises(ValueError):
         collocations(df, top_k=0)
+
+
+# ---------------------------------------------------------------- k-core
+
+
+def _brute_kcore(edges, k):
+    """Reference peeling in plain Python."""
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for v in [v for v, nb in adj.items() if len(nb) < k]:
+            for u in adj.pop(v):
+                adj[u].discard(v)
+            changed = True
+    return {v: len(nb) for v, nb in adj.items() if nb}
+
+
+def test_k_core_matches_brute_force(spark):
+    from bubbles.operators.graph import k_core
+
+    import random
+
+    rng = random.Random(7)
+    # planted 5-clique (a 4-core) + sparse noise + a pendant chain
+    edges = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    edges += [(rng.randrange(5, 40), rng.randrange(5, 40)) for _ in range(60)]
+    edges += [(100, 101), (101, 102), (102, 103)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    for k in (2, 3, 4, 5):
+        got = {
+            r["vertex"]: r["core_degree"]
+            for r in k_core(df, k=k).collect()
+        }
+        assert got == _brute_kcore(edges, k), f"k={k}"
+    # the 5-clique IS the 4-core
+    assert set(_brute_kcore(edges, 4)) >= set(range(5))
+
+
+def test_k_core_peels_cascading_chain(spark):
+    """A chain is 1-core only: k=2 must cascade-peel it entirely,
+    which takes multiple rounds (each round removes only the ends)."""
+    from bubbles.operators.graph import k_core
+
+    chain = [(i, i + 1) for i in range(10)]
+    df = spark.createDataFrame(chain, "src bigint, dst bigint")
+    assert k_core(df, k=2).count() == 0
+    one = {r["vertex"]: r["core_degree"] for r in k_core(df, k=1).collect()}
+    assert len(one) == 11 and one[0] == 1 and one[5] == 2
+
+
+def test_k_core_validation(spark):
+    from bubbles.operators.graph import k_core
+
+    df = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    with pytest.raises(ValueError):
+        k_core(df, k=0)
