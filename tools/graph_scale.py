@@ -44,9 +44,35 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    qs = m.all_queries()
+    import os
+
+    only = set(filter(None, os.environ.get("GRAPH_OPS", "").split(",")))
+
+    def kcore_q(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from bubbles.operators.graph import k_core
+
+        li = m._t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        pairs = li.alias("x").join(
+            li.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        edges = pairs.select(
+            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+        )
+        # threshold scaled to the densifying graph: ~half the expected
+        # mean degree so the peeling loop actually iterates
+        n_li = li.count()
+        return k_core(edges, k=max(4, n_li // 2000))
+
+    qs = dict(m.all_queries())
+    qs["k_core"] = kcore_q
     out: dict[str, dict[str, float]] = {}
-    for name in ("triangle_count", "pagerank"):
+    for name in ("triangle_count", "pagerank", "k_core"):
+        if only and name not in only:
+            continue
         q = qs[name]
         q(spark, sf_dirs[0]).count()  # warmup: JIT + codegen caches
         out[name] = {}

@@ -143,6 +143,12 @@ def main():
         substring_dedup(d, gram_tokens=8, min_count=2)
     )
 
+    from bubbles.operators.text import collocations
+
+    OPS["collocations"] = lambda d, n: run(
+        collocations(d, min_count=5, top_k=20)
+    )
+
     from bubbles.operators.search import inverted_index
 
     # max_postings=100: the synthetic vocab is tiny (~31 terms), so
