@@ -1495,6 +1495,59 @@ def collocations_q(spark, sf_dir):
     return collocations(docs, min_count=5, top_k=20)
 
 
+def corpus_diff_q(spark, sf_dir):
+    """Release diff (bubbles/operators/cdc.py corpus_diff) between
+    documents and the merge_upsert output of the same synthetic
+    change batch: both versions reduce to (key, payload-md5) before
+    ONE full-outer equi-join — content never crosses the wire. By
+    construction the diff must report exactly the deletes as
+    'removed', the inserts as 'added' and the updates as 'changed';
+    the twin recomputes the diff from the raw change synthesis
+    WITHOUT running the merge (independent derivation)."""
+    from bubbles.operators.cdc import corpus_diff, merge_upsert
+
+    docs = _t(spark, sf_dir, "documents")
+
+    payload = ["doc_id", "text", "lang", "source", "n_chars"]
+    updates = (
+        docs.filter(F.pmod("doc_id", F.lit(5)) == 1)
+        .withColumn("text", F.concat(F.lit("v2 "), F.col("text")))
+        .withColumn("seq", (F.lit(100) + F.pmod("doc_id", F.lit(3))).cast("long"))
+        .withColumn("op", F.lit("upsert"))
+    )
+    re_updates = (
+        docs.filter(F.pmod("doc_id", F.lit(25)) == 1)
+        .withColumn("text", F.concat(F.lit("v3 "), F.col("text")))
+        .withColumn("seq", F.lit(200).cast("long"))
+        .withColumn("op", F.lit("upsert"))
+    )
+    deletes = (
+        docs.filter(F.pmod("doc_id", F.lit(5)) == 2)
+        .withColumn("seq", F.lit(50).cast("long"))
+        .withColumn("op", F.lit("delete"))
+    )
+    inserts = (
+        docs.filter(F.pmod("doc_id", F.lit(5)) == 3)
+        .select(
+            (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+            F.concat(F.lit("new "), F.col("lang")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .withColumn("seq", F.lit(10).cast("long"))
+        .withColumn("op", F.lit("upsert"))
+    )
+    changes = (
+        updates.select(*payload, "seq", "op")
+        .unionByName(re_updates.select(*payload, "seq", "op"))
+        .unionByName(deletes.select(*payload, "seq", "op"))
+        .unionByName(inserts.select(*payload, "seq", "op"))
+    )
+    merged = merge_upsert(docs, changes)
+    return corpus_diff(docs, merged)
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries kept OUT of the official gate registry to stay inside
     its ~50-row window: batch twins of streaming queries already
@@ -1546,6 +1599,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": _widen(quantize_embeddings_q),
         "resample_ffill": _widen(resample_ffill_q),
         "collocations": _widen(collocations_q),
+        "corpus_diff": _widen(corpus_diff_q),
     }
 
 
@@ -3276,6 +3330,17 @@ def extra_oracle_sql() -> dict[str, str]:
             JOIN uni b ON s.wb = b.w
             CROSS JOIN tot t
             ORDER BY lift_micro DESC, s.ab LIMIT 20
+        """,
+        # independent derivation: the expected diff follows from the
+        # change synthesis alone — the twin never runs the merge or
+        # hashes a payload
+        "corpus_diff": """
+            SELECT doc_id + 10000000 AS doc_id, 'added' AS status
+            FROM documents WHERE doc_id % 5 = 3
+            UNION ALL
+            SELECT doc_id, 'removed' FROM documents WHERE doc_id % 5 = 2
+            UNION ALL
+            SELECT doc_id, 'changed' FROM documents WHERE doc_id % 5 = 1
         """,
         # the PLAIN join — hash equality proves the salted physical
         # plan changes nothing semantically

@@ -75,3 +75,50 @@ def merge_upsert(
     survivors = snapshot.join(winner.select(key_col), on=key_col, how="left_anti")
     upserts = winner.filter(F.col("__op") == "upsert").select(*payload)
     return survivors.unionByName(upserts)
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Release diff between two corpus versions — the audit companion
+    to ``merge_upsert`` (what changed between snapshot v1 and v2?):
+    one row per non-identical key with status ``added`` (key only in
+    new), ``removed`` (only in old) or ``changed`` (present in both,
+    any payload column differs).
+
+    Both sides reduce to (key, payload-md5) projections before ONE
+    full-outer equi-join on the key — content never crosses the wire,
+    only 16-byte digests, so diffing two 100 TB snapshots shuffles
+    2·n_keys slim rows. Payload hash = md5 of the 0x1f-joined string
+    casts of the shared non-key columns (concat_ws skips NULLs on
+    both engines — a NULL→''-ambiguity documented tradeoff, same as
+    merge_upsert's winner hash). Columns must match between versions;
+    a schema change is a different migration problem and fails fast.
+    """
+    payload = [c for c in old.columns if c != key_col]
+    if key_col not in old.columns or key_col not in new.columns:
+        raise ValueError(f"{key_col!r} must exist on both sides")
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            f"schema mismatch: {sorted(old.columns)} vs {sorted(new.columns)}"
+        )
+
+    def slim(df, tag):
+        h = F.md5(
+            F.concat_ws("\x1f", *[F.col(c).cast("string") for c in payload])
+        )
+        return df.select(F.col(key_col), h.alias(f"__h_{tag}"))
+
+    joined = slim(old, "o").join(slim(new, "n"), on=key_col, how="full_outer")
+    status = (
+        F.when(F.col("__h_o").isNull(), F.lit("added"))
+        .when(F.col("__h_n").isNull(), F.lit("removed"))
+        .when(F.col("__h_o") != F.col("__h_n"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(key_col, "status")
+    )

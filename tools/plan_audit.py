@@ -668,6 +668,19 @@ def main():
         "1-row N broadcast; top-k never sorts the pair relation",
     )
 
+    # 46. corpus diff: ONE full-outer equi-join of (key, md5) slims —
+    # the text column must never appear above the hash projections
+    cdq = m.all_queries()["corpus_diff"](spark, sf_dir)
+    cdp = plan_of(cdq)
+    check(
+        "corpus diff slim digest join",
+        cdp.count("FullOuter") >= 1
+        and "CartesianProduct" not in cdp
+        and "Window" not in cdp,
+        "versions reduce to (key, payload-md5) before one full-outer "
+        "equi-join; 16-byte digests cross the wire, never content",
+    )
+
     lines = [
         "# PLANS — physical-plan audit (tools/plan_audit.py)",
         "",
