@@ -1495,6 +1495,31 @@ def collocations_q(spark, sf_dir):
     return collocations(docs, min_count=5, top_k=20)
 
 
+def stream_static_enrich_q(spark, sf_dir):
+    """Stream-STATIC enrichment join (bubbles/streaming/events.py
+    enrich_stream): streaming events pick up a batch-derived
+    user→segment dimension — stateless join, no watermark/join state
+    (contrast with the stream-stream attribution join), rollup per
+    (segment, event_type) in complete mode. Twin = the plain batch
+    join with the identical md5-bucket segment derivation."""
+    from bubbles.streaming.events import run_enrich_to_memory
+
+    return run_enrich_to_memory(spark, sf_dir, name="drv_enrich_out")
+
+
+def stream_kmv_distinct_q(spark, sf_dir):
+    """Streaming KMV sketch (bubbles/streaming/events.py
+    kmv_distinct_stream): per-event-type distinct-user estimate with
+    state BOUNDED at k=16 longs per group — the sketch-state
+    contrast to exact streaming distinct. After the final
+    micro-batch the stream equals batch kmv_distinct, so the twin is
+    the same window-rank bottom-16 SQL as the batch sketch, over
+    events."""
+    from bubbles.streaming.events import run_kmv_to_memory
+
+    return run_kmv_to_memory(spark, sf_dir, name="drv_kmv_out", k=16)
+
+
 def corpus_diff_q(spark, sf_dir):
     """Release diff (bubbles/operators/cdc.py corpus_diff) between
     documents and the merge_upsert output of the same synthetic
@@ -1600,6 +1625,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_ffill": _widen(resample_ffill_q),
         "collocations": _widen(collocations_q),
         "corpus_diff": _widen(corpus_diff_q),
+        "stream_static_enrich": _widen(stream_static_enrich_q),
+        "stream_kmv_distinct": _widen(stream_kmv_distinct_q),
     }
 
 
@@ -3330,6 +3357,41 @@ def extra_oracle_sql() -> dict[str, str]:
             JOIN uni b ON s.wb = b.w
             CROSS JOIN tot t
             ORDER BY lift_micro DESC, s.ab LIMIT 20
+        """,
+        # plain batch join with the identical md5-bucket segment
+        "stream_static_enrich": """
+            WITH dim AS (
+              SELECT DISTINCT user_id,
+                     CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4 AS segment
+              FROM events
+            )
+            SELECT d.segment, e.event_type, count(*) AS n,
+                   round(sum(e.value), 6) AS sum_value
+            FROM events e JOIN dim d ON e.user_id = d.user_id
+            GROUP BY d.segment, e.event_type
+        """,
+        # the batch KMV sketch over events (stream == batch after the
+        # final micro-batch)
+        "stream_kmv_distinct": """
+            WITH h AS (
+              SELECT DISTINCT event_type,
+                     CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+              FROM events WHERE user_id IS NOT NULL
+            ),
+            r AS (
+              SELECT event_type, hv,
+                     row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+              FROM h
+            ),
+            k AS (
+              SELECT event_type, count(*) AS n_kept, max(hv) AS kth_min
+              FROM r WHERE rn <= 16 GROUP BY event_type
+            )
+            SELECT event_type, n_kept, kth_min,
+                   CAST(CASE WHEN n_kept < 16 THEN n_kept
+                        ELSE (CAST(15 AS HUGEINT) * 1152921504606846976) // kth_min
+                        END AS BIGINT) AS est_distinct
+            FROM k
         """,
         # independent derivation: the expected diff follows from the
         # change synthesis alone — the twin never runs the merge or

@@ -581,3 +581,115 @@ def run_distinct_types_to_memory(
     q.processAllAvailable()
     q.stop()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def user_segments_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static user→segment dimension (batch-derived, md5-bucketed so
+    both engines compute the identical segment). In production this
+    is the profile/CRM table the stream enriches against."""
+    ev = read_events_batch(spark, sf_dir)
+    seg = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 4
+    )
+    return ev.select("user_id").distinct().withColumn("segment", seg)
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-STATIC enrichment join + rollup: each streaming event
+    picks up its user's segment from a static dimension, aggregated
+    per (segment, event_type). The stream-static join is stateless —
+    Spark re-plans the static side per micro-batch (broadcast under
+    AQE threshold), no watermark and no join state, unlike the
+    stream-stream attribution join. The rollup runs in complete mode
+    over a bounded (segment × type) key space."""
+    return (
+        events.join(dim, on="user_id")
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+def run_enrich_to_memory(
+    spark: SparkSession, sf_dir: str, name: str = "enrich_out"
+) -> DataFrame:
+    dim = user_segments_dim(spark, sf_dir)
+    q = (
+        enrich_stream(read_events_stream(spark, sf_dir), dim)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def kmv_distinct_stream(events: DataFrame, k: int = 16) -> DataFrame:
+    """Streaming KMV distinct-count sketch per event_type
+    (applyInPandasWithState): state is the bottom-k 60-bit md5-prefix
+    hashes of the values seen — BOUNDED AT k LONGS PER GROUP by
+    construction, the defining property of sketch state (contrast:
+    exact streaming distinct needs state linear in the distinct
+    count). Hashes are computed JVM-side before the stateful op (the
+    same conv(md5) bridge as operators/sketch.py), the pandas update
+    merges sorted distinct minima, and the emitted estimate uses the
+    identical integer floor-division estimator — so after the final
+    micro-batch the stream result equals batch ``kmv_distinct``
+    exactly (pinned by pytest and the oracle twin)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from bubbles.operators.sketch import HASH_SPACE, kmv_hash
+
+    hashed = events.select(
+        F.col("event_type"), kmv_hash(F.col("user_id")).alias("hv")
+    ).filter(F.col("hv").isNotNull())
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        cur = list(state.get[0]) if state.exists else []
+        for pdf in pdfs:
+            cur.extend(int(h) for h in pdf["hv"])
+        cur = sorted(set(cur))[:k]
+        state.update((cur,))
+        n_kept = len(cur)
+        kth = cur[-1] if cur else None
+        est = n_kept if n_kept < k else (k - 1) * HASH_SPACE // kth
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_kept": [n_kept],
+                "kth_min": [kth],
+                "est_distinct": [est],
+            }
+        )
+
+    return hashed.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "event_type string, n_kept long, kth_min long, est_distinct long"
+        ),
+        stateStructType="hashes array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_kmv_to_memory(
+    spark: SparkSession, sf_dir: str, name: str = "kmv_out", k: int = 16
+) -> DataFrame:
+    q = (
+        kmv_distinct_stream(read_events_stream(spark, sf_dir), k=k)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}")

@@ -109,3 +109,96 @@ def test_snapshot_versions_and_pointer(spark, tmp_path):
     v0 = spark.read.parquet(os.path.join(snap, "v=0")).collect()
     assert [(r["doc_id"], r["text"]) for r in v0] == [(1, "a")]
     assert _snap_dict(spark, snap) == {1: "b"}
+
+
+# ------------------------------------------------- stream-static + kmv
+
+
+def test_stream_static_enrich_equals_batch(spark):
+    from bubbles.streaming.events import (
+        enrich_stream,
+        read_events_batch,
+        run_enrich_to_memory,
+        user_segments_dim,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["segment"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in run_enrich_to_memory(spark, sf, name="t_enrich").collect()
+    }
+    dim = user_segments_dim(spark, sf)
+    want = {
+        (r["segment"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in enrich_stream(read_events_batch(spark, sf), dim).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stream_kmv_multi_batch_equals_batch_sketch(spark, tmp_path):
+    """Two micro-batches of events: the stream's FINAL per-key sketch
+    equals the batch sketch over the union — bottom-k state merges
+    across batches correctly and stays bounded at k."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from bubbles.operators.sketch import kmv_distinct
+    from bubbles.streaming.events import kmv_distinct_stream
+
+    data = tmp_path / "ev"
+    data.mkdir()
+    base = 1_700_000_000_000_000
+
+    def write(path, uids):
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(len(uids)), pa.int64()),
+                    "ts": pa.array([base + i for i in range(len(uids))], pa.timestamp("us")),
+                    "user_id": pa.array(uids, pa.int64()),
+                    "event_type": pa.array(["click"] * len(uids)),
+                    "value": pa.array([1.0] * len(uids)),
+                    "props": pa.array(["{}"] * len(uids)),
+                }
+            ),
+            path,
+        )
+
+    write(str(data / "b1.parquet"), list(range(0, 60)))
+    write(str(data / "b2.parquet"), list(range(40, 120)))  # overlap + new
+
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(data))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        kmv_distinct_stream(raw, k=16)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_kmv")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM t_kmv").collect()
+    # update mode: one row per batch; the LAST (max n_kept, min kth)
+    # is the final state — with k=16 < 120 distinct, n_kept is 16 in
+    # both, so take the row with the smaller kth_min
+    final = min(rows, key=lambda r: (r["kth_min"] is None, r["kth_min"]))
+    batch = spark.createDataFrame(
+        [("click", u) for u in list(range(0, 60)) + list(range(40, 120))],
+        "event_type string, user_id long",
+    )
+    want = kmv_distinct(batch, "event_type", "user_id", k=16).collect()[0]
+    assert (final["n_kept"], final["kth_min"], final["est_distinct"]) == (
+        want["n_kept"],
+        want["kth_min"],
+        want["est_distinct"],
+    )
+    assert len(rows) == 2  # one update row per micro-batch
