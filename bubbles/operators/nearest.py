@@ -104,14 +104,20 @@ def nearest_representative_bulk(
                 continue
             out_bubble = np.empty(len(pdf), dtype=np.int64)
             out_dist = np.empty(len(pdf), dtype=np.float64)
-            X_all = np.array(
-                [np.asarray(v, dtype=np.float64) for v in pdf[features_col]]
-            )
+            # vstack over the Arrow column beats a per-row listcomp;
+            # contiguous per-subset slices (one stable argsort) beat a
+            # full-batch boolean mask re-scan per distinct subset
+            X_all = np.vstack(pdf[features_col].to_numpy())
             subs = pdf["subset_id"].to_numpy()
-            for s in np.unique(subs):
-                ids, mat = bc.value[int(s)]
-                mask = subs == s
-                X = X_all[mask]
+            order = np.argsort(subs, kind="stable")
+            sorted_subs = subs[order]
+            cuts = np.flatnonzero(np.diff(sorted_subs)) + 1
+            starts = np.concatenate(([0], cuts))
+            ends = np.concatenate((cuts, [len(subs)]))
+            for lo, hi in zip(starts, ends):
+                rows = order[lo:hi]
+                ids, mat = bc.value[int(sorted_subs[lo])]
+                X = X_all[rows]
                 best_d = np.full(len(X), np.inf)
                 best_i = np.zeros(len(X), dtype=np.int64)
                 for j in range(len(ids)):
@@ -119,8 +125,8 @@ def nearest_representative_bulk(
                     upd = d < best_d  # strict <: first sample wins ties
                     best_d[upd] = d[upd]
                     best_i[upd] = j
-                out_bubble[mask] = ids[best_i]
-                out_dist[mask] = best_d
+                out_bubble[rows] = ids[best_i]
+                out_dist[rows] = best_d
             yield pd.DataFrame(
                 {
                     "subset_id": pdf["subset_id"],

@@ -9,18 +9,23 @@ ceil(fraction·n) (min 2). Exact counts like ``sampleByKeyExact``
 across runs/plans, no driver collect.
 
 Scale shape: the rank runs over SLIM (key, id, hash) rows via a
-salted two-phase top-m — a per-(key, salt) pre-rank keeps each salt's
-top keep_k, so the final per-key rank sees ≤ n_salts·keep_k rows no
-matter how large a key is (iteration 0 of fit() has ONE key holding
-the whole dataset; a plain per-key window would sort it in a single
-task). The payload joins back on the winners only (driver-bounded in
-every caller, so AQE broadcasts it). Selected rows and ordinals are
-identical to a plain per-key rank by the same (hash, id) total order:
-any global top-m row has < m rows before it globally, hence < m
-within its salt, so it always survives the pre-rank.
+per-PARTITION pre-rank (``mapInPandas``, zero shuffle — any global
+top-m row of a key is top-m within its own partition, so winners
+always survive the pre-filter) that keeps each key's ``keep_k``
+smallest (hash, id) rows per input partition. The final per-key rank
+then sees ≤ n_partitions·keep_k rows no matter how large a key is
+(iteration 0 of fit() has ONE key holding the whole dataset; a plain
+per-key window would sort it in a single task, and even a salted
+pre-rank costs a full shuffle of the slim rows — this pass is
+narrow). The payload joins back on the winners only (driver-bounded
+in every caller, so AQE broadcasts it). Selected rows and ordinals
+are identical to a plain per-key rank by the same (hash, id) total
+order.
 """
 
 from __future__ import annotations
+
+from typing import Iterator
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -34,39 +39,70 @@ def stratified_sample_exact(
     id_col: str = "point_id",
     min_per_key: int = 2,
     max_per_key: int | None = None,
-    n_salts: int = 32,
+    min_ratio: float | None = None,
+    ratio_cap: int | None = None,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Keep exactly max(min_per_key, ceil(fraction·n_k)) rows per key.
 
     Adds ``sample_ord`` (0-based ordinal within the key, the
     reference's per-key sample numbering, Main.java:143-163).
+
+    ``min_ratio``/``ratio_cap``: optional scale floor that overrides
+    ``max_per_key`` for very large keys — keep at least
+    min(ceil(n_k·min_ratio), ratio_cap) rows. fit() passes
+    2/max_local_size so a key of any size fans out into expected
+    bubbles of ≤ max_local_size/2 points instead of stalling at a
+    fixed sample cap (a 6M-point key sampled at a flat 768 makes
+    ~7.8k-point bubbles that all exceed the local cap, forcing a
+    whole extra fragmenting iteration).
+
+    ``counts``: optional precomputed DataFrame(key_col, ``__n``) with
+    one row per key — fit() passes the per-subset sizes it already
+    aggregated for routing, saving one full pass over ``df``.
     """
-    counts = df.groupBy(key_col).agg(F.count("*").alias("__n"))
+    if counts is None:
+        counts = df.groupBy(key_col).agg(F.count("*").alias("__n"))
     n_keep = F.greatest(
         F.lit(min_per_key), F.ceil(F.col("__n") * F.lit(fraction))
     )
     if max_per_key is not None:
         n_keep = F.least(n_keep, F.lit(max_per_key))
+    if min_ratio is not None and ratio_cap is not None:
+        n_keep = F.greatest(
+            n_keep,
+            F.least(
+                F.ceil(F.col("__n") * F.lit(float(min_ratio))),
+                F.lit(int(ratio_cap)),
+            ),
+        )
     # long, not int: a single key can hold the whole dataset (fit
     # iteration 0), and ceil(n*fraction) past 2^31 must not overflow
     counts = counts.select(key_col, n_keep.cast("long").alias("__keep"))
-    slim = (
-        df.select(
-            key_col,
-            F.col(id_col),
-            F.xxhash64(F.col(id_col), F.lit(seed)).alias("__h"),
-        )
-        .join(counts, on=key_col)
-        .withColumn(
-            "__salt", F.pmod(F.xxhash64(F.col(id_col), F.lit(seed + 1)), F.lit(n_salts))
-        )
-    )
-    w1 = Window.partitionBy(key_col, "__salt").orderBy("__h", id_col)
-    w2 = Window.partitionBy(key_col).orderBy("__h", id_col)
+    slim = df.select(
+        key_col,
+        F.col(id_col),
+        F.xxhash64(F.col(id_col), F.lit(seed)).alias("__h"),
+    ).join(F.broadcast(counts), on=key_col)
+
+    def prerank(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        parts = list(batches)
+        if not parts:
+            return
+        full = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        # one partition-local sort by the global (hash, id) order,
+        # then per-key head(keep): any row a key keeps globally is
+        # among its keep smallest here too
+        full = full.sort_values(["__h", id_col], kind="mergesort")
+        rank = full.groupby(key_col, sort=False).cumcount()
+        yield full[rank.to_numpy() < full["__keep"].to_numpy()]
+
+    pre = slim.mapInPandas(prerank, schema=slim.schema)
+    w = Window.partitionBy(key_col).orderBy("__h", id_col)
     winners = (
-        slim.withColumn("__r1", F.row_number().over(w1))
-        .filter(F.col("__r1") <= F.col("__keep"))
-        .withColumn("__rn", F.row_number().over(w2))
+        pre.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= F.col("__keep"))
         .select(key_col, id_col, (F.col("__rn") - 1).alias("sample_ord"))
     )

@@ -239,6 +239,7 @@ class MRHDBSCAN:
         global_mode: str = "contracted",
         dim: int | None = None,
         coalesce_chains: bool = False,
+        auto_widen_samples: bool = True,
     ):
         if global_mode not in ("driver", "contracted"):
             raise ValueError("global_mode must be 'driver' or 'contracted'")
@@ -264,6 +265,17 @@ class MRHDBSCAN:
         # feature dimensionality; pass it to skip the one-row probe job
         # at the start of fit (useful when fit is called in a loop)
         self.dim = dim
+        # scale rule for the per-iteration sample width: a subset of c
+        # points must fan out into >= 2c/max_local_size bubbles or its
+        # children come back above the local cap and force another
+        # sampling round. With the flat user cap alone, a 6M-point
+        # iteration-0 subset sampled at 768 produced ~7.8k-point
+        # bubbles -> 143k-subset fragmentation at iteration 2 and a
+        # barely-contractible global graph (5.5M retained events).
+        # The floor is inert below max_samples_per_subset·max_local_size/2
+        # points (e.g. 1.57M at the 768/4096 bench config), so small-SF
+        # runs are bit-identical with it on or off.
+        self.auto_widen_samples = auto_widen_samples
 
     # ------------------------------------------------------------------
     def fit(self, df: DataFrame, constraints: DataFrame | None = None) -> MRHDBSCANModel:
@@ -418,12 +430,34 @@ class MRHDBSCAN:
                 break
 
             big_df = _filter_subsets(current, big)
+            big_total = sum(sizes[s] for s in big)
+            if big_total * 2 < sum(sizes.values()):
+                # the sampler + assignment together make several passes
+                # over big_df; once the big subsets are a minority of
+                # the data, one materialization pays for itself (each
+                # later pass scans big_total rows instead of the whole
+                # checkpointed relation)
+                big_df = big_df.localCheckpoint()
+                _tick(f"it{iteration} big checkpoint ({big_total} pts)")
+            # the sizes agg above already counted every subset — hand
+            # the per-key counts to the sampler instead of letting it
+            # re-scan big_df for them (driver-bounded: one row per big
+            # subset)
+            counts_df = spark.createDataFrame(
+                [(int(s), int(sizes[s])) for s in big],
+                schema="subset_id long, __n long",
+            )
             samples = stratified_sample_exact(
                 big_df,
                 "subset_id",
                 self.sample_fraction,
                 seed=self.seed + iteration,
                 max_per_key=min(self.max_samples_per_subset, self.max_local_size),
+                min_ratio=(
+                    2.0 / self.max_local_size if self.auto_widen_samples else None
+                ),
+                ratio_cap=self.max_local_size if self.auto_widen_samples else None,
+                counts=counts_df,
             )
             # driver-bounded sample collect (the reference ships samples
             # in the FirstStep closure the same way, Main.java:140-169);
@@ -715,21 +749,24 @@ class MRHDBSCAN:
         # in the hierarchy as isolated noise
         v2_ids = red[red["kind"] == 2]["a"].to_numpy(np.int64)
         verts = np.unique(np.concatenate([src, dst, v2_ids]))
-        idx = {int(g): i for i, g in enumerate(verts)}
-        lu = np.fromiter((idx[int(x)] for x in src), np.int64, len(src))
-        lv = np.fromiter((idx[int(x)] for x in dst), np.int64, len(dst))
+        # vectorized global-id -> local-index remap: verts is sorted
+        # and every endpoint is present, so searchsorted IS the lookup
+        # (the dict + per-element genexp it replaces was several
+        # seconds of driver CPU at 3M reduced edges / 1.5M verts)
+        lu = np.searchsorted(verts, src)
+        lv = np.searchsorted(verts, dst)
         vw = np.ones(len(verts))
         v2 = red[red["kind"] == 2]
-        for a, m in zip(v2["a"].to_numpy(np.int64), v2["w"].to_numpy(np.float64)):
-            vw[idx[int(a)]] = m
+        vw[np.searchsorted(verts, v2["a"].to_numpy(np.int64))] = v2[
+            "w"
+        ].to_numpy(np.float64)
         vertex_credit = None
         k3 = red[red["kind"] == 3] if coalesce else red.iloc[0:0]
         if coalesce and len(k3):
             vertex_credit = np.full(len(verts), np.nan)
-            for a, c in zip(
-                k3["a"].to_numpy(np.int64), k3["w"].to_numpy(np.float64)
-            ):
-                vertex_credit[idx[int(a)]] = c
+            vertex_credit[
+                np.searchsorted(verts, k3["a"].to_numpy(np.int64))
+            ] = k3["w"].to_numpy(np.float64)
 
         local_constraints = None
         if constraints:
@@ -743,7 +780,11 @@ class MRHDBSCAN:
                 ).collect()
             }
             local_constraints = [
-                (k, idx[rep_of[int(a)]], idx[rep_of[int(b)]])
+                (
+                    k,
+                    int(np.searchsorted(verts, rep_of[int(a)])),
+                    int(np.searchsorted(verts, rep_of[int(b)])),
+                )
                 for k, a, b in constraints
                 if int(a) in rep_of and int(b) in rep_of
             ]

@@ -48,6 +48,42 @@ def test_stratified_sample_max_per_key(spark, points_df):
     assert out.groupby("subset_id").size().max() <= 5
 
 
+def test_stratified_sample_ratio_floor_scales_with_key_size(spark):
+    # the fit() scale rule: keys large enough that ceil(n*fraction)
+    # overshoots max_per_key still fan out at >= n*min_ratio samples,
+    # while small keys are untouched by the floor (inert below
+    # max_per_key / min_ratio points)
+    rows = [(0, i) for i in range(20_000)] + [(1, 100_000 + i) for i in range(40)]
+    df = spark.createDataFrame(rows, "subset_id long, point_id long")
+    out = (
+        stratified_sample_exact(
+            df,
+            "subset_id",
+            0.05,
+            max_per_key=16,
+            min_ratio=2.0 / 1024,
+            ratio_cap=1024,
+        )
+        .groupBy("subset_id")
+        .count()
+        .toPandas()
+        .set_index("subset_id")["count"]
+    )
+    # big key: floor min(ceil(20000*2/1024), 1024) = 40 > cap 16
+    assert out[0] == 40
+    # small key: ceil(40*0.05)=2 within cap; floor ceil(40*2/1024)=1 inert
+    assert out[1] == 2
+    # without the floor the cap wins
+    capped = (
+        stratified_sample_exact(df, "subset_id", 0.05, max_per_key=16)
+        .groupBy("subset_id")
+        .count()
+        .toPandas()
+        .set_index("subset_id")["count"]
+    )
+    assert capped[0] == 16
+
+
 def test_nearest_representative_argmin(spark, points_df):
     reps = stratified_sample_exact(points_df, "subset_id", 0.05)
     out = nearest_representative(points_df, reps).toPandas()
