@@ -1204,6 +1204,23 @@ def kmv_distinct_q(spark, sf_dir):
     return kmv_distinct(docs, "lang", "text", k=16)
 
 
+def kmv_overlap_q(spark, sf_dir):
+    """KMV set operations (bubbles/operators/sketch.py kmv_overlap,
+    Beyer et al. SIGMOD'07): per-language union / intersection /
+    Jaccard estimates between two overlapping corpus releases
+    (doc_id%3<>0 vs doc_id%3<>1 — every third document shared),
+    computed entirely from two bottom-k sketches. Integer ppm
+    arithmetic end-to-end, so the DuckDB twin is bit-identical; two
+    50 TB releases never meet in a shuffle — only their ≤k-row
+    per-group sketches do."""
+    from bubbles.operators.sketch import kmv_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    rel_a = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) != 0)
+    rel_b = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) != 1)
+    return kmv_overlap(rel_a, rel_b, "lang", "text", k=16)
+
+
 def chunk_documents_q(spark, sf_dir):
     """Overlapping-window RAG chunking (bubbles/operators/chunking.py
     chunk_documents, 32-token chunks / 8-token overlap): projection +
@@ -1612,6 +1629,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_dedup": _widen(segment_dedup_q),
         "profile_table": _widen(profile_table_q),
         "kmv_distinct": _widen(kmv_distinct_q),
+        "kmv_overlap": _widen(kmv_overlap_q),
         "chunk_documents": _widen(chunk_documents_q),
         "merge_upsert": _widen(merge_upsert_q),
         "salted_join": _widen(salted_join_q),
@@ -3027,6 +3045,75 @@ def extra_oracle_sql() -> dict[str, str]:
                         ELSE (CAST(15 AS HUGEINT) * 1152921504606846976) // kth_min
                         END AS BIGINT) AS est_distinct
             FROM k
+        """,
+        # KMV set ops replayed with window ranks instead of the
+        # engine's salted bottom-k; identical md5-prefix hashes, same
+        # integer ppm arithmetic -> bit-identical sketches + estimates
+        "kmv_overlap": """
+            WITH ha AS (
+              SELECT DISTINCT lang,
+                     CAST(CONCAT('0x', substr(md5(CAST(text AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+              FROM documents WHERE text IS NOT NULL AND doc_id % 3 <> 0
+            ),
+            hb AS (
+              SELECT DISTINCT lang,
+                     CAST(CONCAT('0x', substr(md5(CAST(text AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+              FROM documents WHERE text IS NOT NULL AND doc_id % 3 <> 1
+            ),
+            sa AS (
+              SELECT lang, hv FROM (
+                SELECT lang, hv, row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn
+                FROM ha) WHERE rn <= 16
+            ),
+            sb AS (
+              SELECT lang, hv FROM (
+                SELECT lang, hv, row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn
+                FROM hb) WHERE rn <= 16
+            ),
+            su AS (
+              SELECT lang, hv FROM (
+                SELECT lang, hv, row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn
+                FROM (SELECT lang, hv FROM sa UNION SELECT lang, hv FROM sb))
+              WHERE rn <= 16
+            ),
+            ea AS (
+              SELECT lang, CAST(CASE WHEN count(*) < 16 THEN count(*)
+                     ELSE (CAST(15 AS HUGEINT) * 1152921504606846976) // max(hv)
+                     END AS BIGINT) AS est_a
+              FROM sa GROUP BY lang
+            ),
+            eb AS (
+              SELECT lang, CAST(CASE WHEN count(*) < 16 THEN count(*)
+                     ELSE (CAST(15 AS HUGEINT) * 1152921504606846976) // max(hv)
+                     END AS BIGINT) AS est_b
+              FROM sb GROUP BY lang
+            ),
+            u AS (
+              SELECT su.lang, count(*) AS n_kept_union, max(su.hv) AS kth,
+                     sum(CASE WHEN a.hv IS NOT NULL AND b.hv IS NOT NULL
+                         THEN 1 ELSE 0 END) AS k_intersect
+              FROM su
+              LEFT JOIN sa a ON su.lang = a.lang AND su.hv = a.hv
+              LEFT JOIN sb b ON su.lang = b.lang AND su.hv = b.hv
+              GROUP BY su.lang
+            ),
+            uu AS (
+              SELECT lang, n_kept_union, k_intersect,
+                     CAST(CASE WHEN n_kept_union < 16 THEN n_kept_union
+                          ELSE (CAST(15 AS HUGEINT) * 1152921504606846976) // kth
+                          END AS BIGINT) AS est_union
+              FROM u
+            )
+            SELECT uu.lang, uu.n_kept_union,
+                   coalesce(ea.est_a, 0) AS est_a,
+                   coalesce(eb.est_b, 0) AS est_b,
+                   uu.est_union,
+                   CAST(uu.k_intersect AS BIGINT) AS k_intersect,
+                   CAST((CAST(1000000 AS HUGEINT) * uu.k_intersect) // uu.n_kept_union AS BIGINT) AS jaccard_ppm,
+                   CAST((CAST(uu.est_union AS HUGEINT) * uu.k_intersect) // uu.n_kept_union AS BIGINT) AS est_intersect
+            FROM uu
+            LEFT JOIN ea ON uu.lang = ea.lang
+            LEFT JOIN eb ON uu.lang = eb.lang
         """,
         # generate_series + list_slice replay of the sliding-window
         # start rule (starts 0..greatest(n-overlap-1,0) step stride)

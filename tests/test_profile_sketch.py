@@ -11,7 +11,12 @@ from bubbles.operators.cdc import merge_upsert
 from bubbles.operators.chunking import chunk_documents
 from bubbles.operators.joins import salted_join
 from bubbles.operators.profile import profile_columns
-from bubbles.operators.sketch import kmv_distinct, kmv_merge, kmv_sketch_rows
+from bubbles.operators.sketch import (
+    kmv_distinct,
+    kmv_merge,
+    kmv_overlap,
+    kmv_sketch_rows,
+)
 
 
 # ---------------------------------------------------------------- profile
@@ -125,6 +130,57 @@ def test_kmv_duplicates_do_not_move_estimate(spark):
 def test_kmv_validation(spark):
     with pytest.raises(ValueError):
         kmv_distinct(spark.range(1).selectExpr("'g' g", "'v' v"), "g", "v", k=1)
+
+
+def test_kmv_overlap_exact_below_k(spark):
+    """Unions smaller than k: every output number is exact, not an
+    estimate — including one-sided groups."""
+    a = spark.createDataFrame(
+        [("g", str(i)) for i in range(10)] + [("only_a", "x")], "g string, v string"
+    )
+    b = spark.createDataFrame(
+        [("g", str(i)) for i in range(5, 15)], "g string, v string"
+    )
+    rows = {r["g"]: r for r in kmv_overlap(a, b, "g", "v", k=64).collect()}
+    g = rows["g"]
+    assert g["est_a"] == 10 and g["est_b"] == 10
+    assert g["est_union"] == 15 and g["k_intersect"] == 5
+    assert g["est_intersect"] == 5
+    assert g["jaccard_ppm"] == 1_000_000 * 5 // 15
+    oa = rows["only_a"]
+    assert oa["est_a"] == 1 and oa["est_b"] == 0 and oa["k_intersect"] == 0
+    assert oa["jaccard_ppm"] == 0 and oa["est_intersect"] == 0
+
+
+def test_kmv_overlap_estimate_accuracy(spark):
+    """Estimated path (union >> k): Jaccard within ~4/sqrt(k-2) of
+    truth for a 50% overlap of 4000-element sets."""
+    a = spark.range(4000).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    b = spark.range(2000, 6000).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    r = kmv_overlap(a, b, "g", "v", k=256).collect()[0]
+    true_j = 2000 / 6000
+    tol = 4 / (254 ** 0.5)
+    assert abs(r["jaccard_ppm"] / 1e6 - true_j) < tol
+    assert abs(r["est_union"] - 6000) / 6000 < tol
+    assert abs(r["est_intersect"] - 2000) / 2000 < 3 * tol
+
+
+def test_kmv_overlap_disjoint_and_identical(spark):
+    a = spark.range(1000).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    b_disjoint = spark.range(10_000, 11_000).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    r = kmv_overlap(a, b_disjoint, "g", "v", k=128).collect()[0]
+    assert r["k_intersect"] == 0 and r["jaccard_ppm"] == 0
+    r2 = kmv_overlap(a, a, "g", "v", k=128).collect()[0]
+    assert r2["jaccard_ppm"] == 1_000_000
+    assert r2["est_intersect"] == r2["est_union"]
 
 
 # ---------------------------------------------------------------- chunking
