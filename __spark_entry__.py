@@ -1221,6 +1221,36 @@ def kmv_overlap_q(spark, sf_dir):
     return kmv_overlap(rel_a, rel_b, "lang", "text", k=16)
 
 
+def zorder_key_q(spark, sf_dir):
+    """Z-order (Morton) layout key over (l_partkey, l_suppkey)
+    (bubbles/operators/layout.py zorder_key) — the OPTIMIZE ZORDER
+    primitive: one tiny min/max agg broadcast back, then a flat
+    shift/mask interleave projection, all whole-stage codegen. Exact
+    integer bucketing (DECIMAL(38) scale + div), so the DuckDB twin
+    reproduces every key bit-for-bit. Writing in zval order gives
+    files tight footer min/max on BOTH columns — two-column file
+    pruning at 100 TB."""
+    from bubbles.operators.layout import zorder_key
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    return zorder_key(li, "l_partkey", "l_suppkey")
+
+
+def compaction_plan_q(spark, sf_dir):
+    """Small-file compaction planner (bubbles/operators/layout.py
+    compaction_plan): documents stand in for a file inventory
+    (doc_id=file, source=table partition, n_chars=bytes); next-fit
+    bin assignment via one exclusive running-sum window per table
+    partition over METADATA-scale rows. Deterministic re-planning:
+    same inventory, same plan."""
+    from bubbles.operators.layout import compaction_plan
+
+    docs = _t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    return compaction_plan(docs, "source", "doc_id", "n_chars", target_bytes=4096)
+
+
 def chunk_documents_q(spark, sf_dir):
     """Overlapping-window RAG chunking (bubbles/operators/chunking.py
     chunk_documents, 32-token chunks / 8-token overlap): projection +
@@ -1630,6 +1660,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_table": _widen(profile_table_q),
         "kmv_distinct": _widen(kmv_distinct_q),
         "kmv_overlap": _widen(kmv_overlap_q),
+        "zorder_key": _widen(zorder_key_q),
+        "compaction_plan": _widen(compaction_plan_q),
         "chunk_documents": _widen(chunk_documents_q),
         "merge_upsert": _widen(merge_upsert_q),
         "salted_join": _widen(salted_join_q),
@@ -3045,6 +3077,44 @@ def extra_oracle_sql() -> dict[str, str]:
                         ELSE (CAST(15 AS HUGEINT) * 1152921504606846976) // kth_min
                         END AS BIGINT) AS est_distinct
             FROM k
+        """,
+        # z-order twin: same DECIMAL bucket scale + the identical
+        # 32-term shift/mask interleave, generated from layout.ZBITS
+        "zorder_key": f"""
+            WITH b AS (
+              SELECT min(l_partkey) AS xmin, max(l_partkey) AS xmax,
+                     min(l_suppkey) AS ymin, max(l_suppkey) AS ymax
+              FROM lineitem
+            ),
+            t AS (
+              SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                     CAST(CAST((l_partkey - xmin) AS HUGEINT) * 65535
+                          // greatest(xmax - xmin, 1) AS BIGINT) AS xb,
+                     CAST(CAST((l_suppkey - ymin) AS HUGEINT) * 65535
+                          // greatest(ymax - ymin, 1) AS BIGINT) AS yb
+              FROM lineitem, b
+            )
+            SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                   CAST({' + '.join(
+                       f"((xb >> {i}) & 1) * {1 << (2 * i)}"
+                       f" + ((yb >> {i}) & 1) * {1 << (2 * i + 1)}"
+                       for i in range(16)
+                   )} AS BIGINT) AS zval
+            FROM t
+        """,
+        "compaction_plan": """
+            WITH c AS (
+              SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                     coalesce(sum(CAST(n_chars AS BIGINT)) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS cum
+              FROM documents
+            )
+            SELECT source, doc_id, n_chars,
+                   cum // 4096 AS bin_id,
+                   cum % 4096 AS bin_offset
+            FROM c
         """,
         # KMV set ops replayed with window ranks instead of the
         # engine's salted bottom-k; identical md5-prefix hashes, same
