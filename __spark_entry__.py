@@ -866,6 +866,18 @@ def stream_stateful_totals(spark, sf_dir):
     return run_stateful_to_memory(spark, sf_dir, name="drv_stateful_out")
 
 
+def stream_anomaly_q(spark, sf_dir):
+    """Stateful streaming anomaly detection
+    (bubbles/streaming/events.py anomaly_flags_stream): per-user
+    online z-score against PRIOR history, divisions cleared into one
+    exact integer comparison ((n*x-s)^2 > 9*(n*ss-s^2)) so stream,
+    batch twin and DuckDB oracle agree bit-for-bit. State per user is
+    three longs."""
+    from bubbles.streaming.events import run_anomaly_to_memory
+
+    return run_anomaly_to_memory(spark, sf_dir, name="drv_anomaly_out")
+
+
 def stream_session_windows(spark, sf_dir):
     """Native stateful session windows (F.session_window) over the
     events stream; session start = first event time."""
@@ -1676,6 +1688,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": _widen(collocations_q),
         "corpus_diff": _widen(corpus_diff_q),
         "stream_static_enrich": _widen(stream_static_enrich_q),
+        "stream_anomaly": _widen(stream_anomaly_q),
         "stream_kmv_distinct": _widen(stream_kmv_distinct_q),
     }
 
@@ -2229,6 +2242,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*) AS n_events,
                    round(sum(value), 6) AS total_value
             FROM events GROUP BY user_id
+        """,
+        # online z-score twin: exclusive running (n, s, ss) window,
+        # the identical cleared-of-divisions integer comparison in
+        # HUGEINT — bit-identical to the stream kernel's Python ints
+        "stream_anomaly": """
+            WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                     CAST(floor(value * 1000) AS BIGINT) AS x
+              FROM events WHERE value IS NOT NULL
+            ),
+            r AS (
+              SELECT user_id, event_id, x,
+                     coalesce(count(x) OVER w, 0) AS n,
+                     coalesce(sum(x) OVER w, 0) AS s,
+                     coalesce(sum(x * x) OVER w, 0) AS ss
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            )
+            SELECT user_id, event_id,
+                   CAST(n AS BIGINT) AS n_prior,
+                   x AS value_milli,
+                   (n >= 8 AND
+                    (CAST(n AS HUGEINT) * x - s) * (CAST(n AS HUGEINT) * x - s)
+                      > 9 * (CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)
+                   ) AS is_anomaly
+            FROM r
         """,
         # streaming dedup twin: first-arrival-per-id == one row per id.
         # Exact when ids are unique or duplicates are identical (the

@@ -693,3 +693,124 @@ def run_kmv_to_memory(
     q.processAllAvailable()
     q.stop()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def anomaly_flags_stream(events: DataFrame, min_n: int = 8, z: int = 3) -> DataFrame:
+    """Stateful streaming anomaly detector: flags each event whose
+    value deviates more than ``z`` standard deviations from the
+    SAME USER'S PRIOR history — the classic online quality/abuse
+    signal, with the whole comparison in EXACT integer arithmetic so
+    the batch twin and the DuckDB oracle are bit-identical (no
+    float mean/variance anywhere).
+
+    Rule: with x the event's value in floor-milli-units and (n, s,
+    ss) the count / sum / sum-of-squares of the user's prior values,
+
+        is_anomaly  <=>  n >= min_n  AND  (n*x - s)^2 > z^2 * (n*ss - s^2)
+
+    which is ``((x - mean)/stddev)^2 > z^2`` cleared of both
+    divisions. A constant history (den = 0) flags ANY deviation —
+    the exact z->inf limit. State per user is three longs; safe while
+    n * max(|x_milli|)^2 < 2^63 (~9e6 events/user at |value| <= 1000;
+    the relation-sized DECIMAL(38) twins have far more headroom).
+    Events arriving in one micro-batch are processed in full
+    (ts_us, event_id) order, so the stream equals the sorted batch
+    twin ``anomaly_flags_batch``; across micro-batches the state
+    carries forward and within-watermark stragglers score against
+    whatever history has accumulated (documented arrival-order
+    sensitivity, same convention as stateful_sessions).
+
+    Emits one row per scored event: (user_id, event_id, n_prior,
+    value_milli, is_anomaly).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    z2 = z * z
+
+    def update(key, pdfs, state):
+        import math
+
+        import pandas as pd
+
+        n, s, ss = state.get if state.exists else (0, 0, 0)
+        n, s, ss = int(n), int(s), int(ss)
+        rows = []
+        for pdf in pdfs:
+            for eid, ts, v in zip(pdf["event_id"], pdf["ts"], pdf["value"]):
+                if v is None or (isinstance(v, float) and math.isnan(v)):
+                    continue
+                rows.append((int(ts.value // 1000), int(eid), int(math.floor(v * 1000))))
+        rows.sort()
+        out = []
+        for _ts_us, eid, x in rows:
+            flag = n >= min_n and (n * x - s) ** 2 > z2 * (n * ss - s * s)
+            out.append((key[0], eid, n, x, bool(flag)))
+            n, s, ss = n + 1, s + x, ss + x * x
+        state.update((n, s, ss))
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "event_id", "n_prior", "value_milli", "is_anomaly"],
+        )
+
+    return events.filter(F.col("value").isNotNull()).groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, event_id long, n_prior long, value_milli long, "
+            "is_anomaly boolean"
+        ),
+        stateStructType="n long, s long, ss long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def anomaly_flags_batch(events: DataFrame, min_n: int = 8, z: int = 3) -> DataFrame:
+    """Batch twin of ``anomaly_flags_stream``: exclusive running
+    count/sum/sum-of-squares per user via one window, the identical
+    integer comparison in DECIMAL(38,0) (headroom past the kernel's
+    int64 — the window side never overflows first). One exchange on
+    user_id; per-user window partitions are user-history-sized."""
+    from pyspark.sql import Window
+
+    x = F.floor(F.col("value") * 1000).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = (
+        events.filter(F.col("value").isNotNull())
+        .select("user_id", "event_id", "ts_us", x.alias("x"))
+        .select(
+            "user_id",
+            "event_id",
+            "x",
+            F.coalesce(F.count("x").over(w), F.lit(0)).alias("n"),
+            F.coalesce(F.sum("x").over(w), F.lit(0)).alias("s"),
+            F.coalesce(F.sum(F.col("x") * F.col("x")).over(w), F.lit(0)).alias("ss"),
+        )
+    )
+    dev = "CAST(n AS DECIMAL(38,0)) * x - s"
+    den = f"{z * z} * (CAST(n AS DECIMAL(38,0)) * ss - CAST(s AS DECIMAL(38,0)) * s)"
+    return staged.select(
+        "user_id",
+        "event_id",
+        F.col("n").alias("n_prior"),
+        F.col("x").alias("value_milli"),
+        F.expr(f"n >= {min_n} AND ({dev}) * ({dev}) > {den}").alias("is_anomaly"),
+    )
+
+
+def run_anomaly_to_memory(
+    spark: SparkSession, sf_dir: str, name: str = "anomaly_out"
+) -> DataFrame:
+    q = (
+        anomaly_flags_stream(read_events_stream(spark, sf_dir))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}")

@@ -2035,3 +2035,124 @@ def test_segment_dedup_fixed_token_mode(spark):
     }
     assert out[1] == ("tail one x y", 1, 2)
     assert out[2] == ("tail two x z", 1, 2)
+
+
+# ------------------------------------------------------------- anomaly
+
+
+def test_stream_anomaly_matches_batch_twin(spark):
+    """Single-micro-batch stream == exclusive-window batch twin on
+    the real sf0.001 events (the driver-gate parity)."""
+    from bubbles.streaming.events import (
+        anomaly_flags_batch,
+        read_events_batch,
+        run_anomaly_to_memory,
+    )
+
+    got = sorted(
+        map(
+            tuple,
+            run_anomaly_to_memory(spark, "/root/testdata/sf0.001", name="t_anom")
+            .collect(),
+        )
+    )
+    ev = read_events_batch(spark, "/root/testdata/sf0.001")
+    want = sorted(map(tuple, anomaly_flags_batch(ev).collect()))
+    assert got == want
+    assert any(r[4] for r in got)  # real data does contain outliers
+
+
+def test_anomaly_flags_exact_rule(spark):
+    """Hand-computed flags: 10 constant values then a deviant one
+    (den = 0 edge -> any deviation flags), then an equal one (0 > 0
+    is False)."""
+    from bubbles.streaming.events import anomaly_flags_batch
+
+    rows = [(1, i, 1_000_000 + i, 5.0) for i in range(10)]
+    rows.append((1, 10, 1_000_020, 5.001))  # deviates by 1 milli-unit
+    rows.append((1, 11, 1_000_021, 5.0))    # hmm, history no longer constant
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_us long, value double"
+    )
+    out = {r["event_id"]: r for r in anomaly_flags_batch(df, min_n=8).collect()}
+    assert not out[7]["is_anomaly"]          # constant == mean
+    assert out[10]["is_anomaly"]             # den=0, any deviation flags
+    # event 11: history {5.0 x10, 5.001} -> tiny variance, x == old
+    # mean; (n*x - s)^2 = 1 vs 9*(n*ss - s^2) = 9*10 -> not flagged
+    assert not out[11]["is_anomaly"]
+    # warm-up: fewer than min_n prior events never flags
+    assert all(not out[i]["is_anomaly"] for i in range(8))
+
+
+def test_stream_anomaly_state_carries_across_batches(spark, tmp_path):
+    """Two micro-batches: batch-2 scores against batch-1 history.
+    The final flags equal the batch twin over the union because
+    batch-2 events are later in event time."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from bubbles.streaming.events import anomaly_flags_batch, anomaly_flags_stream
+
+    data = tmp_path / "ev"
+    data.mkdir()
+    base = 1_700_000_000_000_000
+
+    def write(path, start_eid, vals):
+        n = len(vals)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(
+                        range(start_eid, start_eid + n), pa.int64()
+                    ),
+                    "ts": pa.array(
+                        [base + (start_eid + i) * 1_000_000 for i in range(n)],
+                        pa.timestamp("us"),
+                    ),
+                    "user_id": pa.array([7] * n, pa.int64()),
+                    "event_type": pa.array(["click"] * n),
+                    "value": pa.array(vals, pa.float64()),
+                    "props": pa.array(["{}"] * n),
+                }
+            ),
+            path,
+        )
+
+    write(str(data / "b1.parquet"), 0, [10.0, 10.2, 9.8, 10.1, 9.9, 10.0, 10.3, 9.7, 10.0, 10.1])
+    write(str(data / "b2.parquet"), 10, [10.0, 55.0, 9.9])  # 55.0 is the outlier
+
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(data))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        anomaly_flags_stream(raw)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_anom2")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["event_id"]: (r["n_prior"], r["is_anomaly"])
+        for r in spark.sql("SELECT * FROM t_anom2").collect()
+    }
+    assert len(got) == 13
+    assert got[11] == (11, True)   # the outlier, scored vs 11 prior
+    assert got[12][1] is False     # normal value after it
+    # parity with the batch twin over the union
+    both = spark.read.parquet(str(data)).withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    want = {
+        r["event_id"]: (r["n_prior"], r["is_anomaly"])
+        for r in anomaly_flags_batch(both).collect()
+    }
+    assert got == want
