@@ -681,6 +681,61 @@ def main():
         "equi-join; 16-byte digests cross the wire, never content",
     )
 
+    # round-6 additions: layout + sketch-overlap + anomaly + bucketed
+    zp = plan_of(m.all_queries()["zorder_key"](spark, sf_dir))
+    check(
+        "zorder single scan + broadcast bounds",
+        "BroadcastNestedLoopJoin" in zp or "BroadcastExchange" in zp,
+        "one tiny min/max agg broadcast back; interleave is a flat "
+        "codegen projection, no second data pass",
+    )
+    check(
+        "zorder no wide shuffle",
+        "Exchange hashpartitioning" not in zp.split("== Initial Plan ==")[0],
+        "the data-sized side never hash-shuffles",
+    )
+    cp = plan_of(m.all_queries()["compaction_plan"](spark, sf_dir))
+    check(
+        "compaction one window exchange",
+        cp.count("Window") >= 1 and "CartesianProduct" not in cp,
+        "next-fit bins = one running-sum window per table partition "
+        "over metadata-scale rows",
+    )
+    kop = plan_of(m.all_queries()["kmv_overlap"](spark, sf_dir))
+    check(
+        "kmv_overlap equi-joins only",
+        "CartesianProduct" not in kop and "NestedLoop" not in kop,
+        "two corpora meet only through <=k-row-per-group sketches",
+    )
+    from bubbles.streaming.events import anomaly_flags_batch, read_events_batch
+
+    anp = plan_of(anomaly_flags_batch(read_events_batch(spark, sf_dir)))
+    check(
+        "anomaly twin single user exchange",
+        anp.count("Exchange hashpartitioning") <= 1 and anp.count("Window") >= 1,
+        "one shuffle on user_id feeds the exclusive running-sums window",
+    )
+    from bubbles.sources.bucketed import bucketed_join, write_bucketed
+
+    fact = spark.range(20_000).selectExpr("id AS k", "id * 3 AS v")
+    dim = spark.range(0, 20_000, 7).selectExpr("id AS k", "concat('d', id) AS nm")
+    write_bucketed(fact, "pa_fact_b", "k", 8)
+    write_bucketed(dim, "pa_dim_b", "k", 8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    bj = bucketed_join(spark, "pa_fact_b", "pa_dim_b", "k")
+    bj.collect()
+    bp = plan_of(bj)
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.sql("DROP TABLE IF EXISTS pa_fact_b")
+    spark.sql("DROP TABLE IF EXISTS pa_dim_b")
+    check(
+        "bucketed join zero exchange",
+        "SortMergeJoin" in bp and "Exchange" not in bp
+        and "Bucketed: true" in bp,
+        "pay the shuffle once at write; every later key join is "
+        "co-located (sources/bucketed.py)",
+    )
+
     lines = [
         "# PLANS — physical-plan audit (tools/plan_audit.py)",
         "",
