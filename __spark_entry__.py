@@ -1233,6 +1233,31 @@ def kmv_overlap_q(spark, sf_dir):
     return kmv_overlap(rel_a, rel_b, "lang", "text", k=16)
 
 
+def sampled_quantiles_q(spark, sf_dir):
+    """Deterministic hash-rank-sample quantiles
+    (bubbles/operators/sketch.py sampled_quantiles): the
+    engine-portable approxQuantile — bottom-k md5-rank row sample per
+    group, lower order statistic by integer ppm index. Mergeable
+    across shards like KMV; groups <= k rows are exact. One salted
+    bottom-k; final windows see <= k rows per group at any data
+    size."""
+    from bubbles.operators.sketch import sampled_quantiles
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("row_id"),
+        "l_extendedprice",
+    )
+    return sampled_quantiles(
+        li,
+        "l_returnflag",
+        "row_id",
+        "l_extendedprice",
+        qs_ppm=[250_000, 500_000, 900_000, 990_000],
+        k=1024,
+    )
+
+
 def zorder_key_q(spark, sf_dir):
     """Z-order (Morton) layout key over (l_partkey, l_suppkey)
     (bubbles/operators/layout.py zorder_key) — the OPTIMIZE ZORDER
@@ -1673,6 +1698,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": _widen(kmv_distinct_q),
         "kmv_overlap": _widen(kmv_overlap_q),
         "zorder_key": _widen(zorder_key_q),
+        "sampled_quantiles": _widen(sampled_quantiles_q),
         "compaction_plan": _widen(compaction_plan_q),
         "chunk_documents": _widen(chunk_documents_q),
         "merge_upsert": _widen(merge_upsert_q),
@@ -3117,6 +3143,35 @@ def extra_oracle_sql() -> dict[str, str]:
                         ELSE (CAST(15 AS HUGEINT) * 1152921504606846976) // kth_min
                         END AS BIGINT) AS est_distinct
             FROM k
+        """,
+        # hash-rank sample quantiles: identical md5-prefix sample,
+        # same integer ppm order-statistic index
+        "sampled_quantiles": """
+            WITH h AS (
+              SELECT l_returnflag,
+                     CAST(CONCAT('0x', substr(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT) AS hv,
+                     l_extendedprice AS v
+              FROM lineitem
+            ),
+            s AS (
+              SELECT l_returnflag, hv, v FROM (
+                SELECT l_returnflag, hv, v,
+                       row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn
+                FROM h) WHERE rn <= 1024
+            ),
+            r AS (
+              SELECT l_returnflag, v,
+                     row_number() OVER (PARTITION BY l_returnflag ORDER BY v, hv) - 1 AS rn2,
+                     count(*) OVER (PARTITION BY l_returnflag) AS m
+              FROM s
+            ),
+            q AS (SELECT unnest([250000, 500000, 900000, 990000]) AS q_ppm)
+            SELECT r.l_returnflag,
+                   CAST(q.q_ppm AS BIGINT) AS q_ppm,
+                   CAST(r.m AS BIGINT) AS n_sample,
+                   r.v AS value
+            FROM r, q
+            WHERE r.rn2 = (CAST(q.q_ppm AS HUGEINT) * (r.m - 1)) // 1000000
         """,
         # z-order twin: same DECIMAL bucket scale + the identical
         # 32-term shift/mask interleave, generated from layout.ZBITS

@@ -365,3 +365,60 @@ def test_salted_join_validation(spark):
         salted_join(fact, dim.selectExpr("k", "v dval"), "k", n_salts=0)
     with pytest.raises(ValueError):
         salted_join(fact, dim.selectExpr("k", "v dval"), "k", how="full")
+
+
+def test_sampled_quantiles_exact_below_k(spark):
+    from bubbles.operators.sketch import sampled_quantiles
+
+    df = spark.createDataFrame(
+        [("g", i, float(v)) for i, v in enumerate([10, 20, 30, 40, 50])],
+        "g string, id long, v double",
+    )
+    rows = {
+        r["q_ppm"]: r
+        for r in sampled_quantiles(
+            df, "g", "id", "v", qs_ppm=[0, 500_000, 1_000_000], k=64
+        ).collect()
+    }
+    # group smaller than k: sample == data, lower order statistic
+    assert rows[0]["value"] == 10.0
+    assert rows[500_000]["value"] == 30.0
+    assert rows[1_000_000]["value"] == 50.0
+    assert all(r["n_sample"] == 5 for r in rows.values())
+
+
+def test_sampled_quantiles_accuracy_and_merge_invariance(spark):
+    """20k uniform values: sampled p50/p90 within a few percent of
+    truth; splitting the input into shards and unioning changes
+    nothing (the hash sample is data-order independent)."""
+    from bubbles.operators.sketch import sampled_quantiles
+
+    df = spark.range(20_000).select(
+        F.lit("g").alias("g"), F.col("id").alias("id"), F.col("id").cast("double").alias("v")
+    )
+    got = {
+        r["q_ppm"]: r["value"]
+        for r in sampled_quantiles(df, "g", "id", "v", k=1024).collect()
+    }
+    assert abs(got[500_000] - 10_000) / 20_000 < 0.05
+    assert abs(got[900_000] - 18_000) / 20_000 < 0.05
+    sharded = df.filter(F.col("id") % 2 == 0).unionByName(
+        df.filter(F.col("id") % 2 == 1)
+    ).repartition(13)
+    got2 = {
+        r["q_ppm"]: r["value"]
+        for r in sampled_quantiles(sharded, "g", "id", "v", k=1024).collect()
+    }
+    assert got == got2
+
+
+def test_sampled_quantiles_validation(spark):
+    from bubbles.operators.sketch import sampled_quantiles
+
+    df = spark.range(5).selectExpr("'g' g", "id", "CAST(id AS DOUBLE) v")
+    with pytest.raises(ValueError):
+        sampled_quantiles(df, "g", "id", "v", k=1)
+    with pytest.raises(ValueError):
+        sampled_quantiles(df, "g", "id", "v", qs_ppm=[2_000_000])
+    with pytest.raises(ValueError):
+        sampled_quantiles(df, "g", "id", "v", qs_ppm=[1, 1])
