@@ -1258,6 +1258,18 @@ def sampled_quantiles_q(spark, sf_dir):
     )
 
 
+def key_skew_profile_q(spark, sf_dir):
+    """Join-key skew diagnosis (bubbles/operators/profile.py
+    key_skew_profile) on lineitem.l_partkey: two-phase counts (the
+    hot key is absorbed by map-side partials), one tiny agg, and
+    deterministic hash-rank-sampled count quantiles. The
+    skew_ratio_ppm output is the salt/don't-salt decision number."""
+    from bubbles.operators.profile import key_skew_profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    return key_skew_profile(li, "l_partkey")
+
+
 def zorder_key_q(spark, sf_dir):
     """Z-order (Morton) layout key over (l_partkey, l_suppkey)
     (bubbles/operators/layout.py zorder_key) — the OPTIMIZE ZORDER
@@ -1699,6 +1711,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap": _widen(kmv_overlap_q),
         "zorder_key": _widen(zorder_key_q),
         "sampled_quantiles": _widen(sampled_quantiles_q),
+        "key_skew_profile": _widen(key_skew_profile_q),
         "compaction_plan": _widen(compaction_plan_q),
         "chunk_documents": _widen(chunk_documents_q),
         "merge_upsert": _widen(merge_upsert_q),
@@ -3172,6 +3185,52 @@ def extra_oracle_sql() -> dict[str, str]:
                    r.v AS value
             FROM r, q
             WHERE r.rn2 = (CAST(q.q_ppm AS HUGEINT) * (r.m - 1)) // 1000000
+        """,
+        # skew profile twin: counts CTE + the identical hash-rank
+        # sampled quantile replay over the counts relation
+        "key_skew_profile": """
+            WITH counts AS (
+              SELECT l_partkey AS k, count(*) AS cnt
+              FROM lineitem GROUP BY l_partkey
+            ),
+            base AS (
+              SELECT count(*) AS n_keys, sum(cnt) AS n_rows,
+                     max(cnt) AS max_count
+              FROM counts
+            ),
+            h AS (
+              SELECT cnt,
+                     CAST(CONCAT('0x', substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+              FROM counts
+            ),
+            s AS (
+              SELECT cnt, hv FROM (
+                SELECT cnt, hv, row_number() OVER (ORDER BY hv) AS rn FROM h)
+              WHERE rn <= 1024
+            ),
+            r AS (
+              SELECT cnt,
+                     row_number() OVER (ORDER BY cnt, hv) - 1 AS rn2,
+                     count(*) OVER () AS m
+              FROM s
+            ),
+            q AS (SELECT unnest([500000, 990000]) AS q_ppm),
+            p AS (
+              SELECT q.q_ppm, r.cnt FROM r, q
+              WHERE r.rn2 = (CAST(q.q_ppm AS HUGEINT) * (r.m - 1)) // 1000000
+            ),
+            qs AS (
+              SELECT max(CASE WHEN q_ppm = 500000 THEN cnt END) AS p50_count,
+                     max(CASE WHEN q_ppm = 990000 THEN cnt END) AS p99_count
+              FROM p
+            )
+            SELECT CAST(n_keys AS BIGINT) AS n_keys,
+                   CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(max_count AS BIGINT) AS max_count,
+                   CAST(p50_count AS BIGINT) AS p50_count,
+                   CAST(p99_count AS BIGINT) AS p99_count,
+                   CAST((CAST(max_count AS HUGEINT) * n_keys * 1000000) // n_rows AS BIGINT) AS skew_ratio_ppm
+            FROM base, qs
         """,
         # z-order twin: same DECIMAL bucket scale + the identical
         # 32-term shift/mask interleave, generated from layout.ZBITS

@@ -87,3 +87,59 @@ def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
         "r.max_repr",
         "r.total_len",
     )
+
+
+def key_skew_profile(
+    df: DataFrame, key_col: str, k_sample: int = 1024
+) -> DataFrame:
+    """One-row skew diagnosis for a prospective join/groupBy key —
+    the number that decides whether a key needs salting BEFORE the
+    job burns a day discovering it at 100 TB.
+
+    Emits ``(n_keys, n_rows, max_count, p50_count, p99_count,
+    skew_ratio_ppm)`` where ``skew_ratio_ppm = max_count * n_keys *
+    1e6 div n_rows`` — the hottest key's row count as ppm-multiples
+    of the mean (1_000_000 = perfectly uniform; 50_000_000 = the hot
+    key is 50x the mean and a plain shuffle will straggle on it).
+    Rule of thumb: salt above ~10x (10_000_000 ppm), or rely on AQE
+    skew-join for joins only.
+
+    Cost: one two-phase count per key (map-side partials absorb the
+    hot key before the shuffle — counting is never itself skewed),
+    one tiny agg, and hash-rank-sampled count quantiles
+    (sampled_quantiles: deterministic, <= k_sample rows ever
+    windowed). Exact integers end-to-end; p50/p99 are exact when the
+    key space is <= k_sample."""
+    from bubbles.operators.sketch import sampled_quantiles
+
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    base = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_count"),
+    )
+    q = sampled_quantiles(
+        counts.withColumn("__g", F.lit("g")),
+        "__g",
+        key_col,
+        "cnt",
+        qs_ppm=[500_000, 990_000],
+        k=k_sample,
+    )
+    qs = q.groupBy("__g").agg(
+        F.max(F.when(F.col("q_ppm") == 500_000, F.col("value"))).alias("p50_count"),
+        F.max(F.when(F.col("q_ppm") == 990_000, F.col("value"))).alias("p99_count"),
+    )
+    return (
+        base.crossJoin(qs.drop("__g"))
+        .withColumn(
+            "skew_ratio_ppm",
+            F.expr(
+                "CAST(max_count AS DECIMAL(38,0)) * n_keys * 1000000 div n_rows"
+            ).cast("long"),
+        )
+        .select(
+            "n_keys", "n_rows", "max_count", "p50_count", "p99_count",
+            "skew_ratio_ppm",
+        )
+    )

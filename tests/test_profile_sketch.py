@@ -422,3 +422,28 @@ def test_sampled_quantiles_validation(spark):
         sampled_quantiles(df, "g", "id", "v", qs_ppm=[2_000_000])
     with pytest.raises(ValueError):
         sampled_quantiles(df, "g", "id", "v", qs_ppm=[1, 1])
+
+
+def test_key_skew_profile_hot_key(spark):
+    """900 rows on one key + 100 spread over 100 keys: the ratio
+    calls out the hot key."""
+    from bubbles.operators.profile import key_skew_profile
+
+    df = spark.range(1000).select(
+        F.when(F.col("id") < 900, F.lit(0)).otherwise(F.col("id") % 100 + 1).alias("k")
+    )
+    r = key_skew_profile(df, "k").collect()[0]
+    assert r["n_rows"] == 1000 and r["max_count"] == 900
+    assert r["n_keys"] == 101
+    # max/mean = 900 / (1000/101) = 90.9x
+    assert r["skew_ratio_ppm"] == 900 * 101 * 1_000_000 // 1000
+    assert r["p50_count"] == 1  # the long tail
+
+
+def test_key_skew_profile_uniform(spark):
+    from bubbles.operators.profile import key_skew_profile
+
+    df = spark.range(1000).select((F.col("id") % 50).alias("k"))
+    r = key_skew_profile(df, "k").collect()[0]
+    assert r["skew_ratio_ppm"] == 1_000_000
+    assert r["p50_count"] == 20 and r["p99_count"] == 20
