@@ -1258,6 +1258,48 @@ def sampled_quantiles_q(spark, sf_dir):
     )
 
 
+def scd2_dimension_join_q(spark, sf_dir):
+    """SCD2 dimension versioning + temporal as-of join
+    (bubbles/operators/cdc.py scd2_build / scd2_asof_join): a
+    synthesized 1-3-version customer-segment change log becomes a
+    [valid_from, valid_to) history (one window over per-key
+    dimension-sized groups), and every order picks the segment
+    version in effect on its order date via ONE equi-join + interval
+    filter — never a range-join blowup; the dimension side
+    broadcasts."""
+    from bubbles.operators.cdc import scd2_asof_join, scd2_build
+
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(0).alias("eff_day"),
+    )
+    v2 = cust.filter(F.pmod(F.col("c_custkey"), F.lit(3)) == 0).select(
+        "c_custkey",
+        F.concat(F.lit("v2-"), F.col("c_mktsegment")).alias("segment"),
+        F.lit(9000).alias("eff_day"),
+    )
+    v3 = cust.filter(F.pmod(F.col("c_custkey"), F.lit(9)) == 0).select(
+        "c_custkey",
+        F.concat(F.lit("v3-"), F.col("c_mktsegment")).alias("segment"),
+        F.lit(9700).alias("eff_day"),
+    )
+    hist = scd2_build(
+        base.unionByName(v2).unionByName(v3), "c_custkey", "eff_day"
+    ).withColumnRenamed("c_custkey", "o_custkey")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).alias(
+            "od"
+        ),
+    )
+    return scd2_asof_join(orders, hist, "o_custkey", "od").select(
+        "o_orderkey", "o_custkey", "od", "version", "segment", "is_current"
+    )
+
+
 def key_skew_profile_q(spark, sf_dir):
     """Join-key skew diagnosis (bubbles/operators/profile.py
     key_skew_profile) on lineitem.l_partkey: two-phase counts (the
@@ -1712,6 +1754,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": _widen(zorder_key_q),
         "sampled_quantiles": _widen(sampled_quantiles_q),
         "key_skew_profile": _widen(key_skew_profile_q),
+        "scd2_dimension_join": _widen(scd2_dimension_join_q),
         "compaction_plan": _widen(compaction_plan_q),
         "chunk_documents": _widen(chunk_documents_q),
         "merge_upsert": _widen(merge_upsert_q),
@@ -3185,6 +3228,39 @@ def extra_oracle_sql() -> dict[str, str]:
                    r.v AS value
             FROM r, q
             WHERE r.rn2 = (CAST(q.q_ppm AS HUGEINT) * (r.m - 1)) // 1000000
+        """,
+        # SCD2 twin: same synthesized change log, lead()/row_number
+        # history, equi-join + interval filter
+        "scd2_dimension_join": """
+            WITH changes AS (
+              SELECT c_custkey, c_mktsegment AS segment, 0 AS eff_day
+              FROM customer
+              UNION ALL
+              SELECT c_custkey, 'v2-' || c_mktsegment, 9000
+              FROM customer WHERE c_custkey % 3 = 0
+              UNION ALL
+              SELECT c_custkey, 'v3-' || c_mktsegment, 9700
+              FROM customer WHERE c_custkey % 9 = 0
+            ),
+            hist AS (
+              SELECT c_custkey, segment, eff_day AS valid_from,
+                     lead(eff_day) OVER (PARTITION BY c_custkey ORDER BY eff_day) AS valid_to,
+                     row_number() OVER (PARTITION BY c_custkey ORDER BY eff_day) AS version
+              FROM changes
+            ),
+            o AS (
+              SELECT o_orderkey, o_custkey,
+                     date_diff('day', DATE '1970-01-01', o_orderdate) AS od
+              FROM orders
+            )
+            SELECT o.o_orderkey, o.o_custkey,
+                   CAST(o.od AS BIGINT) AS od,
+                   CAST(h.version AS BIGINT) AS version,
+                   h.segment,
+                   (h.valid_to IS NULL) AS is_current
+            FROM o JOIN hist h ON o.o_custkey = h.c_custkey
+            WHERE o.od >= h.valid_from
+              AND (h.valid_to IS NULL OR o.od < h.valid_to)
         """,
         # skew profile twin: counts CTE + the identical hash-rank
         # sampled quantile replay over the counts relation

@@ -122,3 +122,59 @@ def corpus_diff(
         .filter(F.col("status").isNotNull())
         .select(key_col, "status")
     )
+
+
+def scd2_build(
+    changes: DataFrame, key_col: str, seq_col: str
+) -> DataFrame:
+    """Build a slowly-changing-dimension type-2 (SCD2) history from a
+    change log: one output row per change, carrying its validity
+    interval ``[valid_from, valid_to)`` (``valid_to`` NULL = current
+    version), its 1-based ``version`` ordinal, and ``is_current``.
+
+    ``seq_col`` is the change's effective time in any totally-ordered
+    integer/date domain (epoch days, LSN, epoch micros); (key, seq)
+    pairs must be unique — dedupe upstream with ``merge_upsert``'s
+    winner rule if the log can repeat.
+
+    Shape: ONE window per key ordered by seq (lead + row_number in
+    the same window spec = one exchange, one sort). Dimension change
+    histories are short per key (that's what makes them dimensions),
+    so per-key partitions stay tiny at any corpus size; the fact
+    table never enters this job."""
+    from pyspark.sql import Window
+
+    for c in (key_col, seq_col):
+        if c not in changes.columns:
+            raise ValueError(f"column {c!r} not in {changes.columns}")
+    w = Window.partitionBy(key_col).orderBy(seq_col)
+    return (
+        changes.withColumn("valid_from", F.col(seq_col))
+        .withColumn("valid_to", F.lead(seq_col).over(w))
+        .withColumn("version", F.row_number().over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
+def scd2_asof_join(
+    facts: DataFrame,
+    versions: DataFrame,
+    key_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Temporal (as-of) join of a fact table against an SCD2 history
+    (``scd2_build`` output): each fact row picks the dimension
+    version whose ``[valid_from, valid_to)`` interval contains its
+    ``ts_col``. Facts before the key's first version drop (inner
+    semantics — quarantine them upstream if that matters).
+
+    Shape: one EQUI-join on the key plus a residual interval filter —
+    never a range-join blowup, because each fact row matches at most
+    (versions of its key) candidates and exactly one survives. The
+    version side is dimension-sized; AQE broadcasts it under
+    threshold, so at 100 TB this costs one scan of the facts."""
+    j = facts.join(versions, on=key_col, how="inner")
+    return j.filter(
+        (F.col(ts_col) >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col(ts_col) < F.col("valid_to")))
+    )

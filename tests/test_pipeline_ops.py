@@ -2156,3 +2156,52 @@ def test_stream_anomaly_state_carries_across_batches(spark, tmp_path):
         for r in anomaly_flags_batch(both).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------- scd2
+
+
+def test_scd2_build_intervals(spark):
+    from bubbles.operators.cdc import scd2_build
+
+    chg = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 20), (1, "c", 30), (2, "x", 15)],
+        "k long, attr string, seq long",
+    )
+    rows = {(r["k"], r["version"]): r for r in scd2_build(chg, "k", "seq").collect()}
+    assert rows[(1, 1)]["valid_from"] == 10 and rows[(1, 1)]["valid_to"] == 20
+    assert rows[(1, 2)]["valid_from"] == 20 and rows[(1, 2)]["valid_to"] == 30
+    assert rows[(1, 3)]["valid_to"] is None and rows[(1, 3)]["is_current"]
+    assert not rows[(1, 1)]["is_current"]
+    assert rows[(2, 1)]["is_current"] and rows[(2, 1)]["valid_from"] == 15
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        scd2_build(chg, "k", "missing")
+
+
+def test_scd2_asof_join_picks_containing_version(spark):
+    from bubbles.operators.cdc import scd2_asof_join, scd2_build
+
+    hist = scd2_build(
+        spark.createDataFrame(
+            [(1, "old", 10), (1, "new", 20)], "k long, attr string, seq long"
+        ),
+        "k",
+        "seq",
+    )
+    facts = spark.createDataFrame(
+        [(100, 1, 5), (101, 1, 10), (102, 1, 19), (103, 1, 20), (104, 1, 999)],
+        "fid long, k long, ts long",
+    )
+    got = {
+        r["fid"]: r["attr"]
+        for r in scd2_asof_join(facts, hist, "k", "ts").collect()
+    }
+    # ts=5 predates the first version -> dropped (inner semantics)
+    assert 100 not in got
+    assert got[101] == "old" and got[102] == "old"
+    assert got[103] == "new" and got[104] == "new"
+    # exactly one version per surviving fact
+    n = scd2_asof_join(facts, hist, "k", "ts").count()
+    assert n == 4
