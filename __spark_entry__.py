@@ -1258,6 +1258,37 @@ def sampled_quantiles_q(spark, sf_dir):
     )
 
 
+def grouping_sets_revenue_q(spark, sf_dir):
+    """Explicit GROUPING SETS ((rf,ls),(rf),()) with grouping_id —
+    the third member of the rollup/cube/grouping-sets family
+    (rollup_revenue / pivot_revenue cover the others). One Expand +
+    two-phase hash agg; gid disambiguates NULL-as-subtotal from
+    NULL-as-value."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.round(
+        F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 4
+    )
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            rev.alias("revenue"),
+        )
+        .select(
+            F.col("l_returnflag").alias("rf"),
+            F.col("l_linestatus").alias("ls"),
+            "gid",
+            "n",
+            "revenue",
+        )
+    )
+
+
 def scd2_dimension_join_q(spark, sf_dir):
     """SCD2 dimension versioning + temporal as-of join
     (bubbles/operators/cdc.py scd2_build / scd2_asof_join): a
@@ -1755,6 +1786,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampled_quantiles": _widen(sampled_quantiles_q),
         "key_skew_profile": _widen(key_skew_profile_q),
         "scd2_dimension_join": _widen(scd2_dimension_join_q),
+        "grouping_sets_revenue": _widen(grouping_sets_revenue_q),
         "compaction_plan": _widen(compaction_plan_q),
         "chunk_documents": _widen(chunk_documents_q),
         "merge_upsert": _widen(merge_upsert_q),
@@ -3228,6 +3260,14 @@ def extra_oracle_sql() -> dict[str, str]:
                    r.v AS value
             FROM r, q
             WHERE r.rn2 = (CAST(q.q_ppm AS HUGEINT) * (r.m - 1)) // 1000000
+        """,
+        "grouping_sets_revenue": """
+            SELECT l_returnflag AS rf, l_linestatus AS ls,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                   count(*) AS n,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """,
         # SCD2 twin: same synthesized change log, lead()/row_number
         # history, equi-join + interval filter
