@@ -172,6 +172,56 @@ def main():
 
     OPS["merge_upsert"] = _merge
 
+    from bubbles.operators.layout import compaction_plan, zorder_key
+    from bubbles.operators.profile import key_skew_profile
+    from bubbles.operators.sketch import kmv_overlap, sampled_quantiles
+
+    # round-6 second-pass ops. kmv_overlap: two 2/3 overlapping
+    # releases; all texts distinct post-perturbation so both side
+    # sketches and the union run at full cardinality pressure.
+    OPS["kmv_overlap"] = lambda d, n: run(
+        kmv_overlap(
+            d.filter(F.pmod("doc_id", F.lit(3)) != 0),
+            d.filter(F.pmod("doc_id", F.lit(3)) != 1),
+            "source",
+            "text",
+            k=256,
+        )
+    )
+    OPS["sampled_quantiles"] = lambda d, n: run(
+        sampled_quantiles(
+            d.select("source", "doc_id", F.length("text").alias("len")),
+            "source",
+            "doc_id",
+            "len",
+            k=1024,
+        )
+    )
+    OPS["key_skew_profile"] = lambda d, n: run(key_skew_profile(d, "source"))
+    # compaction: ~10 table partitions -> each window partition holds
+    # n/10 inventory rows; the one op here whose per-partition work
+    # grows with n by design (file inventories are metadata-scale)
+    OPS["compaction_plan"] = lambda d, n: run(
+        compaction_plan(
+            d.select("source", "doc_id", F.length("text").alias("sz")),
+            "source",
+            "doc_id",
+            "sz",
+            target_bytes=1 << 20,
+        )
+    )
+    OPS["zorder_key"] = lambda d, n: run(
+        zorder_key(
+            d.select(
+                "doc_id",
+                F.pmod(F.xxhash64("doc_id"), F.lit(1 << 16)).alias("x"),
+                F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(1 << 16)).alias("y"),
+            ),
+            "x",
+            "y",
+        )
+    )
+
     from bubbles.operators.dedup import semantic_dedup
     from bubbles.operators.kmeans import kmeans_fit
     from bubbles.operators.lm import bigram_lm_score
