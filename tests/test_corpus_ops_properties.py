@@ -161,3 +161,98 @@ def test_corpus_diff_schema_mismatch_fails(spark):
 
     with pytest.raises(ValueError):
         corpus_diff(a, b)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(0, 200), min_size=0, max_size=80),
+    st.lists(st.integers(0, 200), min_size=0, max_size=80),
+)
+def test_kmv_overlap_laws(spark, va, vb):
+    """Laws for ANY pair of value multisets: jaccard in [0, 1e6],
+    est_intersect <= est_union, symmetry, and exactness when the
+    union fits below k."""
+    from bubbles.operators.sketch import kmv_overlap
+
+    k = 32
+    if not va and not vb:
+        return
+    a = spark.createDataFrame(
+        [("g", f"v{v}") for v in va] or [("empty", "x")], "g string, v string"
+    )
+    b = spark.createDataFrame(
+        [("g", f"v{v}") for v in vb] or [("empty", "x")], "g string, v string"
+    )
+    rows = {r["g"]: r for r in kmv_overlap(a, b, "g", "v", k=k).collect()}
+    if "g" in rows:
+        r = rows["g"]
+        assert 0 <= r["jaccard_ppm"] <= 1_000_000
+        assert r["est_intersect"] <= r["est_union"]
+        assert r["k_intersect"] <= r["n_kept_union"]
+        sa, sb = set(va), set(vb)
+        if len(sa | sb) < k and va and vb:
+            assert r["est_union"] == len(sa | sb)
+            assert r["k_intersect"] == len(sa & sb)
+            assert r["est_intersect"] == len(sa & sb)
+        # symmetry
+        swapped = {
+            x["g"]: x for x in kmv_overlap(b, a, "g", "v", k=k).collect()
+        }["g"]
+        assert (r["est_union"], r["k_intersect"], r["jaccard_ppm"]) == (
+            swapped["est_union"],
+            swapped["k_intersect"],
+            swapped["jaccard_ppm"],
+        )
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(1, 5000), min_size=1, max_size=60), st.integers(1, 4000))
+def test_compaction_plan_laws(spark, sizes, target):
+    """Laws for ANY file inventory: bin_ids non-decreasing in file
+    order, bin_offset < target always, offset 0 iff the running sum
+    crossed a fresh multiple, and sum(sizes) preserved."""
+    from bubbles.operators.layout import compaction_plan
+
+    files = spark.createDataFrame(
+        [("p", i, s) for i, s in enumerate(sizes)], "part string, f long, sz long"
+    )
+    rows = sorted(
+        compaction_plan(files, "part", "f", "sz", target_bytes=target).collect(),
+        key=lambda r: r["f"],
+    )
+    assert [r["sz"] for r in rows] == sizes
+    cum = 0
+    for r in rows:
+        assert r["bin_id"] == cum // target
+        assert r["bin_offset"] == cum % target
+        cum += r["sz"]
+    bins = [r["bin_id"] for r in rows]
+    assert bins == sorted(bins)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(-1000, 1000), min_size=1, max_size=60))
+def test_sampled_quantiles_laws(spark, vals):
+    """Laws for ANY value list (group <= k so the sample is exact):
+    q=0 -> min, q=1e6 -> max, monotone in q, values come from the
+    input."""
+    from bubbles.operators.sketch import sampled_quantiles
+
+    df = spark.createDataFrame(
+        [("g", i, float(v)) for i, v in enumerate(vals)],
+        "g string, id long, v double",
+    )
+    got = {
+        r["q_ppm"]: r["value"]
+        for r in sampled_quantiles(
+            df, "g", "id", "v", qs_ppm=[0, 250_000, 500_000, 1_000_000], k=128
+        ).collect()
+    }
+    assert got[0] == min(vals) and got[1_000_000] == max(vals)
+    assert got[0] <= got[250_000] <= got[500_000] <= got[1_000_000]
+    assert all(v in vals for v in got.values())
+    # exact order statistics at the pinned index rule
+    s = sorted(vals)
+    m = len(s)
+    for q, v in got.items():
+        assert v == s[q * (m - 1) // 1_000_000]
