@@ -2357,33 +2357,6 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS total_value
             FROM events GROUP BY user_id
         """,
-        # online z-score twin: exclusive running (n, s, ss) window,
-        # the identical cleared-of-divisions integer comparison in
-        # HUGEINT — bit-identical to the stream kernel's Python ints
-        "stream_anomaly": """
-            WITH e AS (
-              SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-                     CAST(floor(value * 1000) AS BIGINT) AS x
-              FROM events WHERE value IS NOT NULL
-            ),
-            r AS (
-              SELECT user_id, event_id, x,
-                     coalesce(count(x) OVER w, 0) AS n,
-                     coalesce(sum(x) OVER w, 0) AS s,
-                     coalesce(sum(x * x) OVER w, 0) AS ss
-              FROM e
-              WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-            )
-            SELECT user_id, event_id,
-                   CAST(n AS BIGINT) AS n_prior,
-                   x AS value_milli,
-                   (n >= 8 AND
-                    (CAST(n AS HUGEINT) * x - s) * (CAST(n AS HUGEINT) * x - s)
-                      > 9 * (CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)
-                   ) AS is_anomaly
-            FROM r
-        """,
         # streaming dedup twin: first-arrival-per-id == one row per id.
         # Exact when ids are unique or duplicates are identical (the
         # fixture shape); payload-divergent duplicate ids are a
@@ -3260,6 +3233,33 @@ def extra_oracle_sql() -> dict[str, str]:
                    r.v AS value
             FROM r, q
             WHERE r.rn2 = (CAST(q.q_ppm AS HUGEINT) * (r.m - 1)) // 1000000
+        """,
+        # online z-score twin: exclusive running (n, s, ss) window,
+        # the identical cleared-of-divisions integer comparison in
+        # HUGEINT — bit-identical to the stream kernel's Python ints
+        "stream_anomaly": """
+            WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                     CAST(floor(value * 1000) AS BIGINT) AS x
+              FROM events WHERE value IS NOT NULL
+            ),
+            r AS (
+              SELECT user_id, event_id, x,
+                     coalesce(count(x) OVER w, 0) AS n,
+                     coalesce(sum(x) OVER w, 0) AS s,
+                     coalesce(sum(x * x) OVER w, 0) AS ss
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            )
+            SELECT user_id, event_id,
+                   CAST(n AS BIGINT) AS n_prior,
+                   x AS value_milli,
+                   (n >= 8 AND
+                    (CAST(n AS HUGEINT) * x - s) * (CAST(n AS HUGEINT) * x - s)
+                      > 9 * (CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)
+                   ) AS is_anomaly
+            FROM r
         """,
         "grouping_sets_revenue": """
             SELECT l_returnflag AS rf, l_linestatus AS ls,

@@ -151,6 +151,82 @@ def main():
     }
     print(json.dumps(results["quantization"]), flush=True)
 
+    # ---- sketch accuracy: KMV distinct / overlap and sampled
+    # quantiles vs EXACT answers on the real documents table ----
+    from bubbles.operators.sketch import (
+        kmv_distinct,
+        kmv_overlap,
+        sampled_quantiles,
+    )
+
+    t0 = time.time()
+    exact_d = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang")
+        .agg(F.count_distinct("text").alias("n"))
+        .collect()
+    }
+    est_d = {
+        r["lang"]: r["est_distinct"]
+        for r in kmv_distinct(docs, "lang", "text", k=256).collect()
+    }
+    derrs = [abs(est_d[g] - exact_d[g]) / exact_d[g] for g in exact_d]
+
+    rel_a = docs.filter(F.pmod("doc_id", F.lit(3)) != 0)
+    rel_b = docs.filter(F.pmod("doc_id", F.lit(3)) != 1)
+    est_j = {
+        r["lang"]: r["jaccard_ppm"] / 1e6
+        for r in kmv_overlap(rel_a, rel_b, "lang", "text", k=256).collect()
+    }
+    ta = rel_a.select("lang", "text").distinct()
+    tb = rel_b.select("lang", "text").distinct()
+    inter_map = {
+        x["lang"]: x["count"]
+        for x in ta.intersect(tb).groupBy("lang").count().collect()
+    }
+    exact_j = {
+        u["lang"]: inter_map.get(u["lang"], 0) / u["count"]
+        for u in ta.union(tb).distinct().groupBy("lang").count().collect()
+    }
+    jerrs = [abs(est_j[g] - exact_j[g]) for g in exact_j]
+
+    qs = sampled_quantiles(
+        docs.select("lang", "doc_id", F.length("text").alias("len")),
+        "lang",
+        "doc_id",
+        "len",
+        qs_ppm=[500_000, 990_000],
+        k=1024,
+    ).collect()
+    # rank error: |F_exact(est) - q| — the fraction of the group the
+    # estimate is displaced by (the number a quantile sketch quotes)
+    lens = docs.select("lang", F.length("text").alias("len")).collect()
+    bylang: dict = {}
+    for r in lens:
+        bylang.setdefault(r["lang"], []).append(r["len"])
+    for g in bylang:
+        bylang[g].sort()
+    import bisect
+
+    qerrs = []
+    for r in qs:
+        arr = bylang[r["lang"]]
+        rank = bisect.bisect_right(arr, r["value"]) / len(arr)
+        qerrs.append(abs(rank - r["q_ppm"] / 1e6))
+    results["sketch_accuracy"] = {
+        "kmv_distinct_k256_max_rel_err": round(max(derrs), 4),
+        "kmv_overlap_k256_max_abs_jaccard_err": round(max(jerrs), 4),
+        "sampled_quantiles_k1024_max_rank_err": round(max(qerrs), 4),
+        "n_groups": len(exact_d),
+        "sec": round(time.time() - t0, 2),
+        "note": (
+            "measured vs exact on the real documents table; KMV rel "
+            "error bound ~1/sqrt(k-2)=0.063 at k=256, quantile rank "
+            "error ~sqrt(q(1-q)/k)<=0.016 at k=1024"
+        ),
+    }
+    print(json.dumps(results["sketch_accuracy"]), flush=True)
+
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print(f"wrote {out}")
