@@ -106,6 +106,9 @@ def main():
         "x6_connected_components",
         "doc_fingerprint",
         "keyword_search",
+        # round-6 second pass: sketch set-ops + layout families
+        "kmv_overlap",
+        "zorder_key",
     ]
     for name in headline:
         bench(name, lambda name=name: f"{qs[name](spark, sf_dir).count()} rows")
