@@ -1258,6 +1258,21 @@ def sampled_quantiles_q(spark, sf_dir):
     )
 
 
+def dedup_keep_best_q(spark, sf_dir):
+    """Canonical-per-near-dup-group selection by QUALITY
+    (bubbles/operators/dedup.py dedup_keep_best): the production
+    retention rule — keep the longest member of each LSH-transitive
+    dup cluster, deterministic (score, id) tie-break, one equi-join +
+    one two-phase max(struct) agg (never a window over a viral
+    cluster)."""
+    from bubbles.operators.dedup import dedup_keep_best, near_dup_groups
+
+    docs = _t(spark, sf_dir, "documents")
+    groups = near_dup_groups(docs)
+    scored = docs.select("doc_id", F.length("text").alias("quality"))
+    return dedup_keep_best(scored, groups, "quality")
+
+
 def grouping_sets_revenue_q(spark, sf_dir):
     """Explicit GROUPING SETS ((rf,ls),(rf),()) with grouping_id —
     the third member of the rollup/cube/grouping-sets family
@@ -1787,6 +1802,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_profile": _widen(key_skew_profile_q),
         "scd2_dimension_join": _widen(scd2_dimension_join_q),
         "grouping_sets_revenue": _widen(grouping_sets_revenue_q),
+        "dedup_keep_best": _widen(dedup_keep_best_q),
         "compaction_plan": _widen(compaction_plan_q),
         "chunk_documents": _widen(chunk_documents_q),
         "merge_upsert": _widen(merge_upsert_q),
@@ -2693,7 +2709,28 @@ def extra_oracle_sql() -> dict[str, str]:
     """DuckDB twins for extra_queries() — outside the gate registry
     but still exercised by tests/test_twin_robustness.py and
     tools/check_oracle.py via all_oracle_sql()."""
+    # keep-best composes the near-dup grouping twin verbatim (same
+    # groups, then the (quality, id) winner) so the two can't drift
+    near_groups_sql = oracle_sql()["dedup_near_groups"]
     return {
+        "dedup_keep_best": f"""
+            WITH grp AS ({near_groups_sql}),
+            scored AS (
+              SELECT g.canonical_id, g.doc_id, length(d.text) AS quality
+              FROM grp g JOIN documents d USING (doc_id)
+            ),
+            w AS (
+              SELECT canonical_id, doc_id, quality,
+                     row_number() OVER (PARTITION BY canonical_id
+                       ORDER BY quality DESC, doc_id DESC) AS rn,
+                     count(*) OVER (PARTITION BY canonical_id) AS n_members
+              FROM scored
+            )
+            SELECT canonical_id, doc_id,
+                   CAST(quality AS BIGINT) AS quality,
+                   CAST(n_members AS BIGINT) AS n_members
+            FROM w WHERE rn = 1
+        """,
         # k-means twin: both Lloyd iterations unrolled. Assignment =
         # squared-euclid argmin, centroid ordinal asc on ties; update
         # = int64 sums of floor(v*2^20) dequantized with the pinned

@@ -645,3 +645,34 @@ def semantic_dedup(
         F.col("centroid"),
         F.when(F.col("dup_of") >= 0, F.col("dup_of")).alias("dup_of"),
     )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    groups: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonical-document selection per near-duplicate group: keep the
+    HIGHEST-QUALITY member, not the smallest id — what a production
+    dedup pass actually retains (the longest / highest-scored copy of
+    a boilerplate-mangled near-dup cluster).
+
+    ``groups`` is the (id, canonical_id) relation from
+    ``near_dup_groups``; the winner per group is the lexicographic
+    max of (score, id) — fully deterministic under score ties. ONE
+    equi-join plus ONE two-phase ``max(struct)`` aggregation (the
+    merge_upsert winner pattern): a viral 10^6-member dup cluster is
+    absorbed by map-side partials, never sorted in a window
+    partition. Output: (canonical_id, id, score, n_members)."""
+    j = df.select(F.col(id_col), F.col(score_col)).join(groups, on=id_col)
+    win = j.groupBy("canonical_id").agg(
+        F.max(F.struct(F.col(score_col), F.col(id_col))).alias("__w"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return win.select(
+        "canonical_id",
+        F.col(f"__w.{id_col}").alias(id_col),
+        F.col(f"__w.{score_col}").alias(score_col),
+        "n_members",
+    )

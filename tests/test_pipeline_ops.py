@@ -2205,3 +2205,22 @@ def test_scd2_asof_join_picks_containing_version(spark):
     # exactly one version per surviving fact
     n = scd2_asof_join(facts, hist, "k", "ts").count()
     assert n == 4
+
+
+def test_dedup_keep_best_picks_quality_winner(spark):
+    from bubbles.operators.dedup import dedup_keep_best
+
+    groups = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (9, 9)], "doc_id long, canonical_id long"
+    )
+    scored = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (9, 5)], "doc_id long, quality long"
+    )
+    rows = {
+        r["canonical_id"]: r
+        for r in dedup_keep_best(scored, groups, "quality").collect()
+    }
+    # ties on quality resolve to the HIGHER id (lexicographic struct max)
+    assert rows[1]["doc_id"] == 3 and rows[1]["quality"] == 99
+    assert rows[1]["n_members"] == 3
+    assert rows[9]["doc_id"] == 9 and rows[9]["n_members"] == 1
