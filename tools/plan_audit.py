@@ -736,6 +736,27 @@ def main():
         "co-located (sources/bucketed.py)",
     )
 
+    scd = plan_of(m.all_queries()["scd2_dimension_join"](spark, sf_dir))
+    check(
+        "scd2 temporal join equi + interval filter",
+        "CartesianProduct" not in scd and "NestedLoop" not in scd,
+        "facts meet at most versions-per-key candidates through an "
+        "equi-join; the interval predicate is a residual filter",
+    )
+    kb = plan_of(m.all_queries()["dedup_keep_best"](spark, sf_dir))
+    check(
+        "keep-best winner is a two-phase agg, not a window",
+        "Window" not in kb.split("== Initial Plan ==")[0],
+        "max(struct(quality,id)) partials absorb a viral dup cluster "
+        "map-side; no per-group sort partition",
+    )
+    gs = plan_of(m.all_queries()["grouping_sets_revenue"](spark, sf_dir))
+    check(
+        "grouping sets single Expand",
+        gs.split("== Initial Plan ==")[0].count("Expand") == 1,
+        "((rf,ls),(rf),()) in one Expand + two-phase hash agg",
+    )
+
     lines = [
         "# PLANS — physical-plan audit (tools/plan_audit.py)",
         "",
