@@ -1346,6 +1346,21 @@ def scd2_dimension_join_q(spark, sf_dir):
     )
 
 
+def join_cardinality_q(spark, sf_dir):
+    """Exact prospective-join size profile (bubbles/operators/
+    profile.py join_cardinality): |lineitem JOIN orders ON orderkey|
+    plus the hottest key's share — from the two count relations only;
+    the data-sized tables never meet. The fan-out early-warning for
+    many-to-many joins."""
+    from bubbles.operators.profile import join_cardinality
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+    od = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    return join_cardinality(li, od, "k")
+
+
 def key_skew_profile_q(spark, sf_dir):
     """Join-key skew diagnosis (bubbles/operators/profile.py
     key_skew_profile) on lineitem.l_partkey: two-phase counts (the
@@ -1803,6 +1818,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_dimension_join": _widen(scd2_dimension_join_q),
         "grouping_sets_revenue": _widen(grouping_sets_revenue_q),
         "dedup_keep_best": _widen(dedup_keep_best_q),
+        "join_cardinality": _widen(join_cardinality_q),
         "compaction_plan": _widen(compaction_plan_q),
         "chunk_documents": _widen(chunk_documents_q),
         "merge_upsert": _widen(merge_upsert_q),
@@ -3338,6 +3354,32 @@ def extra_oracle_sql() -> dict[str, str]:
             FROM o JOIN hist h ON o.o_custkey = h.c_custkey
             WHERE o.od >= h.valid_from
               AND (h.valid_to IS NULL OR o.od < h.valid_to)
+        """,
+        "join_cardinality": """
+            WITH ca AS (
+              SELECT l_orderkey AS k, count(*) AS ca FROM lineitem GROUP BY l_orderkey
+            ),
+            cb AS (
+              SELECT o_orderkey AS k, count(*) AS cb FROM orders GROUP BY o_orderkey
+            ),
+            c AS (
+              SELECT ca.k, CAST(ca.ca * cb.cb AS BIGINT) AS c
+              FROM ca JOIN cb ON ca.k = cb.k
+            ),
+            m AS (SELECT k, c FROM c ORDER BY c DESC, k DESC LIMIT 1),
+            a AS (
+              SELECT coalesce(sum(c), 0) AS join_rows,
+                     count(*) AS n_keys_common
+              FROM c
+            )
+            SELECT CAST(a.join_rows AS BIGINT) AS join_rows,
+                   CAST(a.n_keys_common AS BIGINT) AS n_keys_common,
+                   coalesce(m.c, 0) AS max_key_rows,
+                   m.k AS max_key,
+                   CAST(CASE WHEN a.join_rows > 0
+                        THEN (CAST(m.c AS HUGEINT) * 1000000) // a.join_rows
+                        ELSE 0 END AS BIGINT) AS top_key_share_ppm
+            FROM a LEFT JOIN m ON TRUE
         """,
         # skew profile twin: counts CTE + the identical hash-rank
         # sampled quantile replay over the counts relation

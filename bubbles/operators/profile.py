@@ -143,3 +143,44 @@ def key_skew_profile(
             "skew_ratio_ppm",
         )
     )
+
+
+def join_cardinality(
+    df_a: DataFrame, df_b: DataFrame, key_col: str
+) -> DataFrame:
+    """EXACT output-size profile of a prospective equi-join — the
+    other half of join planning next to ``key_skew_profile``: before
+    launching a 100 TB x 10 TB join, know |A JOIN B| and whether one
+    key produces most of it (the fan-out blowup a cartesian-ish
+    many-to-many join hides until it OOMs).
+
+    |A JOIN B on k| = sum over k of cA(k)*cB(k), computed from the
+    two COUNT relations — each side collapses to one row per key via
+    a partial-agged count (the 100 TB tables never meet; their counts
+    do, in a key-sized equi-join). Emits one row: (join_rows,
+    n_keys_common, max_key_rows, max_key, top_key_share_ppm) where
+    max_key is the largest single-key contribution (deterministic
+    (contribution, key) tie-break) and top_key_share_ppm its share of
+    the join output — 1_000_000 means ONE key is the whole join."""
+    ca = df_a.groupBy(key_col).agg(F.count(F.lit(1)).alias("__ca"))
+    cb = df_b.groupBy(key_col).agg(F.count(F.lit(1)).alias("__cb"))
+    contrib = ca.join(cb, on=key_col).select(
+        F.col(key_col).cast("long").alias("__k"),
+        (F.col("__ca") * F.col("__cb")).cast("long").alias("__c"),
+    )
+    agg = contrib.agg(
+        F.coalesce(F.sum("__c"), F.lit(0)).alias("join_rows"),
+        F.count(F.lit(1)).alias("n_keys_common"),
+        F.max(F.struct(F.col("__c"), F.col("__k"))).alias("__m"),
+    )
+    return agg.select(
+        "join_rows",
+        "n_keys_common",
+        F.coalesce(F.col("__m.__c"), F.lit(0)).alias("max_key_rows"),
+        F.col("__m.__k").alias("max_key"),
+        F.when(F.col("join_rows") > 0,
+               F.expr("CAST(__m.__c AS DECIMAL(38,0)) * 1000000 div join_rows"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("top_key_share_ppm"),
+    )

@@ -447,3 +447,28 @@ def test_key_skew_profile_uniform(spark):
     r = key_skew_profile(df, "k").collect()[0]
     assert r["skew_ratio_ppm"] == 1_000_000
     assert r["p50_count"] == 20 and r["p99_count"] == 20
+
+
+def test_join_cardinality_exact_and_fanout(spark):
+    from bubbles.operators.profile import join_cardinality
+
+    a = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (3,)], "k long"
+    )
+    b = spark.createDataFrame([(1,), (1,), (2,), (9,)], "k long")
+    r = join_cardinality(a, b, "k").collect()[0]
+    # 1: 3*2=6, 2: 1*1=1; key 3 and 9 don't match
+    assert r["join_rows"] == 7 == a.join(b, on="k").count()
+    assert r["n_keys_common"] == 2
+    assert r["max_key_rows"] == 6 and r["max_key"] == 1
+    assert r["top_key_share_ppm"] == 6 * 1_000_000 // 7
+
+
+def test_join_cardinality_disjoint(spark):
+    from bubbles.operators.profile import join_cardinality
+
+    a = spark.createDataFrame([(1,)], "k long")
+    b = spark.createDataFrame([(2,)], "k long")
+    r = join_cardinality(a, b, "k").collect()[0]
+    assert r["join_rows"] == 0 and r["n_keys_common"] == 0
+    assert r["max_key_rows"] == 0 and r["top_key_share_ppm"] == 0
