@@ -127,6 +127,8 @@ def minhash_lsh_pairs(
     buckets = sig.select(
         F.col(id_col), F.posexplode(band_hashes).alias("band", "bucket")
     )
+    if globals().get("_CKPT_BUCKETS", False):  # tools/minhash_ab.py flag
+        buckets = buckets.localCheckpoint()
     if max_bucket_size:
         # groupBy count (map-side partial) + equi-join back: skew-safe,
         # no window; the join is AQE-splittable

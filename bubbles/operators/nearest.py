@@ -98,10 +98,17 @@ def nearest_representative_bulk(
     bc = spark.sparkContext.broadcast(samples_by_subset)
     dist_rows = ROW_DISTANCES[metric]
 
-    def gen(it):
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
+    # Arrow hands the kernel ~10k-row batches; with many live subsets
+    # a batch splinters into per-subset slices of a FEW rows each and
+    # the per-sample numpy calls stop amortizing (measured at 19.8M
+    # pts / 4095 subsets: iteration-1 assignment cost 3x iteration-0's
+    # despite 27x fewer flops). Coalescing batches to ~200k rows
+    # before processing is a pure regrouping — per-row outputs are
+    # bit-identical, row order is preserved — that makes every slice
+    # ~20x larger. 200k rows x small dims ≈ tens of MB transient.
+    _TARGET_ROWS = 200_000
+
+    def _process(pdf):
             out_bubble = np.empty(len(pdf), dtype=np.int64)
             out_dist = np.empty(len(pdf), dtype=np.float64)
             # vstack over the Arrow column beats a per-row listcomp;
@@ -127,7 +134,7 @@ def nearest_representative_bulk(
                     best_i[upd] = j
                 out_bubble[rows] = ids[best_i]
                 out_dist[rows] = best_d
-            yield pd.DataFrame(
+            return pd.DataFrame(
                 {
                     "subset_id": pdf["subset_id"],
                     "point_id": pdf["point_id"],
@@ -136,6 +143,19 @@ def nearest_representative_bulk(
                     "rep_dist": out_dist,
                 }
             )
+
+    def gen(it):
+        buf, nbuf = [], 0
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            buf.append(pdf)
+            nbuf += len(pdf)
+            if nbuf >= _TARGET_ROWS:
+                yield _process(pd.concat(buf, ignore_index=True))
+                buf, nbuf = [], 0
+        if buf:
+            yield _process(pd.concat(buf, ignore_index=True))
 
     return points.select("subset_id", "point_id", features_col).mapInPandas(
         gen,
