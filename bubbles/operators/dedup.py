@@ -127,8 +127,16 @@ def minhash_lsh_pairs(
     buckets = sig.select(
         F.col(id_col), F.posexplode(band_hashes).alias("band", "bucket")
     )
-    if globals().get("_CKPT_BUCKETS", False):  # tools/minhash_ab.py flag
-        buckets = buckets.localCheckpoint()
+    # buckets feeds THREE consumers (size-cap count, join side A, join
+    # side B) whose subplans differ, so Catalyst re-executes the whole
+    # shingle-explode + digest + min-agg pipeline (75M intermediate
+    # rows at 500k docs) for each — measured 4x the query (A/B in
+    # tools/minhash_ab.py: 330/122 s baseline vs 31/77 s checkpointed,
+    # identical pairs). Materializing the SLIM (id, band, bucket)
+    # relation once ends that: ~50 B/doc/band in the block manager
+    # (disk-spilling storage level), far cheaper than recomputing the
+    # signature pipeline per consumer at any corpus size.
+    buckets = buckets.localCheckpoint()
     if max_bucket_size:
         # groupBy count (map-side partial) + equi-join back: skew-safe,
         # no window; the join is AQE-splittable
