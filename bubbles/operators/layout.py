@@ -31,68 +31,79 @@ ZBITS = 16  # per-dimension bucket bits; z-value uses 2*ZBITS <= 32 bits
 ZMAX = (1 << ZBITS) - 1
 
 
-def _bucket_expr(vcol: str, mincol: str, maxcol: str) -> "F.Column":
-    """``(v - vmin) * 65535 div max(vmax - vmin, 1)`` with DECIMAL(38)
+def _bucket_expr(vcol: str, mincol: str, maxcol: str, zmax: int = ZMAX) -> "F.Column":
+    """``(v - vmin) * zmax div max(vmax - vmin, 1)`` with DECIMAL(38)
     headroom — identical text semantics in Spark SQL and DuckDB."""
     return F.expr(
-        f"CAST(CAST(({vcol} - {mincol}) AS DECIMAL(38,0)) * {ZMAX}"
+        f"CAST(CAST(({vcol} - {mincol}) AS DECIMAL(38,0)) * {zmax}"
         f" div greatest({maxcol} - {mincol}, 1) AS BIGINT)"
     )
 
 
-def _interleave(xb: "F.Column", yb: "F.Column") -> "F.Column":
-    """Bit-interleave two ZBITS-wide buckets: x takes even bit
-    positions, y odd. Unrolled shift/mask sum — one flat JVM-side
+def _interleave(buckets: list, bits: int) -> "F.Column":
+    """Bit-interleave k ``bits``-wide buckets: column j's bit i lands
+    at output position ``i*k + j`` (column order = significance order
+    within each round). Unrolled shift/mask sum — one flat JVM-side
     expression, whole-stage-codegen friendly."""
+    k = len(buckets)
     z = F.lit(0).cast("long")
-    for i in range(ZBITS):
-        z = (
-            z
-            + F.shiftright(xb, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
-            + F.shiftright(yb, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1))
-        )
+    for i in range(bits):
+        for j, b in enumerate(buckets):
+            z = z + F.shiftright(b, i).bitwiseAND(F.lit(1)) * F.lit(
+                1 << (i * k + j)
+            )
     return z
 
 
 def zorder_key(
     df: DataFrame,
-    x_col: str,
-    y_col: str,
+    *cols: str,
     out_col: str = "zval",
 ) -> DataFrame:
-    """Append a Z-order (Morton) key over two integral columns.
+    """Append a Z-order (Morton) key over 2+ integral columns (what
+    Delta/Iceberg ``OPTIMIZE ZORDER BY (c1, c2, ...)`` computes).
 
-    The min/max normalization bounds come from one tiny global agg
-    cross-joined back (1 row, broadcast by AQE) — no collect, no
-    second pass over the data. NULLs in either column yield a NULL
-    key (they sort last; filter or impute upstream if that matters).
+    Each column min-max buckets into ``min(16, 63 // k)`` bits (16
+    at k=2 — 32-bit keys; 12 at k=5 — every dimension keeps
+    predicate-pruning resolution while the key stays in a long). The
+    normalization bounds come from one tiny global agg cross-joined
+    back (1 row, broadcast by AQE) — no collect, no second pass over
+    the data. NULL in any column yields a NULL key (they sort last;
+    filter or impute upstream if that matters).
 
     Downstream layout recipe (what OPTIMIZE ZORDER does):
     ``df.repartitionByRange(n, out_col).sortWithinPartitions(out_col)
-    .write.parquet(...)``. Covered area per file is conserved under
+    .write.parquet(...)``. Covered volume per file is conserved under
     any ordering — the win is the SHAPE of the footer stats: a
-    single-column sort leaves every file spanning the other column's
-    full range (predicates there prune nothing), while contiguous
-    z-ranges bound BOTH extents near range/sqrt(n_files) (measured in
+    single-column sort leaves every file spanning the other columns'
+    full ranges (predicates there prune nothing), while contiguous
+    z-ranges bound EVERY extent near range/n_files^(1/k) (measured in
     tests/test_layout.py: mean y-extent shrinks >5x at 20k rows / 32
     buckets while x stays sqrt-bounded)."""
-    for c in (x_col, y_col):
+    if len(cols) < 2:
+        raise ValueError(f"zorder_key needs >= 2 columns, got {list(cols)}")
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"duplicate columns: {list(cols)}")
+    for c in cols:
         if c not in df.columns:
             raise ValueError(f"column {c!r} not in {df.columns}")
     if out_col in df.columns:
         raise ValueError(f"output column {out_col!r} already exists")
-    bounds = df.agg(
-        F.min(x_col).cast("long").alias("__xmin"),
-        F.max(x_col).cast("long").alias("__xmax"),
-        F.min(y_col).cast("long").alias("__ymin"),
-        F.max(y_col).cast("long").alias("__ymax"),
-    )
+    k = len(cols)
+    bits = min(ZBITS, 63 // k)
+    zmax = (1 << bits) - 1
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs.append(F.min(c).cast("long").alias(f"__min{i}"))
+        aggs.append(F.max(c).cast("long").alias(f"__max{i}"))
+    bounds = df.agg(*aggs)
     j = df.crossJoin(F.broadcast(bounds))
-    xb = _bucket_expr(x_col, "__xmin", "__xmax")
-    yb = _bucket_expr(y_col, "__ymin", "__ymax")
-    return j.withColumn(out_col, _interleave(xb, yb)).drop(
-        "__xmin", "__xmax", "__ymin", "__ymax"
-    )
+    bks = [
+        _bucket_expr(c, f"__min{i}", f"__max{i}", zmax)
+        for i, c in enumerate(cols)
+    ]
+    drop = [f"__min{i}" for i in range(k)] + [f"__max{i}" for i in range(k)]
+    return j.withColumn(out_col, _interleave(bks, bits)).drop(*drop)
 
 
 def compaction_plan(

@@ -154,3 +154,50 @@ def test_compaction_plan_per_partition_and_deterministic(spark):
     assert all(r["tot"] < 8192 + 2000 for r in bins)
     with pytest.raises(ValueError):
         compaction_plan(files, "part", "f", "sz", target_bytes=0)
+
+
+def test_zorder_three_columns(spark):
+    """k=3: 63//3=21 -> capped at 16 bits/dim; with identity buckets
+    the key is the textbook 3-D Morton code (x bit i at position 3i,
+    y at 3i+1, z at 3i+2)."""
+    from bubbles.operators.layout import ZMAX
+
+    anchor = [(0, 0, 0), (ZMAX, ZMAX, ZMAX)]
+    pts = [(1, 0, 0), (0, 1, 0), (0, 0, 1), (3, 1, 2)]
+    df = spark.createDataFrame(
+        [(i,) + p for i, p in enumerate(anchor + pts)],
+        "id long, x long, y long, z long",
+    )
+    out = {(r["x"], r["y"], r["z"]): r["zval"] for r in zorder_key(df, "x", "y", "z").collect()}
+    assert out[(0, 0, 0)] == 0
+    assert out[(1, 0, 0)] == 1
+    assert out[(0, 1, 0)] == 2
+    assert out[(0, 0, 1)] == 4
+    # x=3 (bits 0,1 -> pos 0,3): 1+8=9; y=1 -> pos 1: 2; z=2 (bit 1 -> pos 5): 32
+    assert out[(3, 1, 2)] == 9 + 2 + 32
+
+
+def test_zorder_five_columns_bits_capped(spark):
+    """k=5: 12 bits per dim, key fits a long, still injective on a
+    small distinct grid."""
+    import itertools
+
+    rows = [
+        (i,) + p
+        for i, p in enumerate(itertools.product([0, 1, 2, 3], repeat=5))
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, a long, b long, c long, d long, e long"
+    )
+    out = zorder_key(df, "a", "b", "c", "d", "e").collect()
+    zvals = [r["zval"] for r in out]
+    assert len(set(zvals)) == len(zvals) == 4 ** 5
+    assert all(0 <= z < (1 << 60) for z in zvals)
+
+
+def test_zorder_validation_multi(spark):
+    df = spark.createDataFrame([(1, 2)], "x long, y long")
+    with pytest.raises(ValueError):
+        zorder_key(df, "x")
+    with pytest.raises(ValueError):
+        zorder_key(df, "x", "x")
