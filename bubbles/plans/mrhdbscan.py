@@ -109,6 +109,20 @@ def _lpt_bins(items: list, weights: dict, n_bins: int) -> dict:
     return out
 
 
+def _exact_edges_arrays(X, ids, min_pts: int, metric: str):
+    """One subset's exact MST edge arrays (the shared body of both
+    exact-leaf kernels)."""
+    uniq = np.unique(X, axis=0)
+    grouped = len(uniq) < 0.7 * len(X)
+    if grouped:
+        # duplicate-heavy subset: collapsed O(m²) variant
+        src, dst, w = hk.mst_edges_grouped(X, ids, min_pts, metric)
+    else:
+        core = hk.core_distances(X, min_pts, metric)
+        src, dst, w = hk.mst_edges(X, core, metric, self_edges=True, ids=ids)
+    return src, dst, w, len(uniq), grouped
+
+
 def _make_exact_edges_kernel(min_pts: int, metric: str):
     profile = bool(os.environ.get("SPARK_GRAFT_PROFILE"))
 
@@ -116,14 +130,7 @@ def _make_exact_edges_kernel(min_pts: int, metric: str):
         t0 = time.time() if profile else 0.0
         X = _features_matrix(pdf["features"])
         ids = pdf["point_id"].to_numpy(np.int64)
-        uniq = np.unique(X, axis=0)
-        grouped = len(uniq) < 0.7 * len(X)
-        if grouped:
-            # duplicate-heavy subset: collapsed O(m²) variant
-            src, dst, w = hk.mst_edges_grouped(X, ids, min_pts, metric)
-        else:
-            core = hk.core_distances(X, min_pts, metric)
-            src, dst, w = hk.mst_edges(X, core, metric, self_edges=True, ids=ids)
+        src, dst, w, nuniq, grouped = _exact_edges_arrays(X, ids, min_pts, metric)
         sid = np.full(len(src), int(pdf["subset_id"].iloc[0]), dtype=np.int64)
         # only print sizeable kernels: at 6M points iteration 2 runs
         # ~143k micro-subset kernels and per-call prints would swamp
@@ -131,10 +138,59 @@ def _make_exact_edges_kernel(min_pts: int, metric: str):
         if profile and len(ids) >= 512:
             print(
                 f"##k exact pid={os.getpid()} t0={t0:.3f} n={len(ids)}"
-                f" uniq={len(uniq)} grouped={grouped} {time.time() - t0:.3f}s",
+                f" uniq={nuniq} grouped={grouped} {time.time() - t0:.3f}s",
                 file=sys.stderr,
             )
         return pd.DataFrame({"subset_id": sid, "src": src, "dst": dst, "weight": w})
+
+    return kernel
+
+
+def _make_exact_edges_kernel_binned(min_pts: int, metric: str):
+    """Bin-level exact-leaf kernel: ONE pandas group per LPT bin,
+    looping the member subsets inside the kernel. applyInPandas costs
+    ~0.3-1 ms of Arrow/dispatch per GROUP; at 19.8M points iteration
+    2 holds 266k micro-subsets, so per-subset groups spent ~118 s on
+    dispatch alone (profiled) while the actual MSTs were microseconds
+    each. Grouping by bin cuts the group count to ~2x cores. Same
+    per-subset arrays (bit-identical edges), same schema — only the
+    grouping granularity changes."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        X_all = _features_matrix(pdf["features"])
+        ids_all = pdf["point_id"].to_numpy(np.int64)
+        subs = pdf["subset_id"].to_numpy(np.int64)
+        order = np.argsort(subs, kind="stable")
+        sorted_subs = subs[order]
+        cuts = np.flatnonzero(np.diff(sorted_subs)) + 1
+        starts = np.concatenate(([0], cuts))
+        ends = np.concatenate((cuts, [len(subs)]))
+        out_sid, out_src, out_dst, out_w = [], [], [], []
+        for lo, hi in zip(starts, ends):
+            rows = order[lo:hi]
+            src, dst, w, _, _ = _exact_edges_arrays(
+                X_all[rows], ids_all[rows], min_pts, metric
+            )
+            out_sid.append(
+                np.full(len(src), int(sorted_subs[lo]), dtype=np.int64)
+            )
+            out_src.append(np.asarray(src, dtype=np.int64))
+            out_dst.append(np.asarray(dst, dtype=np.int64))
+            out_w.append(np.asarray(w, dtype=np.float64))
+        if not out_sid:
+            z = np.array([], dtype=np.int64)
+            return pd.DataFrame(
+                {"subset_id": z, "src": z, "dst": z,
+                 "weight": np.array([], dtype=np.float64)}
+            )
+        return pd.DataFrame(
+            {
+                "subset_id": np.concatenate(out_sid),
+                "src": np.concatenate(out_src),
+                "dst": np.concatenate(out_dst),
+                "weight": np.concatenate(out_w),
+            }
+        )
 
     return kernel
 
@@ -313,7 +369,7 @@ class MRHDBSCAN:
         current = current.localCheckpoint()
         _tick("ingest checkpoint")
 
-        exact_kernel = _make_exact_edges_kernel(self.min_pts, self.distance)
+        exact_kernel = _make_exact_edges_kernel_binned(self.min_pts, self.distance)
         model_kernel = _make_local_model_kernel(
             self.min_pts, self.min_cluster_size, self.distance, self.max_local_size
         )
@@ -397,9 +453,8 @@ class MRHDBSCAN:
                 # by c², then PLACE each bin in its own partition via a
                 # representative long whose Murmur3 hash mod n_bins is
                 # that partition (driver-predicted, no job — see
-                # _murmur3_32_long). groupBy (__bin, subset_id) keeps
-                # the single exchange: hashpartitioning(__bin) is a
-                # subset of the group keys, so no re-shuffle. Measured
+                # _murmur3_32_long). groupBy(__bin) matches the
+                # repartition key exactly, so no re-shuffle. Measured
                 # 9.7 s → ~4 s on the same stage.
                 n_bins = 2 * min(par, len(small))
                 reps = _partition_reps(n_bins)
@@ -418,9 +473,13 @@ class MRHDBSCAN:
                     schema="subset_id long, __bin long",
                 )
                 small_df = current.join(F.broadcast(bin_df), on="subset_id")
+                # groupBy __bin ONLY: the binned kernel loops member
+                # subsets internally, so pandas-group dispatch scales
+                # with bins (~2x cores), not subsets (266k at 19.8M
+                # pts — profiled 118 s of pure dispatch before this)
                 edges = (
                     small_df.repartition(n_bins, "__bin")
-                    .groupBy("__bin", "subset_id")
+                    .groupBy("__bin")
                     .applyInPandas(exact_kernel, schema=_EDGE_SCHEMA)
                 )
                 leaf_parts.append(edges.localCheckpoint())
