@@ -37,16 +37,34 @@ from bubbles.kernels.hdbscan_kernel import _merge_forest
 CONTRACT_SCHEMA = "kind int, a long, b long, w double"
 
 
+def _init_mass(verts: np.ndarray, total: int, vertex_mass) -> np.ndarray:
+    """Leaf-mass array for the contraction: all-ones at level 1
+    (vertices are points); at level 2 (recursive contraction) the
+    vertices are level-1 virtual representatives whose masses arrive
+    as ``vertex_mass = (ids_sorted, vals)`` — absent ids default 1."""
+    mass = np.ones(total)
+    if vertex_mass is not None:
+        ids, vals = vertex_mass
+        pos = np.searchsorted(ids, verts)
+        ok = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == verts)
+        mass[: len(verts)][ok] = vals[pos[ok]]
+    return mass
+
+
 def contract_subset_edges(
     src: np.ndarray,
     dst: np.ndarray,
     w: np.ndarray,
     boundary,
     min_cluster_size: int,
+    vertex_mass=None,
 ):
     """Contract one subset's edge set. Returns four arrays matching
     ``CONTRACT_SCHEMA``. ``boundary`` is the global set of cross-edge
-    endpoint ids (driver-bounded: one per inter-cluster edge)."""
+    endpoint ids (driver-bounded: one per inter-cluster edge).
+    ``vertex_mass``: optional (ids_sorted, vals) leaf masses for the
+    recursive (level-2) contraction, where leaves are themselves
+    contracted vertices."""
     verts = np.unique(np.concatenate([src, dst]))
     n = len(verts)
     pos = {int(g): i for i, g in enumerate(verts)}
@@ -56,7 +74,7 @@ def contract_subset_edges(
     nc = len(children)
     total = n + nc
 
-    mass = np.ones(total)
+    mass = _init_mass(verts, total, vertex_mass)
     pure = np.zeros(total, dtype=bool)
     minid = np.empty(total, dtype=np.int64)
     minid[:n] = verts
@@ -110,7 +128,7 @@ def contract_subset_edges(
         if node < n:
             # retained leaf (a boundary vertex); keep its self edge only
             # when isolated so the driver sees the same noise event
-            emit(2, int(verts[node]), 0, 1.0)
+            emit(2, int(verts[node]), 0, float(mass[node]))
             if is_root and self_w[node] > 0:
                 emit(1, int(verts[node]), int(verts[node]), float(self_w[node]))
             assign[node] = verts[node]
@@ -176,6 +194,117 @@ def make_contract_kernel(boundary_bc, min_cluster_size: int):
     return kernel
 
 
+# level-1 output tagged with the producing leaf subset, so the
+# recursive (level-2) pass can map retained rows to their genealogy
+# bin with one broadcast join
+CONTRACT_TAGGED_SCHEMA = "kind int, a long, b long, w double, subset_id long"
+
+
+def make_contract_kernel_tagged(boundary_bc, min_cluster_size: int):
+    """v1 contraction wrapper that carries the leaf ``subset_id`` on
+    every output row (recursive-contraction level 1)."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        k, a, b, ww = contract_subset_edges(
+            pdf["src"].to_numpy(np.int64),
+            pdf["dst"].to_numpy(np.int64),
+            pdf["weight"].to_numpy(np.float64),
+            boundary_bc.value,
+            min_cluster_size,
+        )
+        return pd.DataFrame(
+            {
+                "kind": k,
+                "a": a,
+                "b": b,
+                "w": ww,
+                "subset_id": np.full(len(k), int(pdf["subset_id"].iloc[0]), np.int64),
+            }
+        )
+
+    return kernel
+
+
+def contract_bin(
+    kind: np.ndarray,
+    a: np.ndarray,
+    b: np.ndarray,
+    w: np.ndarray,
+    boundary,
+    min_cluster_size: int,
+):
+    """Level-2 (recursive) contraction of one genealogy bin.
+
+    Input rows are level-1 retained rows for the bin's leaf subsets
+    plus the bin's intra-bin cross edges, all in level-1 schema:
+    kind 1 = edges (a==b self edges included), kind 2 = vertex masses.
+    ``boundary`` is the set of cross-BIN edge endpoints — the only
+    vertices whose structure must survive to the driver. The bin's
+    merge forest over these rows is exactly the global single-linkage
+    structure restricted to the bin (every global edge touching a
+    non-boundary bin vertex is IN the bin: leaf-subset forests arrive
+    whole and cross edges created at genealogy nodes inside the bin's
+    subtree connect only descendants), so the v1/v2 purity lemma
+    applies verbatim with level-1 virtual vertices as weighted leaves.
+
+    Returns five arrays matching ``CONTRACT2_SCHEMA``; kind-0 rows map
+    level-1 representative -> level-2 representative (w2 = detach
+    weight for chain-coalesced members, NaN otherwise). Isolated
+    kind-2 vertices (no edge) pass through unchanged.
+    """
+    e = kind == 1
+    m = kind == 2
+    vm_ids = a[m].astype(np.int64)
+    vm_vals = w[m].astype(np.float64)
+    order = np.argsort(vm_ids)
+    vm_ids, vm_vals = vm_ids[order], vm_vals[order]
+    src, dst, ew = a[e].astype(np.int64), b[e].astype(np.int64), w[e].astype(np.float64)
+    if len(src):
+        k2, a2, b2, w2, d2 = contract_subset_edges_v2(
+            src, dst, ew, boundary, min_cluster_size, vertex_mass=(vm_ids, vm_vals)
+        )
+        connected = np.unique(np.concatenate([src, dst]))
+    else:
+        k2 = np.empty(0, np.int32)
+        a2 = b2 = np.empty(0, np.int64)
+        w2 = d2 = np.empty(0, np.float64)
+        connected = np.empty(0, np.int64)
+    # isolated vertices (kind-2 row, no edge): keep mass + self-map
+    pos = np.searchsorted(connected, vm_ids)
+    iso = ~(
+        (pos < len(connected))
+        & (connected[np.minimum(pos, max(len(connected) - 1, 0))] == vm_ids)
+    ) if len(connected) else np.ones(len(vm_ids), dtype=bool)
+    iso_ids = vm_ids[iso]
+    iso_mass = vm_vals[iso]
+    ni = len(iso_ids)
+    return (
+        np.concatenate([k2, np.full(ni, 2, np.int32), np.zeros(ni, np.int32)]),
+        np.concatenate([a2, iso_ids, iso_ids]),
+        np.concatenate([b2, np.zeros(ni, np.int64), iso_ids]),
+        np.concatenate([w2, iso_mass, np.zeros(ni)]),
+        np.concatenate([d2, np.full(2 * ni, np.nan)]),
+    )
+
+
+def make_bin_contract_kernel(boundary_bc, min_cluster_size: int):
+    """``applyInPandas`` wrapper for the level-2 bin contraction;
+    ``boundary_bc`` broadcasts the frozenset of cross-BIN endpoints."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        k, a, b, ww, ww2 = contract_bin(
+            pdf["kind"].to_numpy(np.int32),
+            pdf["a"].to_numpy(np.int64),
+            pdf["b"].to_numpy(np.int64),
+            pdf["w"].to_numpy(np.float64),
+            boundary_bc.value,
+            min_cluster_size,
+        )
+        return pd.DataFrame({"kind": k, "a": a, "b": b, "w": ww, "w2": ww2})
+
+    return kernel
+
+
 
 # ---------------------------------------------------------------------------
 # v2: chain-coalescing contraction (opt-in via MRHDBSCAN(coalesce_chains=True))
@@ -220,13 +349,15 @@ def contract_subset_edges_v2(
     w: np.ndarray,
     boundary,
     min_cluster_size: int,
+    vertex_mass=None,
 ):
     """Contract one subset's edge set with pure-spine chain coalescing.
 
     ``boundary`` is the global set of cross-edge endpoint ids (same
     contract as v1). Returns five arrays matching ``CONTRACT2_SCHEMA``
     (w2 = per-point detach weight for coalesced members, NaN
-    otherwise).
+    otherwise). ``vertex_mass``: optional (ids_sorted, vals) leaf
+    masses for the recursive (level-2) contraction.
     """
     verts = np.unique(np.concatenate([src, dst]))
     n = len(verts)
@@ -237,7 +368,7 @@ def contract_subset_edges_v2(
     nc = len(children)
     total = n + nc
 
-    mass = np.ones(total)
+    mass = _init_mass(verts, total, vertex_mass)
     pure = np.zeros(total, dtype=bool)
     minid = np.empty(total, dtype=np.int64)
     minid[:n] = verts
@@ -325,7 +456,7 @@ def contract_subset_edges_v2(
     while work:
         node, is_root = work.pop()
         if node < n:
-            emit(2, int(verts[node]), 0, 1.0)
+            emit(2, int(verts[node]), 0, float(mass[node]))
             if is_root and self_w[node] > 0:
                 emit(1, int(verts[node]), int(verts[node]), float(self_w[node]))
             assign[node] = verts[node]

@@ -46,6 +46,76 @@ from bubbles.operators.sampling import stratified_sample_exact
 _EDGE_SCHEMA = "subset_id long, src long, dst long, weight double"
 _MODEL_SCHEMA = "subset_id long, kind int, a long, b long, w double"
 
+# recursive_contraction="auto" switches the level-2 pass on past this
+# many fitted points: below it the single collect + driver build is
+# seconds and the extra distributed pass is pure overhead; above it
+# the driver term grows linearly in retained events (measured 111-145 s
+# at 19.8M points) while the level-2 pass amortizes across executors.
+_RECURSIVE_MIN_POINTS = 2_000_000
+
+
+def _genealogy_bins(
+    parent_of: dict[int, int],
+    leaf_size: dict[int, int],
+    n_bins_target: int,
+):
+    """Cut the subset-genealogy tree into contiguous-subtree bins.
+
+    Every cross edge is created by one genealogy node (the subset
+    whose bubble model emitted it) and connects only that node's
+    descendants, so binning WHOLE subtrees keeps those edges
+    intra-bin; only edges created at split ancestors (the few, early,
+    driver-bounded iterations) go to the driver. The frontier is
+    grown by splitting the heaviest node until every subtree holds
+    ≤ total/n_bins_target points, then LPT-packed into bins placed by
+    Murmur3 representatives (same trick as the leaf-kernel stage).
+
+    Returns (leaf_bin, resolve, n_bins): ``leaf_bin`` maps each leaf
+    subset to its bin representative; ``resolve(node)`` maps ANY
+    genealogy node to its bin representative or None when the node
+    sits above the frontier (its cross edges go to the driver).
+    """
+    import heapq
+
+    children: dict[int, list[int]] = {}
+    for c, p in parent_of.items():
+        children.setdefault(p, []).append(c)
+    mass = dict(leaf_size)
+    # child ids are always larger than their parent's: accumulate up
+    for nid in sorted(parent_of, reverse=True):
+        p = parent_of[nid]
+        mass[p] = mass.get(p, 0) + mass.get(nid, 0)
+    total = mass.get(0, 0)
+    budget = max(1, total // max(1, n_bins_target))
+    frontier: set[int] = set()
+    heap = [(-mass.get(0, 0), 0)]
+    while heap:
+        neg, node = heapq.heappop(heap)
+        if -neg > budget and node in children:
+            for c in children[node]:
+                heapq.heappush(heap, (-mass.get(c, 0), c))
+        else:
+            frontier.add(node)
+    n_bins = max(1, min(n_bins_target, len(frontier)))
+    reps = _partition_reps(n_bins)
+    wts = {f: float(mass.get(f, 0)) for f in frontier}
+    bin_of = _lpt_bins(sorted(frontier), wts, n_bins)
+    memo: dict[int, int | None] = {f: reps[bin_of[f]] for f in frontier}
+
+    def resolve(node: int) -> int | None:
+        chain = []
+        cur: int | None = node
+        while cur is not None and cur not in memo:
+            chain.append(cur)
+            cur = parent_of.get(cur)
+        val = memo.get(cur) if cur is not None else None
+        for x in chain:
+            memo[x] = val
+        return val
+
+    leaf_bin = {int(s): resolve(int(s)) for s in leaf_size}
+    return leaf_bin, resolve, n_bins
+
 
 def _features_matrix(col: pd.Series) -> np.ndarray:
     return np.array([np.asarray(v, dtype=np.float64) for v in col], dtype=np.float64)
@@ -240,6 +310,7 @@ class MRHDBSCANModel:
     n_iterations: int = 0
     _hier = None  # (HierarchyResult, verts) for hierarchy_levels()
     _membership = None  # contracted mode: DataFrame(point_id, rep_id, core)
+    _levels_mode = "exact"  # "recursive": level matrix unavailable
     _spark = None
 
     def hierarchy_levels(self, full: bool = False) -> DataFrame:
@@ -254,6 +325,21 @@ class MRHDBSCANModel:
         contract_kernel)."""
         if self._hier is None:
             raise ValueError("hierarchy retention disabled")
+        if self._levels_mode == "recursive":
+            # chain-coalesced chunk members do not share their
+            # representative's full level trajectory (a member can
+            # still be clustered at a level where its chunk vertex is
+            # already noise), so the per-level matrix cannot be
+            # reconstructed from the level-2 reduction. Flat labels,
+            # noise levels, GLOSH and the cluster tree ARE exact.
+            # An n x levels matrix is impractical output at the >2M-
+            # point scales where the recursive path engages anyway.
+            raise ValueError(
+                "hierarchy_levels is unavailable under recursive "
+                "contraction; refit with "
+                "MRHDBSCAN(recursive_contraction=False) for the "
+                "level-matrix writer"
+            )
         res, verts = self._hier
         levels = hk.hierarchy_levels(res, full=full)
         rows = []
@@ -296,9 +382,21 @@ class MRHDBSCAN:
         dim: int | None = None,
         coalesce_chains: bool = False,
         auto_widen_samples: bool = True,
+        recursive_contraction: bool | str = "auto",
     ):
         if global_mode not in ("driver", "contracted"):
             raise ValueError("global_mode must be 'driver' or 'contracted'")
+        if recursive_contraction not in (True, False, "auto"):
+            raise ValueError("recursive_contraction must be True/False/'auto'")
+        # recursive (level-2) contraction: re-contract the retained-
+        # event graph in a second distributed pass, binned by subset
+        # genealogy so cross edges stay intra-bin, before the driver
+        # hierarchy build — bounds the driver input to ~O(n/mcl +
+        # cross-bin edges) instead of O(retained events) (SCALE.md
+        # "distributed structure pass"). 'auto' enables it past
+        # _RECURSIVE_MIN_POINTS fitted points; constraints and
+        # coalesce_chains fall back to the single-level path.
+        self.recursive_contraction = recursive_contraction
         # chain-coalescing contraction (contract_kernel v2): collapses
         # runs of sub-mcl attachments along >=mcl spines into chunks
         # with pre-aggregated stability credits — shrinks the driver's
@@ -375,11 +473,16 @@ class MRHDBSCAN:
         )
 
         leaf_parts: list[DataFrame] = []  # (subset_id, src, dst, weight)
-        cross_parts: list[DataFrame] = []  # (src, dst, weight) inter-cluster
+        cross_parts: list[DataFrame] = []  # (creator, src, dst, weight)
         stalls: dict[int, int] = {0: 0}
         next_subset_id = 1
         iteration = 0
         n_leaf_subsets = 0
+        # subset genealogy for the recursive-contraction binning:
+        # parent_of[child] = the subset whose bubble model spawned it;
+        # leaf_size[s] = point count when s went to the exact-leaf path
+        parent_of: dict[int, int] = {}
+        leaf_size: dict[int, int] = {}
 
         def _filter_subsets(df, ids):
             # a literal isin() list blows up the plan once subsets are
@@ -484,6 +587,8 @@ class MRHDBSCAN:
                 )
                 leaf_parts.append(edges.localCheckpoint())
                 n_leaf_subsets += len(small)
+                for s in small:
+                    leaf_size[int(s)] = int(sizes[s])
                 _tick(f"it{iteration} exact leaves ({len(small)} subsets)")
             if not big:
                 break
@@ -549,7 +654,10 @@ class MRHDBSCAN:
             _tick(f"it{iteration} bubble model")
             cross_parts.append(
                 model_out.filter(F.col("kind") == 1).select(
-                    F.col("a").alias("src"), F.col("b").alias("dst"), F.col("w").alias("weight")
+                    F.col("subset_id").alias("creator"),
+                    F.col("a").alias("src"),
+                    F.col("b").alias("dst"),
+                    F.col("w").alias("weight"),
                 )
             )
             bubble_labels = model_out.filter(F.col("kind") == 0).select(
@@ -576,6 +684,7 @@ class MRHDBSCAN:
                 nid = next_subset_id
                 next_subset_id += 1
                 mapping.append((sid, lbl, nid))
+                parent_of[nid] = sid
                 parent_stall = stalls.get(sid, 0)
                 new_stalls[nid] = parent_stall + 1 if per_parent[sid] == 1 else 0
             stalls = new_stalls
@@ -649,10 +758,28 @@ class MRHDBSCAN:
                     f"constraint kind must be 'ml' or 'cl', got {sorted(bad_kinds)}"
                 )
         if self.global_mode == "contracted":
+            use_recursive = (
+                self.recursive_contraction is True
+                or (
+                    self.recursive_contraction == "auto"
+                    and sum(leaf_size.values()) >= _RECURSIVE_MIN_POINTS
+                )
+            ) and constr is None and not self.coalesce_chains and cross_edges is not None
+            if use_recursive:
+                return self._global_step_recursive(
+                    spark,
+                    leaf_edges,
+                    cross_edges,
+                    iteration,
+                    parent_of,
+                    leaf_size,
+                    tick=_tick,
+                    n_subsets=n_leaf_subsets,
+                )
             return self._global_step_contracted(
                 spark,
                 leaf_edges,
-                cross_edges,
+                cross_edges.drop("creator") if cross_edges is not None else None,
                 iteration,
                 constr,
                 tick=_tick,
@@ -660,7 +787,7 @@ class MRHDBSCAN:
             )
         all_edges = leaf_edges.drop("subset_id")
         if cross_edges is not None:
-            all_edges = all_edges.unionByName(cross_edges)
+            all_edges = all_edges.unionByName(cross_edges.drop("creator"))
         return self._global_step(spark, all_edges.localCheckpoint(), iteration, constr)
 
     # ------------------------------------------------------------------
@@ -924,6 +1051,212 @@ class MRHDBSCAN:
         )
         model._hier = (res, verts)
         model._membership = membership
+        model._spark = spark
+        return model
+
+    # ------------------------------------------------------------------
+    def _global_step_recursive(
+        self,
+        spark,
+        leaf_edges: DataFrame,
+        cross_edges: DataFrame,
+        iteration,
+        parent_of: dict[int, int],
+        leaf_size: dict[int, int],
+        tick=lambda phase: None,
+        n_subsets: int | None = None,
+    ) -> MRHDBSCANModel:
+        """Recursive (two-level) contraction — the distributed
+        structure pass SCALE.md's global-step analysis calls for past
+        ~10M points. Level 1 contracts each leaf subset's merge forest
+        as in ``_global_step_contracted`` but tags rows with the
+        producing subset; level 2 groups the retained events by
+        genealogy bin (whole subtrees of the subset-recursion tree, so
+        cross edges created inside a bin's subtree stay local), joins
+        in the bin's intra-bin cross edges, and re-contracts with the
+        chain-coalescing kernel against the tiny cross-BIN boundary.
+        The driver then builds the exact hierarchy over second-level
+        retained events + cross-bin edges only — O(n/mcl + cross-bin)
+        rows instead of O(retained events) — and labels/noise/GLOSH
+        come back through rep-space joins (one broadcast join over the
+        level-1 retained relation + the usual membership join), never
+        an O(n) collect."""
+        from bubbles.kernels.contract_kernel import (
+            CONTRACT2_SCHEMA,
+            CONTRACT_TAGGED_SCHEMA,
+            make_bin_contract_kernel,
+            make_contract_kernel_tagged,
+        )
+
+        cpdf = cross_edges.toArrow().to_pandas()  # creator,src,dst,weight
+        boundary1 = frozenset(map(int, cpdf["src"])) | frozenset(
+            map(int, cpdf["dst"])
+        )
+        bc1 = spark.sparkContext.broadcast(boundary1)
+        par = spark.sparkContext.defaultParallelism
+        width = 2 * (par if n_subsets is None else min(par, max(1, n_subsets)))
+        phase1 = (
+            leaf_edges.repartition(width, "subset_id")
+            .groupBy("subset_id")
+            .applyInPandas(
+                make_contract_kernel_tagged(bc1, self.min_cluster_size),
+                schema=CONTRACT_TAGGED_SCHEMA,
+            )
+            .localCheckpoint()
+        )
+        tick("global contract checkpoint (level 1)")
+        membership = phase1.filter(F.col("kind") == 0).select(
+            F.col("a").alias("point_id"),
+            F.col("b").alias("rep_id"),
+            F.col("w").alias("core_distance"),
+        )
+
+        leaf_bin, resolve, n_bins = _genealogy_bins(
+            parent_of, leaf_size, 4 * par
+        )
+        bin_df = spark.createDataFrame(
+            [(int(s), int(b)) for s, b in leaf_bin.items()],
+            schema="subset_id long, __gbin long",
+        )
+        retained = (
+            phase1.filter(F.col("kind") > 0)
+            .join(F.broadcast(bin_df), on="subset_id")
+            .select("__gbin", "kind", "a", "b", "w")
+        )
+        # split the (driver-resident, O(#bubbles)) cross edges: created
+        # inside a bin's subtree -> injected into that bin's level-2
+        # graph; created above the frontier -> straight to the driver
+        intra_rows: list[tuple] = []
+        xsrc: list[int] = []
+        xdst: list[int] = []
+        xw: list[float] = []
+        for c, s, d, ww in zip(
+            cpdf["creator"], cpdf["src"], cpdf["dst"], cpdf["weight"]
+        ):
+            b = resolve(int(c))
+            if b is None:
+                xsrc.append(int(s))
+                xdst.append(int(d))
+                xw.append(float(ww))
+            else:
+                intra_rows.append((int(b), 1, int(s), int(d), float(ww)))
+        if intra_rows:
+            retained = retained.unionByName(
+                spark.createDataFrame(
+                    intra_rows,
+                    schema="__gbin long, kind int, a long, b long, w double",
+                )
+            )
+        bc2 = spark.sparkContext.broadcast(frozenset(xsrc) | frozenset(xdst))
+        phase2 = (
+            retained.repartition(n_bins, "__gbin")
+            .groupBy("__gbin")
+            .applyInPandas(
+                make_bin_contract_kernel(bc2, self.min_cluster_size),
+                schema=CONTRACT2_SCHEMA,
+            )
+            .localCheckpoint()
+        )
+        tick(f"global contract checkpoint (level 2, {n_bins} bins)")
+        m2 = phase2.filter(F.col("kind") == 0).select(
+            F.col("a").alias("rep_id"),
+            F.col("b").alias("rep2"),
+            F.col("w2").alias("detach"),
+        )
+        red = phase2.filter(F.col("kind") > 0).toArrow().to_pandas()
+        tick(f"global reduced collect ({len(red)} rows)")
+        e1 = red[red["kind"] == 1]
+        src = np.concatenate([e1["a"].to_numpy(np.int64), np.asarray(xsrc, np.int64)])
+        dst = np.concatenate([e1["b"].to_numpy(np.int64), np.asarray(xdst, np.int64)])
+        wts = np.concatenate([e1["w"].to_numpy(np.float64), np.asarray(xw, np.float64)])
+        v2 = red[red["kind"] == 2]
+        verts = np.unique(
+            np.concatenate([src, dst, v2["a"].to_numpy(np.int64)])
+        )
+        lu = np.searchsorted(verts, src)
+        lv = np.searchsorted(verts, dst)
+        vw = np.ones(len(verts))
+        vw[np.searchsorted(verts, v2["a"].to_numpy(np.int64))] = v2[
+            "w"
+        ].to_numpy(np.float64)
+        k3 = red[red["kind"] == 3]
+        vertex_credit = None
+        if len(k3):
+            vertex_credit = np.full(len(verts), np.nan)
+            vertex_credit[
+                np.searchsorted(verts, k3["a"].to_numpy(np.int64))
+            ] = k3["w"].to_numpy(np.float64)
+        res = hk.build_hierarchy(
+            lu, lv, wts, vw, self.min_cluster_size, vertex_credit=vertex_credit
+        )
+        tick(f"global hierarchy ({len(verts)} verts)")
+        min_death = hk.cluster_min_death(res)
+        eps_max = np.fromiter(
+            (min_death[int(c)] for c in res.last_cluster), np.float64, len(verts)
+        )
+        import pyarrow as pa
+
+        rep2_df = spark.createDataFrame(
+            pa.table(
+                {
+                    "rep2": pa.array(verts, pa.int64()),
+                    "label": pa.array(res.labels.astype(np.int64), pa.int64()),
+                    "noise_level": pa.array(res.noise_level, pa.float64()),
+                    "eps_max": pa.array(eps_max, pa.float64()),
+                }
+            )
+        )
+        # per-rep1 relation: broadcast-join the tiny level-2 table over
+        # the distributed level-1 membership — no shuffle; chunk
+        # members carry their true detach weight as the noise level
+        # (contract_kernel v2 exactness contract)
+        rep1_df = m2.join(F.broadcast(rep2_df), on="rep2").select(
+            "rep_id",
+            "label",
+            F.when(
+                F.isnan("detach") | F.col("detach").isNull(),
+                F.col("noise_level"),
+            )
+            .otherwise(F.col("detach"))
+            .alias("noise_level"),
+            "eps_max",
+        )
+        # same broadcast policy as the single-level path, sized by the
+        # level-1 retained-vertex count (cheap count on a checkpoint)
+        is_local = spark.sparkContext.master.startswith("local")
+        bcast_cap = 8_000_000 if is_local else 2_000_000
+        if m2.count() <= bcast_cap:
+            rep1_df = F.broadcast(rep1_df)
+        joined = membership.join(rep1_df, on="rep_id")
+        labels_df = joined.select("point_id", "label")
+        scores_df = joined.select(
+            "point_id",
+            F.when(
+                F.col("noise_level") > 0,
+                F.lit(1.0) - F.col("eps_max") / F.col("noise_level"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("score"),
+            "core_distance",
+        )
+        all_edges = leaf_edges.drop("subset_id").unionByName(
+            cross_edges.drop("creator")
+        )
+        model = MRHDBSCANModel(
+            labels=labels_df,
+            cluster_tree=_tree_df(spark, res),
+            outlier_scores=scores_df,
+            mst_edges=all_edges,
+            n_iterations=iteration,
+        )
+        model._hier = (res, verts)
+        # point -> level-2 representative composition (kept for model
+        # introspection; the level-matrix writer itself is refused —
+        # see hierarchy_levels' recursive-mode contract)
+        model._membership = membership.join(
+            m2.select("rep_id", "rep2"), on="rep_id"
+        ).select("point_id", F.col("rep2").alias("rep_id"), "core_distance")
+        model._levels_mode = "recursive"
         model._spark = spark
         return model
 
