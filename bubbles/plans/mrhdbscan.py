@@ -58,22 +58,28 @@ def _genealogy_bins(
     parent_of: dict[int, int],
     leaf_size: dict[int, int],
     n_bins_target: int,
+    affinity: list[tuple[int, int]] | None = None,
 ):
     """Cut the subset-genealogy tree into contiguous-subtree bins.
 
-    Every cross edge is created by one genealogy node (the subset
-    whose bubble model emitted it) and connects only that node's
-    descendants, so binning WHOLE subtrees keeps those edges
-    intra-bin; only edges created at split ancestors (the few, early,
-    driver-bounded iterations) go to the driver. The frontier is
-    grown by splitting the heaviest node until every subtree holds
-    ≤ total/n_bins_target points, then LPT-packed into bins placed by
+    Every cross edge connects descendants of the genealogy node whose
+    bubble model created it, so binning WHOLE subtrees keeps those
+    edges intra-bin. The frontier is grown by splitting the heaviest
+    node until every subtree holds ≤ total/n_bins_target points.
+
+    ``affinity``: optional (leaf_subset_a, leaf_subset_b) pairs — the
+    cross edges' endpoint leaf subsets. Frontier subtrees joined by
+    the most pairs are greedily merged (size-capped at 2× the split
+    budget) before packing, internalizing edges whose creator sits
+    ABOVE the frontier (the early iterations' inter-cluster edges,
+    whose endpoints land in every subtree's dense core and would
+    otherwise poison level-2 spine purity bin-wide). Merged groups
+    are then LPT-packed into at most ``n_bins_target`` bins placed by
     Murmur3 representatives (same trick as the leaf-kernel stage).
 
-    Returns (leaf_bin, resolve, n_bins): ``leaf_bin`` maps each leaf
-    subset to its bin representative; ``resolve(node)`` maps ANY
-    genealogy node to its bin representative or None when the node
-    sits above the frontier (its cross edges go to the driver).
+    Returns (leaf_bin, n_bins): ``leaf_bin`` maps each leaf subset to
+    its bin representative. Cross edges are routed by their
+    endpoints' bins (same bin → intra-bin; else driver).
     """
     import heapq
 
@@ -96,25 +102,55 @@ def _genealogy_bins(
                 heapq.heappush(heap, (-mass.get(c, 0), c))
         else:
             frontier.add(node)
-    n_bins = max(1, min(n_bins_target, len(frontier)))
-    reps = _partition_reps(n_bins)
-    wts = {f: float(mass.get(f, 0)) for f in frontier}
-    bin_of = _lpt_bins(sorted(frontier), wts, n_bins)
-    memo: dict[int, int | None] = {f: reps[bin_of[f]] for f in frontier}
 
-    def resolve(node: int) -> int | None:
+    memo: dict[int, int] = {f: f for f in frontier}
+
+    def to_frontier(node: int) -> int:
         chain = []
-        cur: int | None = node
-        while cur is not None and cur not in memo:
+        cur = node
+        while cur not in memo:
             chain.append(cur)
-            cur = parent_of.get(cur)
-        val = memo.get(cur) if cur is not None else None
+            cur = parent_of[cur]
+        val = memo[cur]
         for x in chain:
             memo[x] = val
         return val
 
-    leaf_bin = {int(s): resolve(int(s)) for s in leaf_size}
-    return leaf_bin, resolve, n_bins
+    # greedy affinity merge: union-find over frontier nodes, heaviest
+    # pair-count first, component mass capped so bins stay balanced
+    uf = {f: f for f in frontier}
+    csize = {f: float(mass.get(f, 0)) for f in frontier}
+
+    def find(x: int) -> int:
+        while uf[x] != x:
+            uf[x] = uf[uf[x]]
+            x = uf[x]
+        return x
+
+    if affinity:
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        for sa, sb in affinity:
+            fa, fb = to_frontier(int(sa)), to_frontier(int(sb))
+            if fa != fb:
+                cnt[(min(fa, fb), max(fa, fb))] += 1
+        cap = 2.0 * budget
+        for (fa, fb), _c in cnt.most_common():
+            ra, rb = find(fa), find(fb)
+            if ra != rb and csize[ra] + csize[rb] <= cap:
+                if ra > rb:
+                    ra, rb = rb, ra
+                uf[rb] = ra
+                csize[ra] += csize[rb]
+
+    comp_roots = sorted({find(f) for f in frontier})
+    n_bins = max(1, min(n_bins_target, len(comp_roots)))
+    reps = _partition_reps(n_bins)
+    bin_of = _lpt_bins(comp_roots, {r: csize[r] for r in comp_roots}, n_bins)
+    node_bin = {f: reps[bin_of[find(f)]] for f in frontier}
+    leaf_bin = {int(s): node_bin[to_frontier(int(s))] for s in leaf_size}
+    return leaf_bin, n_bins
 
 
 def _features_matrix(col: pd.Series) -> np.ndarray:
@@ -1111,9 +1147,35 @@ class MRHDBSCAN:
             F.col("w").alias("core_distance"),
         )
 
-        leaf_bin, resolve, n_bins = _genealogy_bins(
-            parent_of, leaf_size, 4 * par
+        # endpoint -> leaf subset, via one broadcast join over the
+        # level-1 membership rows (result is O(#cross edges), tiny)
+        eps = sorted(boundary1)
+        ep_df = spark.createDataFrame([(int(e),) for e in eps], schema="a long")
+        sub_pdf = (
+            phase1.filter(F.col("kind") == 0)
+            .join(F.broadcast(ep_df), on="a")
+            .select("a", "subset_id")
+            .toArrow()
+            .to_pandas()
         )
+        sub_of = dict(
+            zip(
+                (int(x) for x in sub_pdf["a"]),
+                (int(x) for x in sub_pdf["subset_id"]),
+            )
+        )
+        n_bins_target = int(os.environ.get("SPARK_GRAFT_L2_BINS", "0")) or 2 * par
+        leaf_bin, n_bins = _genealogy_bins(
+            parent_of,
+            leaf_size,
+            n_bins_target,
+            affinity=[
+                (sub_of[int(s)], sub_of[int(d)])
+                for s, d in zip(cpdf["src"], cpdf["dst"])
+                if int(s) in sub_of and int(d) in sub_of
+            ],
+        )
+        tick(f"global bin map ({len(sub_pdf)} endpoints, {n_bins} bins)")
         bin_df = spark.createDataFrame(
             [(int(s), int(b)) for s, b in leaf_bin.items()],
             schema="subset_id long, __gbin long",
@@ -1123,23 +1185,25 @@ class MRHDBSCAN:
             .join(F.broadcast(bin_df), on="subset_id")
             .select("__gbin", "kind", "a", "b", "w")
         )
-        # split the (driver-resident, O(#bubbles)) cross edges: created
-        # inside a bin's subtree -> injected into that bin's level-2
-        # graph; created above the frontier -> straight to the driver
+        # route the (driver-resident, O(#bubbles)) cross edges by their
+        # endpoints' bins: same bin -> injected into that bin's level-2
+        # graph; spanning two bins -> straight to the driver
         intra_rows: list[tuple] = []
         xsrc: list[int] = []
         xdst: list[int] = []
         xw: list[float] = []
-        for c, s, d, ww in zip(
-            cpdf["creator"], cpdf["src"], cpdf["dst"], cpdf["weight"]
-        ):
-            b = resolve(int(c))
-            if b is None:
+        for s, d, ww in zip(cpdf["src"], cpdf["dst"], cpdf["weight"]):
+            # any routing is CORRECT (driver-routed edges just mark
+            # their endpoints boundary); unknown endpoints fall back
+            # to the driver rather than failing the fit
+            bs = leaf_bin.get(sub_of.get(int(s), -1))
+            bd = leaf_bin.get(sub_of.get(int(d), -1))
+            if bs is None or bd is None or bs != bd:
                 xsrc.append(int(s))
                 xdst.append(int(d))
                 xw.append(float(ww))
             else:
-                intra_rows.append((int(b), 1, int(s), int(d), float(ww)))
+                intra_rows.append((int(bs), 1, int(s), int(d), float(ww)))
         if intra_rows:
             retained = retained.unionByName(
                 spark.createDataFrame(
@@ -1147,6 +1211,10 @@ class MRHDBSCAN:
                     schema="__gbin long, kind int, a long, b long, w double",
                 )
             )
+        tick(
+            f"global cross-edge routing ({len(xsrc)} cross-bin / "
+            f"{len(cpdf)} total)"
+        )
         bc2 = spark.sparkContext.broadcast(frozenset(xsrc) | frozenset(xdst))
         phase2 = (
             retained.repartition(n_bins, "__gbin")

@@ -97,26 +97,39 @@ def test_genealogy_bins_cover_and_split():
     # a 2-level genealogy: root 0 -> {1, 2}; 1 -> {3, 4}; 2, 3, 4 leaves
     parent_of = {1: 0, 2: 0, 3: 1, 4: 1}
     leaf_size = {2: 100, 3: 400, 4: 380}
-    leaf_bin, resolve, n_bins = _genealogy_bins(parent_of, leaf_size, 4)
+    leaf_bin, n_bins = _genealogy_bins(parent_of, leaf_size, 4)
     # every leaf has a bin
     assert set(leaf_bin) == {2, 3, 4}
     assert all(b is not None for b in leaf_bin.values())
-    # budget 880/4=220: node 1 (780) splits, so creators 0 and 1 are
-    # above the frontier -> their cross edges go to the driver
-    assert resolve(0) is None
-    assert resolve(1) is None
-    # leaves 3 and 4 are their own frontier subtrees
+    # budget 880/4=220: node 1 (780) splits -> leaves 3 and 4 are
+    # their own frontier subtrees and land in different bins
     assert leaf_bin[3] != leaf_bin[4]
     assert 1 <= n_bins <= 4
 
 
+def test_genealogy_bins_affinity_merges_connected_subtrees():
+    # same tree; heavy cross-edge traffic between leaves 3 and 4 must
+    # co-bin them (their joint mass 780 <= 2x budget 440? no: cap is
+    # 2*220=440 < 780 -> NOT merged; but with a wider target the cap
+    # admits the merge)
+    parent_of = {1: 0, 2: 0, 3: 1, 4: 1}
+    leaf_size = {2: 100, 3: 400, 4: 380}
+    pairs = [(3, 4)] * 50 + [(2, 3)]
+    leaf_bin, _ = _genealogy_bins(parent_of, leaf_size, 4, affinity=pairs)
+    assert leaf_bin[3] != leaf_bin[4]  # cap 440 blocks the 780 merge
+    # budget 880/2=440, cap 880: the 50-pair (3,4) merge now fits and
+    # wins over the 1-pair (2,3) merge
+    leaf_bin2, _ = _genealogy_bins(parent_of, leaf_size, 2, affinity=pairs)
+    assert leaf_bin2[3] == leaf_bin2[4]
+
+
 def test_genealogy_bins_single_bin():
-    # everything under budget: one bin, all creators resolve into it
+    # everything under budget: one bin for all leaves
     parent_of = {1: 0, 2: 0}
     leaf_size = {1: 3, 2: 4}
-    leaf_bin, resolve, n_bins = _genealogy_bins(parent_of, leaf_size, 1)
+    leaf_bin, n_bins = _genealogy_bins(parent_of, leaf_size, 1)
     assert n_bins == 1
-    assert resolve(0) == leaf_bin[1] == leaf_bin[2]
+    assert leaf_bin[1] == leaf_bin[2]
 
 
 def test_contract_bin_weighted_randomized():

@@ -97,6 +97,10 @@ def main():
     import os
 
     coalesce = bool(os.environ.get("SPARK_GRAFT_COALESCE"))
+    # SPARK_GRAFT_RECURSIVE: "0" forces the single-level contraction
+    # (A/B baseline), "1" forces level 2, unset = the shipping "auto"
+    rec_env = os.environ.get("SPARK_GRAFT_RECURSIVE")
+    recursive = "auto" if rec_env is None else rec_env == "1"
 
     def fit(pts, n):
         model = MRHDBSCAN(
@@ -108,6 +112,7 @@ def main():
             seed=42,
             dim=4,
             coalesce_chains=coalesce,
+            recursive_contraction=recursive,
         ).fit(pts)
         return model.labels.count(), model.n_iterations
 
@@ -138,6 +143,8 @@ def main():
     except FileNotFoundError:
         merged = {}
     key = "mrhdbscan_lineitem_coalesce" if coalesce else "mrhdbscan_lineitem"
+    if recursive is False:
+        key = "mrhdbscan_lineitem_singlelevel"
     merged.setdefault(key, {}).update(results)
     with open("SCALEBENCH.json", "w") as f:
         json.dump(merged, f, indent=1)
