@@ -202,25 +202,46 @@ CONTRACT_TAGGED_SCHEMA = "kind int, a long, b long, w double, subset_id long"
 
 def make_contract_kernel_tagged(boundary_bc, min_cluster_size: int):
     """v1 contraction wrapper that carries the leaf ``subset_id`` on
-    every output row (recursive-contraction level 1)."""
+    every output row (recursive-contraction level 1). Dispatched per
+    HASH BIN, not per subset: pandas-group dispatch scales with the
+    subset count (957k leaf subsets at 40M points cost ~150 s of pure
+    dispatch when grouped per subset — the same disease the exact-leaf
+    kernel fixed with its __bin grouping), so the wrapper loops member
+    subsets inside one pandas group."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        k, a, b, ww = contract_subset_edges(
-            pdf["src"].to_numpy(np.int64),
-            pdf["dst"].to_numpy(np.int64),
-            pdf["weight"].to_numpy(np.float64),
-            boundary_bc.value,
-            min_cluster_size,
-        )
-        return pd.DataFrame(
-            {
-                "kind": k,
-                "a": a,
-                "b": b,
-                "w": ww,
-                "subset_id": np.full(len(k), int(pdf["subset_id"].iloc[0]), np.int64),
-            }
-        )
+        outs = []
+        boundary = boundary_bc.value
+        for sid, g in pdf.groupby("subset_id", sort=False):
+            k, a, b, ww = contract_subset_edges(
+                g["src"].to_numpy(np.int64),
+                g["dst"].to_numpy(np.int64),
+                g["weight"].to_numpy(np.float64),
+                boundary,
+                min_cluster_size,
+            )
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "kind": k,
+                        "a": a,
+                        "b": b,
+                        "w": ww,
+                        "subset_id": np.full(len(k), int(sid), np.int64),
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "kind": np.empty(0, np.int32),
+                    "a": np.empty(0, np.int64),
+                    "b": np.empty(0, np.int64),
+                    "w": np.empty(0, np.float64),
+                    "subset_id": np.empty(0, np.int64),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
 
     return kernel
 

@@ -1124,16 +1124,28 @@ class MRHDBSCAN:
             make_contract_kernel_tagged,
         )
 
+        import pyarrow as pa
+
         cpdf = cross_edges.toArrow().to_pandas()  # creator,src,dst,weight
         boundary1 = frozenset(map(int, cpdf["src"])) | frozenset(
             map(int, cpdf["dst"])
         )
         bc1 = spark.sparkContext.broadcast(boundary1)
         par = spark.sparkContext.defaultParallelism
-        width = 2 * (par if n_subsets is None else min(par, max(1, n_subsets)))
+        # hash-bin dispatch: pandas-group cost must scale with bins
+        # (~2x cores), never with the leaf-subset count (957k at 40M
+        # points — per-subset grouping measured ~150 s of dispatch);
+        # the kernel loops member subsets inside each group. Hash
+        # placement (vs LPT) is fine here: contraction work is
+        # O(E log E) per subset, far flatter than the leaf kernel's
+        # O(c^2).
+        nbins1 = 2 * (par if n_subsets is None else min(par, max(1, n_subsets)))
         phase1 = (
-            leaf_edges.repartition(width, "subset_id")
-            .groupBy("subset_id")
+            leaf_edges.withColumn(
+                "__cbin", F.pmod(F.xxhash64("subset_id"), F.lit(nbins1))
+            )
+            .repartition(nbins1, "__cbin")
+            .groupBy("__cbin")
             .applyInPandas(
                 make_contract_kernel_tagged(bc1, self.min_cluster_size),
                 schema=CONTRACT_TAGGED_SCHEMA,
@@ -1148,9 +1160,11 @@ class MRHDBSCAN:
         )
 
         # endpoint -> leaf subset, via one broadcast join over the
-        # level-1 membership rows (result is O(#cross edges), tiny)
-        eps = sorted(boundary1)
-        ep_df = spark.createDataFrame([(int(e),) for e in eps], schema="a long")
+        # level-1 membership rows (result is O(#cross edges), tiny);
+        # Arrow both ways — python row lists measured seconds at 1.25M
+        # endpoints
+        eps = np.fromiter(boundary1, np.int64, len(boundary1))
+        ep_df = spark.createDataFrame(pa.table({"a": pa.array(eps, pa.int64())}))
         sub_pdf = (
             phase1.filter(F.col("kind") == 0)
             .join(F.broadcast(ep_df), on="a")
@@ -1158,27 +1172,34 @@ class MRHDBSCAN:
             .toArrow()
             .to_pandas()
         )
-        sub_of = dict(
-            zip(
-                (int(x) for x in sub_pdf["a"]),
-                (int(x) for x in sub_pdf["subset_id"]),
-            )
+        sub_map = pd.Series(
+            sub_pdf["subset_id"].to_numpy(np.int64),
+            index=sub_pdf["a"].to_numpy(np.int64),
         )
+        src_sub = cpdf["src"].map(sub_map)
+        dst_sub = cpdf["dst"].map(sub_map)
+        known = src_sub.notna() & dst_sub.notna()
         n_bins_target = int(os.environ.get("SPARK_GRAFT_L2_BINS", "0")) or 2 * par
         leaf_bin, n_bins = _genealogy_bins(
             parent_of,
             leaf_size,
             n_bins_target,
-            affinity=[
-                (sub_of[int(s)], sub_of[int(d)])
-                for s, d in zip(cpdf["src"], cpdf["dst"])
-                if int(s) in sub_of and int(d) in sub_of
-            ],
+            affinity=list(
+                zip(
+                    src_sub[known].astype(np.int64),
+                    dst_sub[known].astype(np.int64),
+                )
+            ),
         )
         tick(f"global bin map ({len(sub_pdf)} endpoints, {n_bins} bins)")
+        bin_items = sorted(leaf_bin.items())
         bin_df = spark.createDataFrame(
-            [(int(s), int(b)) for s, b in leaf_bin.items()],
-            schema="subset_id long, __gbin long",
+            pa.table(
+                {
+                    "subset_id": pa.array([s for s, _ in bin_items], pa.int64()),
+                    "__gbin": pa.array([b for _, b in bin_items], pa.int64()),
+                }
+            )
         )
         retained = (
             phase1.filter(F.col("kind") > 0)
@@ -1187,28 +1208,44 @@ class MRHDBSCAN:
         )
         # route the (driver-resident, O(#bubbles)) cross edges by their
         # endpoints' bins: same bin -> injected into that bin's level-2
-        # graph; spanning two bins -> straight to the driver
-        intra_rows: list[tuple] = []
-        xsrc: list[int] = []
-        xdst: list[int] = []
-        xw: list[float] = []
-        for s, d, ww in zip(cpdf["src"], cpdf["dst"], cpdf["weight"]):
-            # any routing is CORRECT (driver-routed edges just mark
-            # their endpoints boundary); unknown endpoints fall back
-            # to the driver rather than failing the fit
-            bs = leaf_bin.get(sub_of.get(int(s), -1))
-            bd = leaf_bin.get(sub_of.get(int(d), -1))
-            if bs is None or bd is None or bs != bd:
-                xsrc.append(int(s))
-                xdst.append(int(d))
-                xw.append(float(ww))
-            else:
-                intra_rows.append((int(bs), 1, int(s), int(d), float(ww)))
-        if intra_rows:
+        # graph; spanning two bins -> straight to the driver. Any
+        # routing is CORRECT (driver-routed edges just mark their
+        # endpoints boundary); unknown endpoints fall back to the
+        # driver rather than failing the fit.
+        bin_map = pd.Series(
+            [b for _, b in bin_items],
+            index=np.array([s for s, _ in bin_items], np.int64),
+        )
+        src_bin = src_sub.map(bin_map)
+        dst_bin = dst_sub.map(bin_map)
+        intra = src_bin.notna() & dst_bin.notna() & (src_bin == dst_bin)
+        xsrc = cpdf["src"][~intra].to_numpy(np.int64)
+        xdst = cpdf["dst"][~intra].to_numpy(np.int64)
+        xw = cpdf["weight"][~intra].to_numpy(np.float64)
+        n_intra = int(intra.sum())
+        if n_intra:
             retained = retained.unionByName(
                 spark.createDataFrame(
-                    intra_rows,
-                    schema="__gbin long, kind int, a long, b long, w double",
+                    pa.table(
+                        {
+                            "__gbin": pa.array(
+                                src_bin[intra].to_numpy(np.int64), pa.int64()
+                            ),
+                            "kind": pa.array(
+                                np.ones(n_intra, np.int32), pa.int32()
+                            ),
+                            "a": pa.array(
+                                cpdf["src"][intra].to_numpy(np.int64), pa.int64()
+                            ),
+                            "b": pa.array(
+                                cpdf["dst"][intra].to_numpy(np.int64), pa.int64()
+                            ),
+                            "w": pa.array(
+                                cpdf["weight"][intra].to_numpy(np.float64),
+                                pa.float64(),
+                            ),
+                        }
+                    )
                 )
             )
         tick(
