@@ -50,9 +50,19 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     X, y = gauss_mixture(n)
+    import pyarrow as pa
+
+    # Arrow table, not a python row list: row-pickle createDataFrame
+    # measured minutes of driver CPU past ~1M points
     df = spark.createDataFrame(
-        [(i, [float(v) for v in row]) for i, row in enumerate(X)],
-        "point_id long, features array<double>",
+        pa.table(
+            {
+                "point_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+                "features": pa.FixedSizeListArray.from_arrays(
+                    pa.array(X.astype(np.float64).ravel(), pa.float64()), X.shape[1]
+                ).cast(pa.list_(pa.float64())),
+            }
+        )
     )
     t0 = time.time()
     model = MRHDBSCAN(
