@@ -1140,9 +1140,21 @@ class MRHDBSCAN:
         # O(E log E) per subset, far flatter than the leaf kernel's
         # O(c^2).
         nbins1 = 2 * (par if n_subsets is None else min(par, max(1, n_subsets)))
+        # place each hash bin in its own partition via Murmur3
+        # representatives (as the leaf-kernel stage does): a raw
+        # pmod(hash) bin value would itself be re-hashed by the
+        # exchange and collide, leaving some tasks with 2-3 bins and
+        # others empty
+        creps = _partition_reps(nbins1)
         phase1 = (
             leaf_edges.withColumn(
-                "__cbin", F.pmod(F.xxhash64("subset_id"), F.lit(nbins1))
+                "__cbin",
+                F.element_at(
+                    F.array(*[F.lit(int(r)) for r in creps]),
+                    (F.pmod(F.xxhash64("subset_id"), F.lit(nbins1)) + 1).cast(
+                        "int"
+                    ),
+                ),
             )
             .repartition(nbins1, "__cbin")
             .groupBy("__cbin")
