@@ -1772,6 +1772,34 @@ def corpus_diff_q(spark, sf_dir):
     return corpus_diff(docs, merged)
 
 
+def leakage_safe_split_q(spark, sf_dir):
+    """Leakage-safe train/val/test split (bubbles/operators/splits.py
+    leakage_safe_split): documents are bucketed by their near-dup
+    group's CANONICAL id (MinHash-LSH pairs → distributed connected
+    components → min-id canonical), so near-duplicates can never
+    straddle train and test — the eval-contamination failure a
+    per-document split cannot prevent. On top of the dedup pass the
+    split itself is the same zero-shuffle md5 projection as
+    dataset_split, keyed by canonical_id."""
+    from bubbles.operators.splits import leakage_safe_split
+
+    return leakage_safe_split(_t(spark, sf_dir, "documents"))
+
+
+def curriculum_buckets_q(spark, sf_dir):
+    """Quality-curriculum bucketing without a global sort
+    (bubbles/operators/splits.py curriculum_buckets): exact-integer
+    quality micro-units score every doc, per-decile thresholds come
+    from the deterministic hash-rank bottom-k sample (the
+    sampled_quantiles machinery — engine-replayable, exact when the
+    corpus fits in k), and bucket = #thresholds met. ntile() would be
+    a single-partition global-sort window; this is one salted
+    bottom-k agg + a 1-row broadcast + a pure projection."""
+    from bubbles.operators.splits import curriculum_buckets
+
+    return curriculum_buckets(_t(spark, sf_dir, "documents"), n_buckets=10)
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries kept OUT of the official gate registry to stay inside
     its ~50-row window: batch twins of streaming queries already
@@ -1836,6 +1864,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_static_enrich": _widen(stream_static_enrich_q),
         "stream_anomaly": _widen(stream_anomaly_q),
         "stream_kmv_distinct": _widen(stream_kmv_distinct_q),
+        "leakage_safe_split": _widen(leakage_safe_split_q),
+        "curriculum_buckets": _widen(curriculum_buckets_q),
     }
 
 
@@ -2729,6 +2759,69 @@ def extra_oracle_sql() -> dict[str, str]:
     # groups, then the (quality, id) winner) so the two can't drift
     near_groups_sql = oracle_sql()["dedup_near_groups"]
     return {
+        # leakage-safe split composes the near-dup grouping twin
+        # verbatim (same groups), then dataset_split's md5 bucket CASE
+        # keyed by canonical_id
+        "leakage_safe_split": f"""
+            WITH grp AS ({near_groups_sql}),
+            b AS (
+              SELECT doc_id, canonical_id,
+                     CAST(CONCAT('0x', substr(md5(CAST(canonical_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+              FROM grp
+            )
+            SELECT doc_id, canonical_id, CAST(bucket AS BIGINT) AS bucket,
+                   CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
+        """,
+        # curriculum: the exact-integer quality micro-units (same
+        # expression as text_profile's twin), decile thresholds from
+        # the hash-rank bottom-k sample (same machinery as the
+        # sampled_quantiles twin, one group), bucket = #thresholds met
+        "curriculum_buckets": r"""
+            WITH scored AS (
+              SELECT doc_id,
+                     ((1000000 * CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+                         + greatest(length(text), 1))
+                        // (2 * CAST(greatest(length(text), 1) AS BIGINT)))
+                     + (CASE WHEN length(text) >= 3 * greatest(len(string_split_regex(lower(text), '\s+')), 1)
+                              AND length(text) <= 12 * greatest(len(string_split_regex(lower(text), '\s+')), 1)
+                             THEN 250000 ELSE 0 END)
+                     + (CASE WHEN len(list_intersect(
+                                list_distinct(string_split_regex(lower(text), '\s+')),
+                                ['the','and','of','to','is','that','with','for'])) >= 2
+                             THEN 250000 ELSE 0 END) AS qm
+              FROM documents
+            ),
+            h AS (
+              SELECT doc_id, qm,
+                     CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+              FROM scored
+            ),
+            s AS (
+              SELECT qm, hv FROM (
+                SELECT qm, hv, row_number() OVER (ORDER BY hv) AS rn FROM h
+              ) WHERE rn <= 1024
+            ),
+            r AS (
+              SELECT qm,
+                     row_number() OVER (ORDER BY qm, hv) - 1 AS rn2,
+                     count(*) OVER () AS m
+              FROM s
+            ),
+            q AS (SELECT unnest([100000, 200000, 300000, 400000, 500000,
+                                 600000, 700000, 800000, 900000]) AS q_ppm),
+            thr AS (
+              SELECT r.qm AS v FROM r, q
+              WHERE r.rn2 = (CAST(q.q_ppm AS HUGEINT) * (r.m - 1)) // 1000000
+            ),
+            tl AS (SELECT list_sort(list(v)) AS thr FROM thr)
+            SELECT sc.doc_id,
+                   CAST(sc.qm AS BIGINT) AS quality_micros,
+                   CAST(len(list_filter(tl.thr, t -> sc.qm >= t)) AS BIGINT) AS bucket
+            FROM scored sc, tl
+        """,
         "dedup_keep_best": f"""
             WITH grp AS ({near_groups_sql}),
             scored AS (

@@ -189,3 +189,83 @@ def weighted_mixture(
     for k, w in sorted(weights.items()):
         thr = F.when(F.col(key_col) == k, F.lit(int(round(float(w) * 1_000_000)))).otherwise(thr)
     return df.filter(bucket < thr)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cuts: tuple = (80, 90),
+    names: tuple = ("train", "val", "test"),
+    groups: DataFrame | None = None,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Near-dup-group-granular split: each document is bucketed by its
+    near-duplicate group's CANONICAL id, so near-duplicates can never
+    straddle train and test — the contamination a per-document split
+    (``assign_split``) cannot prevent (a benchmark answer paraphrased
+    in train leaks into eval). ``groups``: optional precomputed
+    (id_col, canonical_id) relation (e.g. a persisted dedup pass);
+    defaults to ``near_dup_groups`` — MinHash-LSH pairs, distributed
+    connected components, min-id canonical.
+
+    Scale shape: the grouping is the dedup pass the corpus runs
+    anyway; on top of it the split is the same zero-shuffle md5
+    projection as ``assign_split``, just keyed by canonical_id.
+    Output: (id_col, canonical_id, bucket, split)."""
+    if groups is None:
+        from bubbles.operators.dedup import near_dup_groups
+
+        groups = near_dup_groups(df, text_col, id_col, **lsh_kwargs)
+    return assign_split(groups, id_col="canonical_id", cuts=cuts, names=names)
+
+
+def curriculum_buckets(
+    df: DataFrame,
+    n_buckets: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 1024,
+) -> DataFrame:
+    """Quality-curriculum assignment WITHOUT a global sort: documents
+    are scored with the exact-integer quality heuristic
+    (operators.text.quality_micros), per-quantile thresholds come
+    from the deterministic hash-rank bottom-k sample
+    (operators.sketch.sampled_quantiles — engine-replayable, exact
+    for corpora <= k), and ``bucket`` = how many thresholds the score
+    meets (0 = lowest-quality decile .. n_buckets-1 = highest). A
+    curriculum schedule then feeds buckets in order.
+
+    Scale shape: ntile() would be a single-partition global-sort
+    window — a scale-killer at 10^9 docs. Here the thresholds reduce
+    to ONE broadcast row (array of n_buckets-1 longs) and the
+    assignment is a pure projection over the scan: one salted
+    bottom-k aggregation + zero wide shuffles at any corpus size.
+    Output: (id_col, quality_micros, bucket)."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    from bubbles.operators.sketch import sampled_quantiles
+    from bubbles.operators.text import quality_micros
+
+    scored = df.select(
+        F.col(id_col), quality_micros(F.col(text_col)).alias("quality_micros")
+    )
+    qs = [i * 1_000_000 // n_buckets for i in range(1, n_buckets)]
+    thr = sampled_quantiles(
+        scored.withColumn("__g", F.lit(0)),
+        "__g",
+        id_col,
+        "quality_micros",
+        qs_ppm=qs,
+        k=k,
+    )
+    thr_arr = thr.groupBy().agg(
+        F.sort_array(F.collect_list("value")).alias("__thr")
+    )
+    return scored.crossJoin(F.broadcast(thr_arr)).select(
+        id_col,
+        "quality_micros",
+        F.size(
+            F.filter("__thr", lambda t: F.col("quality_micros") >= t)
+        ).cast("long").alias("bucket"),
+    )

@@ -756,6 +756,18 @@ def main():
         gs.split("== Initial Plan ==")[0].count("Expand") == 1,
         "((rf,ls),(rf),()) in one Expand + two-phase hash agg",
     )
+    cb = plan_of(m.all_queries()["curriculum_buckets"](spark, sf_dir))
+    cb0 = cb.split("== Initial Plan ==")[0]
+    check(
+        "curriculum corpus side never sorts or shuffles for the join",
+        ("BroadcastNestedLoopJoin" in cb or "BroadcastExchange" in cb)
+        and "SortMergeJoin" not in cb0
+        and "ntile" not in cb0,
+        "thresholds reduce to ONE broadcast row and bucket assignment is "
+        "a projection over the scan; the windows in the plan sit only in "
+        "the <=k-row threshold branch (the ntile() alternative would be "
+        "a single-partition global sort of the corpus)",
+    )
 
     lines = [
         "# PLANS — physical-plan audit (tools/plan_audit.py)",
