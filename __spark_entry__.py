@@ -1800,6 +1800,27 @@ def curriculum_buckets_q(spark, sf_dir):
     return curriculum_buckets(_t(spark, sf_dir, "documents"), n_buckets=10)
 
 
+def clustering_ari_q(spark, sf_dir):
+    """Distributed pair-counting clustering evaluation
+    (bubbles/operators/metrics.py clustering_pair_stats): ARI and
+    pair precision/recall between the embeddings ground-truth labels
+    and a pinned deterministic partition (vec_id % 25), computed as
+    ONE contingency hash-agg (cardinality = #clusters², independent
+    of row count) + arithmetic on a handful of rows — the quality
+    protocol's driver-side ARI cannot collect 10^8 labels. Exact
+    int64 sufficient statistics; the three ratios are single pinned
+    IEEE double expressions, so the twin is bit-identical."""
+    from bubbles.operators.metrics import clustering_pair_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return clustering_pair_stats(
+        emb.select(
+            F.col("label").alias("label_a"),
+            F.pmod(F.col("vec_id"), F.lit(25)).alias("label_b"),
+        )
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries kept OUT of the official gate registry to stay inside
     its ~50-row window: batch twins of streaming queries already
@@ -1866,6 +1887,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_kmv_distinct": _widen(stream_kmv_distinct_q),
         "leakage_safe_split": _widen(leakage_safe_split_q),
         "curriculum_buckets": _widen(curriculum_buckets_q),
+        "clustering_ari": _widen(clustering_ari_q),
     }
 
 
@@ -2774,6 +2796,52 @@ def extra_oracle_sql() -> dict[str, str]:
                         WHEN bucket < 90 THEN 'val'
                         ELSE 'test' END AS split
             FROM b
+        """,
+        # pair-counting ARI: exact int64 sufficient statistics from
+        # one contingency agg; the ratio expressions are spelled in
+        # the engine's exact double evaluation order
+        "clustering_ari": """
+            WITH p AS (
+              SELECT label AS a, vec_id % 25 AS b FROM embeddings
+              WHERE label IS NOT NULL AND vec_id IS NOT NULL
+            ),
+            cont AS (SELECT a, b, count(*) AS cnt FROM p GROUP BY a, b),
+            s AS (
+              SELECT SUM((cnt * (cnt - 1)) // 2) AS same_both,
+                     SUM(cnt) AS n
+              FROM cont
+            ),
+            ra AS (
+              SELECT SUM((c * (c - 1)) // 2) AS same_a
+              FROM (SELECT SUM(cnt) AS c FROM cont GROUP BY a)
+            ),
+            rb AS (
+              SELECT SUM((c * (c - 1)) // 2) AS same_b
+              FROM (SELECT SUM(cnt) AS c FROM cont GROUP BY b)
+            ),
+            j AS (
+              SELECT n, (n * (n - 1)) // 2 AS n_pairs,
+                     same_both, same_a, same_b
+              FROM s, ra, rb
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(n_pairs AS BIGINT) AS n_pairs,
+                   CAST(same_both AS BIGINT) AS same_both,
+                   CAST(same_a AS BIGINT) AS same_a,
+                   CAST(same_b AS BIGINT) AS same_b,
+                   (CAST(same_both AS DOUBLE)
+                      - CAST(same_a AS DOUBLE) * CAST(same_b AS DOUBLE)
+                        / CAST(n_pairs AS DOUBLE))
+                   / nullif(
+                       (CAST(same_a AS DOUBLE) + CAST(same_b AS DOUBLE)) / 2.0
+                         - CAST(same_a AS DOUBLE) * CAST(same_b AS DOUBLE)
+                           / CAST(n_pairs AS DOUBLE),
+                       0.0) AS ari,
+                   CAST(same_both AS DOUBLE)
+                     / nullif(CAST(same_b AS DOUBLE), 0.0) AS pair_precision,
+                   CAST(same_both AS DOUBLE)
+                     / nullif(CAST(same_a AS DOUBLE), 0.0) AS pair_recall
+            FROM j
         """,
         # curriculum: the exact-integer quality micro-units (same
         # expression as text_profile's twin), decile thresholds from
