@@ -1832,7 +1832,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sampling, source quotas, length quantiles, weighted mixing, token
     budgets, Bloom incremental dedup, bigram LM / DSIR scoring,
     k-means, semantic dedup, funnel, cohort retention, PageRank,
-    triangle counting). All remain covered by pytest
+    triangle counting, leakage-safe split, curriculum bucketing,
+    pair-counting clustering metrics). All remain covered by pytest
     (tests/test_twin_robustness.py runs their oracle twins),
     tools/check_oracle.py (which sweeps all_queries), bench.py, and
     tools/plan_audit.py."""
