@@ -114,6 +114,12 @@ def main():
         ),
     }
 
+    from bubbles.operators.splits import curriculum_buckets
+
+    OPS["curriculum_buckets"] = lambda d, n: run(
+        curriculum_buckets(d, n_buckets=10)
+    )
+
     from bubbles.operators.text import segment_dedup
 
     OPS["segment_dedup"] = lambda d, n: run(
