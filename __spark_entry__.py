@@ -2488,7 +2488,8 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             )
             SELECT event_type, count(*) AS n,
-                   sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   min(k) AS min_k, max(k) AS max_k
             FROM e GROUP BY event_type
         """,
         # lang-guess CASE mirrors the text-profile twin's heuristic
@@ -2514,7 +2515,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_language_rollup": (
             "WITH tp AS (" + _TEXT_PROFILE_SQL + """)
             SELECT lang_guess, count(*) AS n_docs,
-                   sum(n_tokens) AS total_tokens,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                    CAST(sum(quality_micros) AS BIGINT) AS quality_micros_sum,
                    CAST(sum(CASE WHEN quality_micros >= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality
             FROM tp GROUP BY lang_guess
@@ -2637,8 +2638,8 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 'test' END) AS split,
                    lang_guess,
                    count(*) AS n_docs,
-                   sum(qm) AS quality_micros_sum,
-                   sum(n_pii) AS pii_masked
+                   CAST(sum(qm) AS BIGINT) AS quality_micros_sum,
+                   CAST(sum(n_pii) AS BIGINT) AS pii_masked
             FROM rows_ GROUP BY 1, 2
         """,
         "corpus_vocab": """
@@ -3372,28 +3373,30 @@ def extra_oracle_sql() -> dict[str, str]:
                    count(DISTINCT doc_id) AS n_distinct,
                    CAST(min(doc_id) AS VARCHAR) AS min_repr,
                    CAST(max(doc_id) AS VARCHAR) AS max_repr,
-                   coalesce(sum(length(CAST(doc_id AS VARCHAR))), 0) AS total_len
+                   CAST(coalesce(sum(length(CAST(doc_id AS VARCHAR))), 0)
+                        AS BIGINT) AS total_len
             FROM documents
             UNION ALL
             SELECT 'text', count(*), count(*) - count(text),
                    count(DISTINCT text), min(text), max(text),
-                   coalesce(sum(length(text)), 0)
+                   CAST(coalesce(sum(length(text)), 0) AS BIGINT)
             FROM documents
             UNION ALL
             SELECT 'lang', count(*), count(*) - count(lang),
                    count(DISTINCT lang), min(lang), max(lang),
-                   coalesce(sum(length(lang)), 0)
+                   CAST(coalesce(sum(length(lang)), 0) AS BIGINT)
             FROM documents
             UNION ALL
             SELECT 'source', count(*), count(*) - count(source),
                    count(DISTINCT source), min(source), max(source),
-                   coalesce(sum(length(source)), 0)
+                   CAST(coalesce(sum(length(source)), 0) AS BIGINT)
             FROM documents
             UNION ALL
             SELECT 'n_chars', count(*), count(*) - count(n_chars),
                    count(DISTINCT n_chars),
                    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR),
-                   coalesce(sum(length(CAST(n_chars AS VARCHAR))), 0)
+                   CAST(coalesce(sum(length(CAST(n_chars AS VARCHAR))), 0)
+                        AS BIGINT)
             FROM documents
         """,
         # identical 60-bit md5-prefix hash; bottom-16 via one window
@@ -3616,10 +3619,10 @@ def extra_oracle_sql() -> dict[str, str]:
         "compaction_plan": """
             WITH c AS (
               SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
-                     coalesce(sum(CAST(n_chars AS BIGINT)) OVER (
+                     CAST(coalesce(sum(CAST(n_chars AS BIGINT)) OVER (
                        PARTITION BY source ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                     ), 0) AS cum
+                     ), 0) AS BIGINT) AS cum
               FROM documents
             )
             SELECT source, doc_id, n_chars,
@@ -3869,7 +3872,8 @@ def extra_oracle_sql() -> dict[str, str]:
         # same IEEE floor(value/width) bin on both engines
         "value_histogram": """
             SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,
-                   CAST(floor(value / 25.0) AS BIGINT) * 25.0 AS bin_start,
+                   CAST(CAST(floor(value / 25.0) AS BIGINT) * 25.0
+                        AS DOUBLE) AS bin_start,
                    count(*) AS n
             FROM events WHERE value IS NOT NULL
             GROUP BY 1
