@@ -947,15 +947,11 @@ def _widen(fn):
     return wrapped
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Registry order is load-bearing: the external correctness gate
-    # records at most ~50 rows in registration order (round 5's record
-    # held exactly the first 50 of 54), so the newest / re-keyed
-    # queries are registered FIRST and the total is kept at 49 with
-    # headroom. Five near-duplicate entries (batch twins of streaming
-    # queries + two simple OLAP groupBy variants + the shared-oracle
-    # repetition scale path) live in extra_queries() below — still
-    # tested by pytest/bench/plan-audit, just outside the gate window.
+def _catalog_queries_a() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # First half of the full query catalog (historical gate set,
+    # rounds 1-6). Which catalog entries face the official gate in a
+    # given round is decided ONLY by GATE_KEYS at the bottom of this
+    # file — rotate there, not here.
     return {
         # --- re-keyed (fresh names so the gate re-derives per-query
         # state; implementations unchanged from the judge-verified
@@ -1821,22 +1817,10 @@ def clustering_ari_q(spark, sf_dir):
     )
 
 
-def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Queries kept OUT of the official gate registry to stay inside
-    its ~50-row window: batch twins of streaming queries already
-    registered (events_windowed / events_sessionize duplicate
-    stream_windowed_counts / stream_session_windows row-for-row), two
-    simple OLAP groupBy variants, the repetition scale path whose
-    equality with the expression path is pinned by
-    tests/test_pipeline_ops.py, and the round-6 additions (real frame
-    sampling, source quotas, length quantiles, weighted mixing, token
-    budgets, Bloom incremental dedup, bigram LM / DSIR scoring,
-    k-means, semantic dedup, funnel, cohort retention, PageRank,
-    triangle counting, leakage-safe split, curriculum bucketing,
-    pair-counting clustering metrics). All remain covered by pytest
-    (tests/test_twin_robustness.py runs their oracle twins),
-    tools/check_oracle.py (which sweeps all_queries), bench.py, and
-    tools/plan_audit.py."""
+def _catalog_queries_b() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Second half of the full query catalog (queries first added
+    # outside the gate window in rounds 5-6). Gate membership is
+    # decided ONLY by GATE_KEYS at the bottom of this file.
     return {
         "events_windowed": _widen(events_windowed_q),
         "events_sessionize": _widen(events_sessionize_q),
@@ -1893,7 +1877,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {**queries(), **extra_queries()}
+    return {**_catalog_queries_a(), **_catalog_queries_b()}
 
 
 # ---------------------------------------------------------------------------
@@ -2249,7 +2233,9 @@ def _keyword_search_oracle() -> str:
     return keyword_search_sql(_SEARCH_TERMS)
 
 
-def oracle_sql() -> dict[str, str]:
+def _catalog_sql_a() -> dict[str, str]:
+    # DuckDB twins for _catalog_queries_a(). Gate membership is
+    # decided ONLY by GATE_KEYS at the bottom of this file.
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -2775,13 +2761,12 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
-def extra_oracle_sql() -> dict[str, str]:
-    """DuckDB twins for extra_queries() — outside the gate registry
-    but still exercised by tests/test_twin_robustness.py and
-    tools/check_oracle.py via all_oracle_sql()."""
+def _catalog_sql_b() -> dict[str, str]:
+    # DuckDB twins for _catalog_queries_b(). Gate membership is
+    # decided ONLY by GATE_KEYS at the bottom of this file.
     # keep-best composes the near-dup grouping twin verbatim (same
     # groups, then the (quality, id) winner) so the two can't drift
-    near_groups_sql = oracle_sql()["dedup_near_groups"]
+    near_groups_sql = _catalog_sql_a()["dedup_near_groups"]
     return {
         # leakage-safe split composes the near-dup grouping twin
         # verbatim (same groups), then dataset_split's md5 bucket CASE
@@ -3285,7 +3270,7 @@ def extra_oracle_sql() -> dict[str, str]:
         """,
         # identical to the repetition_profile twin: the long/scale path
         # must produce the SAME rows as the expression path
-        "repetition_profile_long": oracle_sql()["repetition_profile"],
+        "repetition_profile_long": _catalog_sql_a()["repetition_profile"],
         # real frame decode: the Spark side runs the netpbm-stream
         # kernel (header index + numpy decode of sampled frames); the
         # twin computes the same per-frame byte statistics directly
@@ -4089,4 +4074,105 @@ def extra_oracle_sql() -> dict[str, str]:
 
 
 def all_oracle_sql() -> dict[str, str]:
-    return {**oracle_sql(), **extra_oracle_sql()}
+    return {**_catalog_sql_a(), **_catalog_sql_b()}
+
+
+# ---------------------------------------------------------------------------
+# Official gate window.
+#
+# The external correctness gate records at most ~50 rows, taken from
+# queries() in registration order; everything else lands in
+# extra_queries() (still swept by tools/check_oracle.py, pytest
+# twin-robustness, bench.py and plan_audit — just without an official
+# CORRECTNESS row that round). Rotating coverage = editing GATE_KEYS.
+#
+# Round-7 rotation (VERDICT r6 tasks 3 & 8): the 46 long-certified
+# stalwarts (green in CORRECTNESS rows across rounds 3-6) move out to
+# extras; the 46 never-officially-certified catalog-B queries rotate
+# in, including the streaming parity twins stream_static_enrich /
+# stream_anomaly / stream_kmv_distinct. The three round-6 hash-red
+# rows (root-caused to HUGEINT twin outputs, twins now cast) stay in
+# to certify the fix. Deferred to the round-8 window: rollup_revenue,
+# pivot_revenue, repetition_profile_long (shares its oracle with the
+# certified repetition_profile), events_windowed, events_sessionize
+# (row-identical batch twins of the certified stream_windowed_counts
+# / stream_session_windows).
+# ---------------------------------------------------------------------------
+
+GATE_KEYS: list[str] = [
+    # round-6 hash-reds, twins fixed this round — certify green
+    "corpus_language_rollup",
+    "events_json_k",
+    "pipeline_clean_corpus",
+    # never-certified catalog-B queries (round-7 rotation)
+    "frame_sample_real",
+    "source_quota",
+    "corpus_length_quantiles",
+    "weighted_mixture",
+    "token_budget",
+    "bloom_incremental_dedup",
+    "lm_score",
+    "semantic_dedup",
+    "kmeans_fit",
+    "dsir_weights",
+    "funnel_counts",
+    "cohort_retention",
+    "pagerank",
+    "triangle_count",
+    "active_users",
+    "segment_dedup",
+    "profile_table",
+    "kmv_distinct",
+    "kmv_overlap",
+    "zorder_key",
+    "sampled_quantiles",
+    "key_skew_profile",
+    "scd2_dimension_join",
+    "grouping_sets_revenue",
+    "dedup_keep_best",
+    "join_cardinality",
+    "compaction_plan",
+    "chunk_documents",
+    "merge_upsert",
+    "salted_join",
+    "pipeline_rag_index",
+    "url_canonical",
+    "privacy_release",
+    "value_histogram",
+    "inverted_index",
+    "substring_dedup",
+    "quantize_embeddings",
+    "resample_ffill",
+    "collocations",
+    "corpus_diff",
+    "stream_static_enrich",
+    "stream_anomaly",
+    "stream_kmv_distinct",
+    "leakage_safe_split",
+    "curriculum_buckets",
+    "clustering_ari",
+]
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The official gate registry: GATE_KEYS, in order."""
+    aq = all_queries()
+    return {k: aq[k] for k in GATE_KEYS}
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Everything in the catalog outside the current gate window."""
+    gate = set(GATE_KEYS)
+    return {k: v for k, v in all_queries().items() if k not in gate}
+
+
+def oracle_sql() -> dict[str, str]:
+    """DuckDB twins for the gate registry, keyed like queries()."""
+    sqls = all_oracle_sql()
+    return {k: sqls[k] for k in GATE_KEYS if k in sqls}
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    """DuckDB twins for extra_queries()."""
+    gate = set(GATE_KEYS)
+    return {k: v for k, v in all_oracle_sql().items() if k not in gate}
