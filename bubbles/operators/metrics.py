@@ -75,10 +75,13 @@ def clustering_pair_stats(
     # expected index and ARI in a PINNED double evaluation order (the
     # DuckDB twin spells out the identical expression): exp = sa*sb/np,
     # ari = (sij - exp) / ((sa+sb)/2 - exp)
+    # n_pairs = C(n,2) is 0 for n < 2; divide through nullif so the
+    # degenerate input yields NULL ari (docstring contract) instead of
+    # an ANSI DIVIDE_BY_ZERO, matching the precision/recall guards
     exp = (
         F.col("same_a").cast("double")
         * F.col("same_b").cast("double")
-        / F.col("n_pairs").cast("double")
+        / F.nullif(F.col("n_pairs").cast("double"), F.lit(0.0))
     )
     return (
         stats.withColumn("n_pairs", n_pairs)

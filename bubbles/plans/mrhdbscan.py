@@ -801,6 +801,28 @@ class MRHDBSCAN:
                     and sum(leaf_size.values()) >= _RECURSIVE_MIN_POINTS
                 )
             ) and constr is None and not self.coalesce_chains and cross_edges is not None
+            if (
+                self.recursive_contraction is True
+                and not use_recursive
+                and (constr is not None or self.coalesce_chains)
+            ):
+                import warnings
+
+                blockers = [
+                    b
+                    for b, on in (
+                        ("constraints", constr is not None),
+                        ("coalesce_chains", bool(self.coalesce_chains)),
+                    )
+                    if on
+                ]
+                warnings.warn(
+                    "recursive_contraction=True downgraded to the "
+                    "single-level contraction: the recursive pass does "
+                    f"not support {'/'.join(blockers)}",
+                    RuntimeWarning,
+                    stacklevel=3,
+                )
             if use_recursive:
                 return self._global_step_recursive(
                     spark,
@@ -1311,7 +1333,6 @@ class MRHDBSCAN:
         eps_max = np.fromiter(
             (min_death[int(c)] for c in res.last_cluster), np.float64, len(verts)
         )
-        import pyarrow as pa
 
         rep2_df = spark.createDataFrame(
             pa.table(

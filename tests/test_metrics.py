@@ -66,6 +66,15 @@ def test_degenerate_single_cluster_is_null(spark):
     assert r["ari"] is None  # undefined, not a fake 0/1
 
 
+def test_single_row_is_null_not_divide_by_zero(spark):
+    # n=1 -> n_pairs=0; under ANSI mode the expected-index division
+    # must nullif through, not raise DIVIDE_BY_ZERO
+    r = _stats(spark, [1], [1])
+    assert r["n"] == 1 and r["n_pairs"] == 0
+    assert r["ari"] is None
+    assert r["pair_precision"] is None and r["pair_recall"] is None
+
+
 def test_nulls_excluded(spark):
     df = spark.createDataFrame(
         [(1, 1), (1, 1), (2, 2), (None, 3), (3, None)],

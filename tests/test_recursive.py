@@ -72,14 +72,16 @@ def test_recursive_matches_driver_deep_genealogy(spark):
 
 def test_recursive_constraints_fall_back(spark):
     # constraints are driver-mapped per-vertex; the recursive path
-    # must silently fall back to the single-level contraction and
+    # must fall back to the single-level contraction — warning the
+    # caller that the explicitly-requested pass did not run — and
     # still match the driver result
     X = _blobs(n=330, seed=19)
     constraints = to_df(spark, X[:0]).sparkSession.createDataFrame(
         [(5, 200, "cl"), (12, 30, "ml"), (250, 260, "ml")],
         schema="point_a long, point_b long, kind string",
     )
-    m_drv, m_rec = _fit_pair(spark, X, constraints=constraints)
+    with pytest.warns(RuntimeWarning, match="downgraded.*constraints"):
+        m_drv, m_rec = _fit_pair(spark, X, constraints=constraints)
     _assert_equivalent(m_drv, m_rec)
 
 
