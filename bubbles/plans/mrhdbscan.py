@@ -42,6 +42,7 @@ from bubbles.kernels.bubble_kernel import local_bubble_model
 from bubbles.operators.bubble_agg import bubble_aggregate
 from bubbles.operators.nearest import nearest_representative_bulk
 from bubbles.operators.sampling import stratified_sample_exact
+from bubbles.sources.points import checkpoint_parquet
 
 _EDGE_SCHEMA = "subset_id long, src long, dst long, weight double"
 _MODEL_SCHEMA = "subset_id long, kind int, a long, b long, w double"
@@ -52,6 +53,44 @@ _MODEL_SCHEMA = "subset_id long, kind int, a long, b long, w double"
 # the driver term grows linearly in retained events (measured 111-145 s
 # at 19.8M points) while the level-2 pass amortizes across executors.
 _RECURSIVE_MIN_POINTS = 2_000_000
+
+
+def _write_fit_manifest(spark, ckdir: str, state: dict) -> None:
+    # One JSON row per COMPLETED iteration, each in its own directory
+    # (never overwritten): a crash mid-write loses at most the current
+    # iteration's manifest, and resume takes the max complete one.
+    # DataFrame text write so the manifest lands on the same
+    # Hadoop-compatible FS as the parquet checkpoints.
+    import json
+
+    (
+        spark.createDataFrame([(json.dumps(state),)], "state string")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(f"{ckdir}/manifest/it{state['iteration']:05d}")
+    )
+
+
+def _load_fit_manifest(spark, ckdir: str) -> dict | None:
+    import json
+
+    try:
+        rows = spark.read.text(f"{ckdir}/manifest/it*").collect()
+    except Exception:
+        return None
+    states = []
+    for r in rows:
+        try:
+            states.append(json.loads(r["value"]))
+        except ValueError:
+            continue
+    if not states:
+        return None
+    state = max(states, key=lambda s: s["iteration"])
+    # JSON stringifies int dict keys; restore them
+    for k in ("stalls", "parent_of", "leaf_size"):
+        state[k] = {int(a): int(b) for a, b in state[k].items()}
+    return state
 
 
 def _genealogy_bins(
@@ -419,6 +458,7 @@ class MRHDBSCAN:
         coalesce_chains: bool = False,
         auto_widen_samples: bool = True,
         recursive_contraction: bool | str = "auto",
+        checkpoint_dir: str | None = None,
     ):
         if global_mode not in ("driver", "contracted"):
             raise ValueError("global_mode must be 'driver' or 'contracted'")
@@ -466,6 +506,19 @@ class MRHDBSCAN:
         # points (e.g. 1.57M at the 768/4096 bench config), so small-SF
         # runs are bit-identical with it on or off.
         self.auto_widen_samples = auto_widen_samples
+        # Durable iteration state (SCALE.md "iteration state" row): by
+        # default the fit loop cuts lineage with localCheckpoint(),
+        # which dies with an executor. With checkpoint_dir set, every
+        # loop-level cut becomes a parquet round-trip under that
+        # directory (the reference's S3/S4 object-file checkpoints) and
+        # a one-row JSON manifest is committed per completed iteration,
+        # so a NEW session can call fit() with the same parameters +
+        # checkpoint_dir and resume at the last completed iteration
+        # boundary with bit-identical results (the sampler orders by
+        # xxhash64(id, seed), never by physical row order). Reusing a
+        # directory across different inputs/params is caller error —
+        # clean it between unrelated fits.
+        self.checkpoint_dir = checkpoint_dir
 
     # ------------------------------------------------------------------
     def fit(self, df: DataFrame, constraints: DataFrame | None = None) -> MRHDBSCANModel:
@@ -487,21 +540,44 @@ class MRHDBSCAN:
 
         dim = self.dim or len(df.select(self.features_col).first()[0])
         par = spark.sparkContext.defaultParallelism
-        current = df.select(
-            F.col(self.id_col).cast("long").alias("point_id"),
-            F.col(self.features_col).cast("array<double>").alias("features"),
-            F.lit(0).cast("long").alias("subset_id"),
-        )
-        # A small input arrives in fewer splits than cores (one parquet
-        # file = 1-2 splits) and every per-point stage downstream —
-        # assignment mapInPandas, aggregation partials — inherits that
-        # width. Widen once; at scale the split count already exceeds
-        # the core count and this is a no-op (the getNumPartitions read
-        # is driver-side plan inspection, no job).
-        if current.rdd.getNumPartitions() < par:
-            current = current.repartition(par)
-        current = current.localCheckpoint()
-        _tick("ingest checkpoint")
+        ckdir = self.checkpoint_dir
+
+        def _cut(d: DataFrame, name: str) -> DataFrame:
+            # loop-level lineage cut: in-session by default, durable
+            # parquet round-trip when checkpoint_dir is set
+            if ckdir is None:
+                return d.localCheckpoint()
+            return checkpoint_parquet(d, f"{ckdir}/{name}")
+
+        resume = _load_fit_manifest(spark, ckdir) if ckdir else None
+        if resume is not None:
+            import warnings
+
+            warnings.warn(
+                f"resuming fit from {ckdir} at iteration "
+                f"{resume['iteration']} (clean the directory to start "
+                "fresh)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            current = spark.read.parquet(f"{ckdir}/{resume['current_name']}")
+            _tick(f"resume load (iteration {resume['iteration']})")
+        else:
+            current = df.select(
+                F.col(self.id_col).cast("long").alias("point_id"),
+                F.col(self.features_col).cast("array<double>").alias("features"),
+                F.lit(0).cast("long").alias("subset_id"),
+            )
+            # A small input arrives in fewer splits than cores (one parquet
+            # file = 1-2 splits) and every per-point stage downstream —
+            # assignment mapInPandas, aggregation partials — inherits that
+            # width. Widen once; at scale the split count already exceeds
+            # the core count and this is a no-op (the getNumPartitions read
+            # is driver-side plan inspection, no job).
+            if current.rdd.getNumPartitions() < par:
+                current = current.repartition(par)
+            current = _cut(current, "ingest_current")
+            _tick("ingest checkpoint")
 
         exact_kernel = _make_exact_edges_kernel_binned(self.min_pts, self.distance)
         model_kernel = _make_local_model_kernel(
@@ -510,6 +586,8 @@ class MRHDBSCAN:
 
         leaf_parts: list[DataFrame] = []  # (subset_id, src, dst, weight)
         cross_parts: list[DataFrame] = []  # (creator, src, dst, weight)
+        leaf_names: list[str] = []  # durable-mode parquet names
+        cross_names: list[str] = []
         stalls: dict[int, int] = {0: 0}
         next_subset_id = 1
         iteration = 0
@@ -519,6 +597,21 @@ class MRHDBSCAN:
         # leaf_size[s] = point count when s went to the exact-leaf path
         parent_of: dict[int, int] = {}
         leaf_size: dict[int, int] = {}
+        if resume is not None:
+            leaf_names = list(resume["leaf_names"])
+            cross_names = list(resume["cross_names"])
+            leaf_parts = [
+                spark.read.parquet(f"{ckdir}/{n}") for n in leaf_names
+            ]
+            cross_parts = [
+                spark.read.parquet(f"{ckdir}/{n}") for n in cross_names
+            ]
+            stalls = resume["stalls"]
+            next_subset_id = int(resume["next_subset_id"])
+            iteration = int(resume["iteration"])
+            n_leaf_subsets = int(resume["n_leaf_subsets"])
+            parent_of = resume["parent_of"]
+            leaf_size = resume["leaf_size"]
 
         def _filter_subsets(df, ids):
             # a literal isin() list blows up the plan once subsets are
@@ -621,7 +714,9 @@ class MRHDBSCAN:
                     .groupBy("__bin")
                     .applyInPandas(exact_kernel, schema=_EDGE_SCHEMA)
                 )
-                leaf_parts.append(edges.localCheckpoint())
+                leaf_name = f"it{iteration:05d}_leaves"
+                leaf_parts.append(_cut(edges, leaf_name))
+                leaf_names.append(leaf_name)
                 n_leaf_subsets += len(small)
                 for s in small:
                     leaf_size[int(s)] = int(sizes[s])
@@ -637,7 +732,7 @@ class MRHDBSCAN:
                 # the data, one materialization pays for itself (each
                 # later pass scans big_total rows instead of the whole
                 # checkpointed relation)
-                big_df = big_df.localCheckpoint()
+                big_df = _cut(big_df, f"it{iteration:05d}_big")
                 _tick(f"it{iteration} big checkpoint ({big_total} pts)")
             # the sizes agg above already counted every subset — hand
             # the per-key counts to the sampler instead of letting it
@@ -676,26 +771,32 @@ class MRHDBSCAN:
                     grp["point_id"].to_numpy(np.int64),
                     np.array([np.asarray(f, dtype=np.float64) for f in grp["features"]]),
                 )
-            assigned = nearest_representative_bulk(
-                big_df, packed, metric=self.distance
-            ).localCheckpoint()
+            assigned = _cut(
+                nearest_representative_bulk(big_df, packed, metric=self.distance),
+                f"it{iteration:05d}_assign",
+            )
             _tick(f"it{iteration} assign checkpoint")
             bubbles = bubble_aggregate(assigned, dim)
-            model_out = (
+            model_out = _cut(
                 bubbles.repartition(2 * min(par, len(big)), "subset_id")
                 .groupBy("subset_id")
-                .applyInPandas(model_kernel, schema=_MODEL_SCHEMA)
-                .localCheckpoint()
+                .applyInPandas(model_kernel, schema=_MODEL_SCHEMA),
+                f"it{iteration:05d}_model",
             )
             _tick(f"it{iteration} bubble model")
-            cross_parts.append(
-                model_out.filter(F.col("kind") == 1).select(
-                    F.col("subset_id").alias("creator"),
-                    F.col("a").alias("src"),
-                    F.col("b").alias("dst"),
-                    F.col("w").alias("weight"),
-                )
+            cross_part = model_out.filter(F.col("kind") == 1).select(
+                F.col("subset_id").alias("creator"),
+                F.col("a").alias("src"),
+                F.col("b").alias("dst"),
+                F.col("w").alias("weight"),
             )
+            if ckdir is not None:
+                # cut explicitly so resume can reload cross edges
+                # without replaying the model filter over it*_model
+                cross_name = f"it{iteration:05d}_cross"
+                cross_part = _cut(cross_part, cross_name)
+                cross_names.append(cross_name)
+            cross_parts.append(cross_part)
             bubble_labels = model_out.filter(F.col("kind") == 0).select(
                 "subset_id", F.col("a").alias("bubble_id"), F.col("b").alias("label")
             )
@@ -739,16 +840,33 @@ class MRHDBSCAN:
             ).select("subset_id", "bubble_id", "new_subset_id")
             if len(mapping) <= 10_000_000:
                 relabel = F.broadcast(relabel)
-            current = (
-                assigned.join(relabel, on=["subset_id", "bubble_id"])
-                .select(
+            current = _cut(
+                assigned.join(relabel, on=["subset_id", "bubble_id"]).select(
                     "point_id",
                     "features",
                     F.col("new_subset_id").alias("subset_id"),
-                )
-                .localCheckpoint()
+                ),
+                f"it{iteration:05d}_current",
             )
             _tick(f"it{iteration} relabel checkpoint")
+            if ckdir is not None:
+                # commit the completed iteration: everything the loop
+                # needs to restart from this boundary in a new session
+                _write_fit_manifest(
+                    spark,
+                    ckdir,
+                    {
+                        "iteration": iteration + 1,
+                        "current_name": f"it{iteration:05d}_current",
+                        "leaf_names": leaf_names,
+                        "cross_names": cross_names,
+                        "stalls": stalls,
+                        "parent_of": parent_of,
+                        "leaf_size": leaf_size,
+                        "next_subset_id": next_subset_id,
+                        "n_leaf_subsets": n_leaf_subsets,
+                    },
+                )
             iteration += 1
 
         if not leaf_parts:
@@ -780,7 +898,7 @@ class MRHDBSCAN:
             cross_edges = cross_parts[0]
             for e in cross_parts[1:]:
                 cross_edges = cross_edges.unionByName(e)
-            cross_edges = cross_edges.localCheckpoint()
+            cross_edges = _cut(cross_edges, "merged_cross")
 
         constr = None
         if constraints is not None:
@@ -846,7 +964,9 @@ class MRHDBSCAN:
         all_edges = leaf_edges.drop("subset_id")
         if cross_edges is not None:
             all_edges = all_edges.unionByName(cross_edges.drop("creator"))
-        return self._global_step(spark, all_edges.localCheckpoint(), iteration, constr)
+        return self._global_step(
+            spark, _cut(all_edges, "merged_all_edges"), iteration, constr
+        )
 
     # ------------------------------------------------------------------
     def _global_step(

@@ -1,0 +1,104 @@
+"""Durable fit checkpointing (MRHDBSCAN(checkpoint_dir=...)).
+
+SCALE.md's "iteration state" row promises that at cluster scale the
+per-iteration localCheckpoint() becomes a reliable parquet checkpoint
+that survives executor (and driver) loss. These tests pin that
+contract: with checkpoint_dir set, every loop-level lineage cut is a
+parquet round-trip plus a per-iteration JSON manifest, and a FRESH
+fit() call pointed at the directory resumes at the last completed
+iteration boundary with labels bit-identical to an uninterrupted run.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from bubbles.plans.mrhdbscan import MRHDBSCAN, _load_fit_manifest
+
+from tests.test_contracted import _blobs, to_df
+
+PARAMS = dict(
+    min_pts=4,
+    min_cluster_size=5,
+    max_local_size=48,
+    max_samples_per_subset=8,
+    seed=23,
+    global_mode="contracted",
+)
+
+
+def _labels(model):
+    return sorted(
+        (r["point_id"], r["label"]) for r in model.labels.collect()
+    )
+
+
+def _canon(labels):
+    # partition up to cluster renaming: noise (0) pinned, clusters
+    # renumbered by first appearance in point_id order
+    ren: dict[int, int] = {0: 0}
+    out = []
+    for pid, lbl in labels:
+        if lbl not in ren:
+            ren[lbl] = len(ren)
+        out.append((pid, ren[lbl]))
+    return out
+
+
+def test_durable_fit_matches_and_resumes(spark, tmp_path):
+    X = _blobs(n=900, seed=23)
+    df = to_df(spark, X)
+    ck = str(tmp_path / "fitck")
+
+    baseline = MRHDBSCAN(**PARAMS).fit(df)
+    assert baseline.n_iterations >= 2  # resume boundary is non-trivial
+
+    durable = MRHDBSCAN(**PARAMS, checkpoint_dir=ck).fit(df)
+    # the parquet round-trip re-splits the data, which reorders float
+    # partial sums in the bubble aggregation: cluster ids renumber and
+    # a handful of boundary points may flip — the partitions must
+    # still agree almost everywhere. Exactness is only promised
+    # BETWEEN runs on the same checkpoint lineage (resume, below).
+    canon_base = dict(_canon(_labels(baseline)))
+    canon_dur = dict(_canon(_labels(durable)))
+    n_diff = sum(1 for p, l in canon_dur.items() if canon_base[p] != l)
+    assert n_diff <= 0.05 * len(canon_dur), f"{n_diff} points diverged"
+    expected = _labels(durable)
+
+    # every completed iteration committed a manifest, and the durable
+    # artifacts are plain parquet a new session could read
+    state = _load_fit_manifest(spark, ck)
+    assert state is not None
+    assert state["iteration"] == baseline.n_iterations
+    assert state["leaf_names"]
+    for name in state["leaf_names"]:
+        assert spark.read.parquet(f"{ck}/{name}").count() > 0
+
+    # simulate a mid-fit crash: keep only iteration 0's commit (drop
+    # later manifests), then re-fit with the same dir. The loop must
+    # RESUME — warning the caller — from the end-of-iteration-0 state
+    # on disk (not session lineage) and reproduce identical labels.
+    for it in range(2, state["iteration"] + 1):
+        shutil.rmtree(f"{ck}/manifest/it{it:05d}", ignore_errors=True)
+    partial = _load_fit_manifest(spark, ck)
+    assert partial is not None and partial["iteration"] == 1
+
+    with pytest.warns(RuntimeWarning, match="resuming fit"):
+        resumed = MRHDBSCAN(**PARAMS, checkpoint_dir=ck).fit(df)
+    assert _labels(resumed) == expected
+    assert resumed.n_iterations == baseline.n_iterations
+
+
+def test_checkpoint_dir_unused_without_manifest(spark, tmp_path):
+    # an empty/never-used directory must behave like a fresh fit (no
+    # spurious resume), and a tiny single-iteration fit still commits
+    X = _blobs(n=120, seed=5)
+    df = to_df(spark, X)
+    ck = str(tmp_path / "fresh")
+    m = MRHDBSCAN(
+        min_pts=4, min_cluster_size=5, max_local_size=64,
+        max_samples_per_subset=16, seed=7, checkpoint_dir=ck,
+    ).fit(df)
+    assert m.labels.count() == len(X)
