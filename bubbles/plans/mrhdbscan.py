@@ -54,6 +54,34 @@ _MODEL_SCHEMA = "subset_id long, kind int, a long, b long, w double"
 # at 19.8M points) while the level-2 pass amortizes across executors.
 _RECURSIVE_MIN_POINTS = 2_000_000
 
+# relabel (J2) broadcast ceiling, in mapping rows (= #bubbles): below
+# it the per-iteration relabel map ships as a broadcast hint; past it
+# a broadcast would pressure every executor (~10M rows ≈ 240 MB) and
+# the join falls back to a plain shuffle on (subset_id, label) —
+# SCALE.md "relabel" row. Module-level so tests can force a tiny
+# ceiling and assert the shuffle plan.
+_RELABEL_BROADCAST_MAX = 10_000_000
+
+
+def _relabel_join(
+    bubble_labels: DataFrame, map_df: DataFrame, n_mapping: int
+) -> DataFrame:
+    """The fit loop's J2 relabel join (bubble -> fresh subset id).
+
+    Broadcasts the driver-built mapping while it is small; at or past
+    ``_RELABEL_BROADCAST_MAX`` rows the hint is dropped so Spark plans
+    a shuffle equi-join (AQE may still pick broadcast from runtime
+    stats — the point is that WE stop forcing it past the ceiling).
+    """
+    if n_mapping <= _RELABEL_BROADCAST_MAX:
+        map_df = F.broadcast(map_df)
+    relabel = bubble_labels.join(map_df, on=["subset_id", "label"]).select(
+        "subset_id", "bubble_id", "new_subset_id"
+    )
+    if n_mapping <= _RELABEL_BROADCAST_MAX:
+        relabel = F.broadcast(relabel)
+    return relabel
+
 
 def _write_fit_manifest(spark, ckdir: str, state: dict) -> None:
     # One JSON row per COMPLETED iteration, each in its own directory
@@ -828,18 +856,9 @@ class MRHDBSCAN:
             map_df = spark.createDataFrame(
                 mapping, schema="subset_id long, label long, new_subset_id long"
             )
-            # relabel has one row per BUBBLE. Broadcast while that is
-            # small (it always is at the benched scales); past ~10M
-            # bubbles a broadcast pressures every executor and the
-            # equi-join should shuffle instead — same policy as the
-            # rep_df label join in the global step.
-            if len(mapping) <= 10_000_000:
-                map_df = F.broadcast(map_df)
-            relabel = bubble_labels.join(
-                map_df, on=["subset_id", "label"]
-            ).select("subset_id", "bubble_id", "new_subset_id")
-            if len(mapping) <= 10_000_000:
-                relabel = F.broadcast(relabel)
+            # relabel has one row per BUBBLE; broadcast-vs-shuffle is
+            # decided by _relabel_join against _RELABEL_BROADCAST_MAX
+            relabel = _relabel_join(bubble_labels, map_df, len(mapping))
             current = _cut(
                 assigned.join(relabel, on=["subset_id", "bubble_id"]).select(
                     "point_id",
