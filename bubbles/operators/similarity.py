@@ -116,6 +116,57 @@ def lsh_bucket(
     return df.select(F.col(id_col), v.alias(vec_col), bucket.alias("bucket"))
 
 
+def lsh_bucket_probes(
+    df: DataFrame,
+    dim: int,
+    planes: int = 8,
+    seed: int = 42,
+    table: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probes: int = 1,
+) -> DataFrame:
+    """Multi-probe bucketing (Lv et al., VLDB 2007): one row per
+    (id, probe bucket) — the row's own sign-bit bucket plus the
+    buckets reached by flipping the ``n_probes - 1`` LOWEST-MARGIN
+    sign bits (|projection| smallest = the bits most likely wrong for
+    a true near neighbor). All column expressions: the margins sort
+    in an ``array_sort`` over (|dot|, bit) structs, and the flips are
+    XOR against a literal mask table — no UDF, no shuffle; the output
+    explodes to ``n_probes`` rows per input row."""
+    if n_probes <= 1:
+        return lsh_bucket(df, dim, planes, seed, table, id_col, vec_col)
+    proj = _projection(dim, planes, seed, table)
+    v = F.col(vec_col).cast("array<double>")
+    dots = [
+        dot(v, F.array(*[F.lit(x) for x in plane])) for plane in proj
+    ]
+    bucket = F.lit(0)
+    for p, d in enumerate(dots):
+        bucket = bucket + F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    margins = F.array(
+        *[
+            F.struct(F.abs(dots[p]).alias("m"), F.lit(p).alias("p"))
+            for p in range(planes)
+        ]
+    )
+    flips = F.slice(F.array_sort(margins), 1, min(n_probes - 1, planes))
+    masks = F.array(*[F.lit(1 << i) for i in range(planes)])
+    staged = df.select(
+        F.col(id_col), v.alias(vec_col), bucket.alias("__b0"), flips.alias("__fl")
+    )
+    probes = F.concat(
+        F.array(F.col("__b0")),
+        F.transform(
+            F.col("__fl"),
+            lambda s: F.col("__b0").bitwiseXOR(F.element_at(masks, s["p"] + 1)),
+        ),
+    )
+    return staged.select(
+        F.col(id_col), F.col(vec_col), F.explode(probes).alias("bucket")
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     k: int = 5,
@@ -127,10 +178,26 @@ def lsh_topk(
     max_bucket_size: int = 4096,
     dim: int | None = None,
     queries: DataFrame | None = None,
+    n_probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors: union candidates from
     ``tables`` independent LSH tables (equi-join per bucket), then
     exact rank within candidates.
+
+    ``n_probes`` > 1 switches the QUERY side to multi-probe (Lv et
+    al., VLDB 2007): each query also searches the buckets reached by
+    flipping its lowest-margin sign bits, multiplying candidates (and
+    per-table scoring work) by ~n_probes without growing the index.
+    This is the recall lever for weakly-clustered embedding spaces
+    where single-probe hyperplane LSH degrades toward random
+    bucketing — measured on the deliberately hard testdata corpus:
+    recall@10 0.14 (1 probe) -> 0.41 (4) -> 0.55 (8 probes) vs IVF's
+    0.72, while the wall time FELL 6.7 -> 4.3 s (denser candidate
+    buckets amortize the per-group kernel overhead)
+    (tools/pipeline_eval.py). Probes are single-bit flips, so at most
+    ``planes + 1`` distinct buckets are reachable — n_probes saturates
+    there. The corpus side stays one bucket per row, so index size and
+    the max_bucket_size cap are unchanged.
 
     ``queries`` searches the corpus with a SEPARATE query frame (the
     index-and-batch shape): queries are bucketed with the same seeded
@@ -211,11 +278,15 @@ def lsh_topk(
         # rename the key on one side: a self-cogroup on the SAME
         # attribute trips the ambiguous-self-join check (cogroup keys
         # align positionally, names need not match)
-        qsrc = (
-            b
-            if queries is None
-            else lsh_bucket(queries, dim, planes, seed, t, id_col, vec_col)
-        )
+        if n_probes > 1:
+            qsrc = lsh_bucket_probes(
+                df if queries is None else queries,
+                dim, planes, seed, t, id_col, vec_col, n_probes,
+            )
+        elif queries is None:
+            qsrc = b
+        else:
+            qsrc = lsh_bucket(queries, dim, planes, seed, t, id_col, vec_col)
         q = qsrc.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "bucket"
         )

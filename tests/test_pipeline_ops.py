@@ -163,6 +163,52 @@ def test_lsh_topk_recall(spark):
     assert recall > 0.5, f"LSH recall too low: {recall}"
 
 
+def test_lsh_multiprobe_buckets_and_recall(spark):
+    from bubbles.operators.similarity import (
+        cosine_topk,
+        lsh_bucket,
+        lsh_bucket_probes,
+        lsh_topk,
+    )
+
+    rng = np.random.default_rng(2)
+    V = rng.normal(size=(200, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(V)],
+        "vec_id long, embedding array<double>",
+    )
+    # probe expansion: n_probes rows per id; probe 0 is the base
+    # bucket and every other probe differs from it by exactly one bit
+    base = {
+        r["vec_id"]: r["bucket"]
+        for r in lsh_bucket(df, dim=16, planes=6).collect()
+    }
+    probes = lsh_bucket_probes(df, dim=16, planes=6, n_probes=4).collect()
+    by_id: dict = {}
+    for r in probes:
+        by_id.setdefault(r["vec_id"], []).append(r["bucket"])
+    for vid, bks in by_id.items():
+        assert len(bks) == 4 and len(set(bks)) == 4
+        assert bks[0] == base[vid]
+        for b in bks[1:]:
+            assert bin(b ^ base[vid]).count("1") == 1
+
+    # recall must improve monotonically vs single-probe on the same
+    # (deliberately under-planed) configuration
+    exact = cosine_topk(df, df, k=3).toPandas()
+    e = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+
+    def rec(n_probes):
+        a = lsh_topk(
+            df, k=3, planes=8, tables=2, n_probes=n_probes
+        ).toPandas()
+        got = set(map(tuple, a[["query_id", "neighbor_id"]].values))
+        return len(e & got) / len(e)
+
+    r1, r4 = rec(1), rec(4)
+    assert r4 > r1, f"multi-probe did not lift recall: {r1} -> {r4}"
+
+
 def test_embedding_cosine_dedup(spark):
     from bubbles.operators.similarity import embedding_cosine_dedup_pairs
 
