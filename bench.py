@@ -71,11 +71,17 @@ def main():
         warm = 0 if n == 1 else n_warmups
         total = n + warm
         for i in range(total):
-            # reclaim the previous run's unreferenced localCheckpoint
-            # blocks OUTSIDE the timed window — accumulated blocks
-            # otherwise trigger GC pauses mid-measurement and make
-            # later queries read 2-8x slower than their solo time
+            # settle OUTSIDE the timed window: (1) drop python refs,
+            # (2) synchronously unpersist every leftover persistent
+            # RDD (the previous rep's localCheckpoint blocks — left to
+            # the async ContextCleaner they get removed MID-measurement
+            # and randomly double the kernel stages: mrhdbscan_lineitem
+            # r6 spiked 14 -> 23-26 s on exactly those reps; blocking
+            # unpersist measured max/median 1.49 -> 1.16 over 6 reps),
+            # (3) JVM GC for the freed block memory
             gc.collect()
+            for r in spark.sparkContext._jsc.getPersistentRDDs().values():
+                r.unpersist(True)
             spark.sparkContext._jvm.System.gc()
             t0 = time.time()
             info = thunk()
@@ -179,7 +185,11 @@ def main():
         ).fit(lpts)
         return f"{lmodel.labels.count()} pts, {lmodel.n_iterations} iters"
 
-    bench("mrhdbscan_lineitem", run_li, n_warmups=2)
+    # n_warmups=4: the multi-stage fit loop keeps getting faster
+    # through rep 3 (C2 JIT across its many codegen'd stages — 10-rep
+    # profile: 21.8, 17.9, 14.7, 14.9, then steady 11.6-12.8 with
+    # max/median 1.05); two warmups left the r6 medians 1.3-1.6x noisy
+    bench("mrhdbscan_lineitem", run_li, n_warmups=4)
 
     # the reference's real dataset (Skin_NonSkin 245k×4, BASELINE.md
     # Skin DB row: 60.19 s, the paper's bubbles variant on its cluster)
