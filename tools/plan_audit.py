@@ -181,6 +181,23 @@ def main():
         "LSH and IVF buckets score in a cogroup kernel; no vector-pair join",
     )
 
+    # 9c. multi-probe LSH (round 7): the probe expansion must stay a
+    # pure projection + explode — no UDF, no extra join, no cartesian;
+    # scoring still flows through the cogroup kernel
+    from bubbles.operators.similarity import lsh_topk as _lsh_topk
+
+    emb_mp = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    p_mp = plan_of(_lsh_topk(emb_mp, k=3, dim=64, planes=8, n_probes=4))
+    check(
+        "lsh multi-probe projection-only expansion",
+        "CartesianProduct" not in p_mp
+        and "BatchEvalPython" not in p_mp
+        and "Generate explode" in p_mp
+        and "FlatMapCoGroupsInPandas" in p_mp,
+        "probe buckets from array_sort+XOR column expressions exploded "
+        "in the projection; candidates still score in the cogroup kernel",
+    )
+
     # 10. sessionize: the gap/session derivation runs its windows over
     # ONE user_id exchange — adding session stats must not re-shuffle
     p = plan_of(m.all_queries()["events_sessionize"](spark, sf_dir))
