@@ -63,6 +63,15 @@ _RECURSIVE_MIN_POINTS = 2_000_000
 _RELABEL_BROADCAST_MAX = 10_000_000
 
 
+def _cut_or_local(df: DataFrame, name: str, cut) -> DataFrame:
+    # global-step lineage cut: uses fit()'s _cut (durable parquet when
+    # checkpoint_dir is set) when provided; plain localCheckpoint for
+    # direct callers/tests. localCheckpoint blocks are NOT recoverable
+    # on executor loss, so the durable route matters exactly as much
+    # here as in the loop.
+    return df.localCheckpoint() if cut is None else cut(df, name)
+
+
 def _relabel_join(
     bubble_labels: DataFrame, map_df: DataFrame, n_mapping: int
 ) -> DataFrame:
@@ -970,6 +979,7 @@ class MRHDBSCAN:
                     leaf_size,
                     tick=_tick,
                     n_subsets=n_leaf_subsets,
+                    cut=_cut,
                 )
             return self._global_step_contracted(
                 spark,
@@ -979,6 +989,7 @@ class MRHDBSCAN:
                 constr,
                 tick=_tick,
                 n_subsets=n_leaf_subsets,
+                cut=_cut,
             )
         all_edges = leaf_edges.drop("subset_id")
         if cross_edges is not None:
@@ -1050,6 +1061,7 @@ class MRHDBSCAN:
         constraints=None,
         tick=lambda phase: None,
         n_subsets: int | None = None,
+        cut=None,
     ) -> MRHDBSCANModel:
         """Scale path for Stage C/D (SCALE.md global-step analysis,
         replacing the reference's all-edges driver collect,
@@ -1097,8 +1109,8 @@ class MRHDBSCAN:
                 kernel,
                 schema=CONTRACT2_SCHEMA if coalesce else CONTRACT_SCHEMA,
             )
-            .localCheckpoint()
         )
+        phase1 = _cut_or_local(phase1, "global_contract", cut)
         tick("global contract checkpoint")
         member_cols = [
             F.col("a").alias("point_id"),
@@ -1262,6 +1274,7 @@ class MRHDBSCAN:
         leaf_size: dict[int, int],
         tick=lambda phase: None,
         n_subsets: int | None = None,
+        cut=None,
     ) -> MRHDBSCANModel:
         """Recursive (two-level) contraction — the distributed
         structure pass SCALE.md's global-step analysis calls for past
@@ -1323,8 +1336,8 @@ class MRHDBSCAN:
                 make_contract_kernel_tagged(bc1, self.min_cluster_size),
                 schema=CONTRACT_TAGGED_SCHEMA,
             )
-            .localCheckpoint()
         )
+        phase1 = _cut_or_local(phase1, "global_contract_l1", cut)
         tick("global contract checkpoint (level 1)")
         membership = phase1.filter(F.col("kind") == 0).select(
             F.col("a").alias("point_id"),
@@ -1433,8 +1446,8 @@ class MRHDBSCAN:
                 make_bin_contract_kernel(bc2, self.min_cluster_size),
                 schema=CONTRACT2_SCHEMA,
             )
-            .localCheckpoint()
         )
+        phase2 = _cut_or_local(phase2, "global_contract_l2", cut)
         tick(f"global contract checkpoint (level 2, {n_bins} bins)")
         m2 = phase2.filter(F.col("kind") == 0).select(
             F.col("a").alias("rep_id"),

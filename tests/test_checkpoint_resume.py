@@ -75,6 +75,10 @@ def test_durable_fit_matches_and_resumes(spark, tmp_path):
     assert state["leaf_names"]
     for name in state["leaf_names"]:
         assert spark.read.parquet(f"{ck}/{name}").count() > 0
+    # the global step's contraction checkpoint is durable too (an
+    # executor loss there must not lose the pass — localCheckpoint
+    # blocks are unrecoverable)
+    assert spark.read.parquet(f"{ck}/global_contract").count() > 0
 
     # simulate a mid-fit crash: keep only iteration 0's commit (drop
     # later manifests), then re-fit with the same dir. The loop must
