@@ -324,6 +324,66 @@ def test_stream_matches_batch(spark):
     np.testing.assert_allclose(g["sum_value"], w["sum_value"], rtol=1e-9)
 
 
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode watermark semantics (the complete-mode parity test
+    cannot see drops): a window already finalized by the watermark
+    must not change when a late event for it arrives in a later
+    micro-batch, and unfinalized windows are never emitted."""
+    import glob
+    import shutil
+    from datetime import datetime
+
+    from bubbles.streaming.events import windowed_counts
+
+    schema = "event_type string, ts timestamp, value double"
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def add_file(name, rows):
+        stage = tmp_path / "stage" / name
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stage))
+        part = glob.glob(str(stage / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    T = lambda m: datetime(2026, 1, 1, 10, m)  # noqa: E731
+    add_file("b1", [("a", T(0), 1.0), ("a", T(30), 1.0)])
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        windowed_counts(stream, minutes=5)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_late")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 1 advanced the watermark to 10:20 and finalized the
+        # [10:00, 10:05) window with n=1
+        # batch 2: one LATE event for that window (10:02 < watermark ->
+        # dropped) and one fresh event advancing the watermark past
+        # 10:35 so [10:30, 10:35) finalizes
+        add_file("b2", [("a", T(2), 1.0), ("a", T(50), 1.0)])
+        q.processAllAvailable()
+        # one more empty-ish batch so the 10:30 window's emission (at
+        # the NEXT trigger after the watermark passes it) lands
+        add_file("b3", [("a", T(55), 1.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["win_start"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM t_late").collect()
+    }
+    assert got[(T(0), "a")] == 1, "late event leaked into a finalized window"
+    assert got.get((T(30), "a")) == 1
+    # the 10:50/10:55 windows are not past the watermark -> never emitted
+    assert (T(50), "a") not in got and (T(55), "a") not in got
+
+
 def test_ivf_topk_recall(spark):
     from bubbles.operators.similarity import cosine_topk, ivf_topk
 
