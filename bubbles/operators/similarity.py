@@ -223,13 +223,6 @@ def lsh_topk(
     floor binds below n≈16k (64 buckets on a 500-row corpus is ~8
     rows each, not 256) — pass a smaller ``planes`` for tiny corpora.
 
-    Measured recall (tools/pipeline_eval.py, PIPELINE_EVAL.json):
-    on near-uniform cosine geometry (the deliberately hard testdata
-    embeddings) random hyperplanes degrade toward random bucketing —
-    recall@10 ≈ 0.15 vs IVF's 0.75. Prefer ``ivf_topk`` when the
-    embedding space is weakly clustered; hyperplane LSH shines when
-    cosine similarity is spread out.
-
     Pass ``dim`` to avoid the one-row inference job (``first()``)
     per invocation.
 

@@ -73,21 +73,33 @@ def _cut_or_local(df: DataFrame, name: str, cut) -> DataFrame:
 
 
 def _relabel_join(
-    bubble_labels: DataFrame, map_df: DataFrame, n_mapping: int
+    bubble_labels: DataFrame,
+    map_df: DataFrame,
+    n_mapping: int,
+    n_bubbles_max: int | None = None,
 ) -> DataFrame:
     """The fit loop's J2 relabel join (bubble -> fresh subset id).
 
-    Broadcasts the driver-built mapping while it is small; at or past
-    ``_RELABEL_BROADCAST_MAX`` rows the hint is dropped so Spark plans
-    a shuffle equi-join (AQE may still pick broadcast from runtime
-    stats — the point is that WE stop forcing it past the ceiling).
+    Two relations with DIFFERENT cardinalities get hints here: the
+    driver-built mapping (one row per NEW subset, exactly
+    ``n_mapping``) and the joined relabel relation (one row per
+    BUBBLE — many bubbles share a label, so it can be orders of
+    magnitude larger). Each hint is gated on its own count: the
+    mapping on ``n_mapping``, the relabel on ``n_bubbles_max`` (a
+    driver-known upper bound; when None it defaults to ``n_mapping``,
+    correct only for callers whose bubble_labels has one row per
+    mapping entry). Past ``_RELABEL_BROADCAST_MAX`` the hint is
+    dropped so Spark plans a shuffle equi-join (AQE may still pick
+    broadcast from runtime stats — the point is that WE stop forcing
+    it past the ceiling).
     """
     if n_mapping <= _RELABEL_BROADCAST_MAX:
         map_df = F.broadcast(map_df)
     relabel = bubble_labels.join(map_df, on=["subset_id", "label"]).select(
         "subset_id", "bubble_id", "new_subset_id"
     )
-    if n_mapping <= _RELABEL_BROADCAST_MAX:
+    n_relabel = n_mapping if n_bubbles_max is None else n_bubbles_max
+    if n_relabel <= _RELABEL_BROADCAST_MAX:
         relabel = F.broadcast(relabel)
     return relabel
 
@@ -111,10 +123,18 @@ def _write_fit_manifest(spark, ckdir: str, state: dict) -> None:
 def _load_fit_manifest(spark, ckdir: str) -> dict | None:
     import json
 
+    from pyspark.errors import AnalysisException
+
     try:
         rows = spark.read.text(f"{ckdir}/manifest/it*").collect()
-    except Exception:
-        return None
+    except AnalysisException as e:
+        # only "no manifest yet" means a fresh fit; any OTHER failure
+        # (FS hiccup, permissions) must propagate — silently starting
+        # over would overwrite the durable state resume exists to
+        # protect
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
     states = []
     for r in rows:
         try:
@@ -598,6 +618,11 @@ class MRHDBSCAN:
                 stacklevel=2,
             )
             current = spark.read.parquet(f"{ckdir}/{resume['current_name']}")
+            # same width guard as the fresh path: a checkpoint written
+            # small (or from a narrower session) must not pin every
+            # downstream per-point stage to 1-2 partitions
+            if current.rdd.getNumPartitions() < par:
+                current = current.repartition(par)
             _tick(f"resume load (iteration {resume['iteration']})")
         else:
             current = df.select(
@@ -614,6 +639,15 @@ class MRHDBSCAN:
             if current.rdd.getNumPartitions() < par:
                 current = current.repartition(par)
             current = _cut(current, "ingest_current")
+            # durable mode re-reads the cut as parquet, which may
+            # arrive in fewer splits than cores (maxPartitionBytes on
+            # a small relation) — re-apply the width guard so every
+            # per-point stage keeps its parallelism. Deterministic
+            # (round-robin repartition local-sorts first), and the
+            # resume path applies the identical guard, so interrupted
+            # and uninterrupted durable runs stay bit-identical.
+            if current.rdd.getNumPartitions() < par:
+                current = current.repartition(par)
             _tick("ingest checkpoint")
 
         exact_kernel = _make_exact_edges_kernel_binned(self.min_pts, self.distance)
@@ -865,9 +899,22 @@ class MRHDBSCAN:
             map_df = spark.createDataFrame(
                 mapping, schema="subset_id long, label long, new_subset_id long"
             )
-            # relabel has one row per BUBBLE; broadcast-vs-shuffle is
-            # decided by _relabel_join against _RELABEL_BROADCAST_MAX
-            relabel = _relabel_join(bubble_labels, map_df, len(mapping))
+            # relabel has one row per BUBBLE (>> len(mapping), which
+            # counts new SUBSETS) — bound it by the per-subset sample
+            # cap the sampler enforces (auto_widen can raise the flat
+            # cap up to max_local_size) so the broadcast hint is gated
+            # on what is actually shipped
+            per_subset_cap = (
+                self.max_local_size
+                if self.auto_widen_samples
+                else min(self.max_samples_per_subset, self.max_local_size)
+            )
+            relabel = _relabel_join(
+                bubble_labels,
+                map_df,
+                len(mapping),
+                n_bubbles_max=len(big) * per_subset_cap,
+            )
             current = _cut(
                 assigned.join(relabel, on=["subset_id", "bubble_id"]).select(
                     "point_id",
@@ -876,6 +923,10 @@ class MRHDBSCAN:
                 ),
                 f"it{iteration:05d}_current",
             )
+            # same width guard as ingest (durable parquet re-read can
+            # narrow; no-op for localCheckpoint)
+            if current.rdd.getNumPartitions() < par:
+                current = current.repartition(par)
             _tick(f"it{iteration} relabel checkpoint")
             if ckdir is not None:
                 # commit the completed iteration: everything the loop
