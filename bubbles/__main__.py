@@ -6,7 +6,8 @@ invocation against this engine:
     python -m bubbles file=dataset.txt minPts=4 minClSize=4 k=0.2 \
         processing_units=4096 dist_function=euclidean \
         [constraints=constraints.csv] [compact={true,false}] \
-        [hierarchy={true,false}] [out=outdir] [master=local[*]]
+        [hierarchy={true,false}] [out=outdir] [master=local[*]] \
+        [checkpoint_dir=ckdir] [save_model=modeldir]
 
 Outputs under <out>/ (default <file>_out/): flat partition, cluster
 tree, outlier scores, hierarchy (CSV, reference contracts — the
@@ -92,6 +93,9 @@ def main(argv=None):
         max_local_size=int(args.get("processing_units", 4096)),
         distance=args.get("dist_function", "euclidean"),
         seed=int(args.get("seed", 42)),
+        # durable per-iteration checkpoints + crash resume (round 7):
+        # pass checkpoint_dir=<fs path> for long cluster runs
+        checkpoint_dir=args.get("checkpoint_dir"),
     ).fit(df, constraints=constraints)
 
     out = args.get("out", path.rsplit(".", 1)[0] + "_out")
@@ -114,6 +118,8 @@ def main(argv=None):
             write_visualization_file(f"{out}/visualization.vis", compact, n_lines)
         except ValueError as e:  # n·levels over the matrix guard
             print(f"skipping hierarchy output: {e}")
+    if "save_model" in args:
+        model.save(args["save_model"])
     n = model.labels.count()
     k = model.labels.filter("label > 0").select("label").distinct().count()
     print(f"clustered {n} points into {k} clusters -> {out}/")

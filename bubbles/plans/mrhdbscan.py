@@ -489,6 +489,54 @@ class MRHDBSCANModel:
             F.broadcast(rep_levels), on="rep_id"
         ).select("level_weight", "point_id", "label")
 
+    # ------------------------------------------------------------------
+    _SAVE_RELATIONS = ("labels", "cluster_tree", "outlier_scores", "mst_edges")
+
+    def save(self, path: str) -> None:
+        """Persist the model's four relations as parquet under
+        ``path`` plus a one-row JSON meta (n_iterations, levels mode).
+        Distributed writes — nothing is collected. The hierarchy
+        retention state (``hierarchy_levels``) is driver-side and NOT
+        persisted: a loaded model serves labels/tree/outliers/MST;
+        refit for the level matrix."""
+        import json
+
+        spark = self.labels.sparkSession
+        for name in self._SAVE_RELATIONS:
+            getattr(self, name).write.mode("overwrite").parquet(
+                f"{path}/{name}"
+            )
+        meta = {
+            "n_iterations": int(self.n_iterations),
+            "levels_mode": self._levels_mode,
+            "format_version": 1,
+        }
+        (
+            spark.createDataFrame([(json.dumps(meta),)], "meta string")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .text(f"{path}/meta")
+        )
+
+    @classmethod
+    def load(cls, spark, path: str) -> "MRHDBSCANModel":
+        """Load a model persisted by :meth:`save`."""
+        import json
+
+        meta = json.loads(
+            spark.read.text(f"{path}/meta").collect()[0]["value"]
+        )
+        model = cls(
+            **{
+                name: spark.read.parquet(f"{path}/{name}")
+                for name in cls._SAVE_RELATIONS
+            },
+            n_iterations=int(meta["n_iterations"]),
+        )
+        model._levels_mode = meta.get("levels_mode", "exact")
+        model._spark = spark
+        return model
+
 
 class MRHDBSCAN:
     """df(point_id, features ARRAY<DOUBLE>) → MRHDBSCANModel.

@@ -95,6 +95,29 @@ def test_durable_fit_matches_and_resumes(spark, tmp_path):
     assert resumed.n_iterations == baseline.n_iterations
 
 
+def test_model_save_load_roundtrip(spark, tmp_path):
+    from bubbles.plans.mrhdbscan import MRHDBSCANModel
+
+    X = _blobs(n=240, seed=3)
+    m = MRHDBSCAN(
+        min_pts=4, min_cluster_size=5, max_local_size=64,
+        max_samples_per_subset=16, seed=7,
+    ).fit(to_df(spark, X))
+    path = str(tmp_path / "model")
+    m.save(path)
+    loaded = MRHDBSCANModel.load(spark, path)
+    assert loaded.n_iterations == m.n_iterations
+    for rel in MRHDBSCANModel._SAVE_RELATIONS:
+        # repr-compare: exact float64 round-trip, and NaN == NaN
+        # (cluster_tree carries NaN birth levels for the root)
+        a = sorted(repr(tuple(r)) for r in getattr(m, rel).collect())
+        b = sorted(repr(tuple(r)) for r in getattr(loaded, rel).collect())
+        assert a == b, f"{rel} did not round-trip"
+    # hierarchy retention is driver state and not persisted
+    with pytest.raises(ValueError):
+        loaded.hierarchy_levels()
+
+
 def test_checkpoint_dir_unused_without_manifest(spark, tmp_path):
     # an empty/never-used directory must behave like a fresh fit (no
     # spurious resume), and a tiny single-iteration fit still commits
