@@ -1715,6 +1715,21 @@ def stream_kmv_distinct_q(spark, sf_dir):
     return run_kmv_to_memory(spark, sf_dir, name="drv_kmv_out", k=16)
 
 
+def stream_near_dup_q(spark, sf_dir):
+    """Streaming near-dup flagging of an incoming document stream
+    against a STATIC corpus MinHash index
+    (bubbles/streaming/neardup.py): per-row stateless signatures
+    (array_min over transform — no stateful agg, no state store) +
+    posexplode bands + one stream-static equi-join on (band, bucket).
+    Corpus = doc_id%10 < 8 (bucket-capped at 64 like
+    minhash_lsh_pairs), stream = the rest replayed as a file-source
+    micro-batch. The twin recomputes the identical md5-lane minima and
+    band buckets in SQL over both sides."""
+    from bubbles.streaming.neardup import run_stream_near_dup_to_memory
+
+    return run_stream_near_dup_to_memory(spark, sf_dir, name="drv_neardup_out")
+
+
 def corpus_diff_q(spark, sf_dir):
     """Release diff (bubbles/operators/cdc.py corpus_diff) between
     documents and the merge_upsert output of the same synthetic
@@ -1873,6 +1888,7 @@ def _catalog_queries_b() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": _widen(leakage_safe_split_q),
         "curriculum_buckets": _widen(curriculum_buckets_q),
         "clustering_ari": _widen(clustering_ari_q),
+        "stream_near_dup": _widen(stream_near_dup_q),
     }
 
 
@@ -4069,6 +4085,49 @@ def _catalog_sql_b() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY o.o_orderpriority
+        """,
+        # identical md5-lane minima + band buckets as the engine's
+        # per-row stateless signatures (streaming/neardup.py); corpus
+        # buckets capped at 64 BEFORE the stream side probes them —
+        # same semantics as the stream-static join after the final
+        # micro-batch
+        "stream_near_dup": """
+            WITH sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                       range(1, greatest(length(text) - 3, 1)),
+                       i -> substr(lower(text), CAST(i AS INT), 5)))) AS g
+              FROM documents
+            ),
+            sig AS (
+              SELECT doc_id,
+                     min(substr(md5(g), 1, 8))  AS mh0, min(substr(md5(g), 9, 8))  AS mh1,
+                     min(substr(md5(g), 17, 8)) AS mh2, min(substr(md5(g), 25, 8)) AS mh3,
+                     min(substr(md5('1|' || g), 1, 8))  AS mh4,
+                     min(substr(md5('1|' || g), 9, 8))  AS mh5,
+                     min(substr(md5('1|' || g), 17, 8)) AS mh6,
+                     min(substr(md5('1|' || g), 25, 8)) AS mh7
+              FROM sh GROUP BY doc_id
+            ),
+            buckets AS (
+              SELECT doc_id, CAST(0 AS BIGINT) AS band,
+                     md5(mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3) AS bucket FROM sig
+              UNION ALL SELECT doc_id, 1,
+                     md5(mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7) FROM sig
+            ),
+            corpus AS (
+              SELECT b.* FROM buckets b
+              JOIN (
+                SELECT band, bucket FROM buckets
+                WHERE doc_id % 10 < 8
+                GROUP BY band, bucket HAVING count(*) <= 64
+              ) s USING (band, bucket)
+              WHERE b.doc_id % 10 < 8
+            )
+            SELECT st.doc_id, c.doc_id AS corpus_id, st.band
+            FROM buckets st
+            JOIN corpus c ON st.band = c.band AND st.bucket = c.bucket
+            WHERE st.doc_id % 10 >= 8
         """,
     }
 

@@ -1,0 +1,191 @@
+"""Streaming near-duplicate detection against a static corpus index —
+the in-flight crawl-dedup shape: documents arrive as a stream, the
+historical corpus is a prebuilt (band, bucket) MinHash index, and each
+micro-batch flags its near-dup candidates through one stream-static
+equi-join.
+
+Two design points make this run UNBOUNDED with zero streaming state:
+
+* **Per-row (stateless) MinHash.** The batch signature
+  (operators/dedup.minhash_signatures) explodes shingles and
+  groupBy-aggregates lane minima — on a stream that is a stateful
+  aggregation with per-doc state. Here each signature lane is an
+  ``array_min`` over a ``transform`` of the in-row shingle array:
+  pure projection, bit-identical minima (same md5 lanes over the same
+  distinct shingles), no state store. The batch path keeps the
+  explode+agg shape because it map-side-combines; a stream cannot and
+  should not.
+* **Stream-static join.** The corpus index is a bounded static
+  DataFrame (one row per corpus doc per band, over-common buckets
+  capped away exactly like ``minhash_lsh_pairs``); Spark re-plans the
+  static side per micro-batch, so index refreshes (rebuild the parquet
+  the index reads) are picked up without restarting the query.
+
+At 100 TB: the stream side shuffles nothing (projection + join probe);
+the static index is (corpus_docs × bands) slim rows — equi-join keyed
+on (band, bucket), AQE-owned strategy, no state store growth over
+time. The candidate output is append-mode per micro-batch; exact
+verification (ngram_similarity_join) stays a bounded batch job over
+the day's candidates, as in incremental_dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bubbles.operators.text import char_ngrams
+
+
+def _rowwise_minhash(text: Column, num_hashes: int, shingle: int) -> list[Column]:
+    """Stateless MinHash lanes: min over the distinct in-row shingle
+    set of 8-hex-char md5 lanes — identical values to
+    ``operators.dedup.minhash_signatures`` (same salts, same lanes),
+    computed per row instead of via explode + groupBy."""
+    grams = F.array_distinct(char_ngrams(text, shingle))
+
+    def lane_min(salt: int, lane: int) -> Column:
+        # factory closure: a pyspark higher-order lambda must take
+        # ONLY lambda variables (default params become lambda vars)
+        off = lane * 8
+        if salt == 0:
+            return F.array_min(
+                F.transform(
+                    grams, lambda g: F.substring(F.md5(g), off + 1, 8)
+                )
+            )
+        pre = f"{salt}|"
+        return F.array_min(
+            F.transform(
+                grams,
+                lambda g: F.substring(
+                    F.md5(F.concat(F.lit(pre), g)), off + 1, 8
+                ),
+            )
+        )
+
+    return [lane_min(*divmod(i, 4)) for i in range(num_hashes)]
+
+
+def _band_hashes(mh: list[Column], band_size: int) -> Column:
+    n_bands = len(mh) // band_size
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[mh[b * band_size + j] for j in range(band_size)]
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def corpus_band_index(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 4,
+    shingle: int = 5,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """Static (band, bucket, corpus_id) MinHash LSH index over the
+    historical corpus — build once (or per refresh), persist as
+    parquet, hand to ``stream_near_dup_candidates``. Reuses the batch
+    signature pipeline (explode + map-side-combined lane minima) and
+    the same over-common-bucket cap as ``minhash_lsh_pairs``: a bucket
+    shared by more than ``max_bucket_size`` corpus docs is boilerplate
+    and would fan every matching stream row out by its full size."""
+    from bubbles.operators.dedup import minhash_signatures
+
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    sig = minhash_signatures(
+        corpus.repartition(par), text_col, id_col, num_hashes, shingle
+    )
+    mh = [F.col(f"mh{i}") for i in range(num_hashes)]
+    buckets = sig.select(
+        F.col(id_col).alias("corpus_id"),
+        F.posexplode(_band_hashes(mh, band_size)).alias("band", "bucket"),
+    )
+    if max_bucket_size:
+        small = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.count("*").alias("__bn"))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        buckets = buckets.join(small, on=["band", "bucket"])
+    return buckets.select("band", "bucket", "corpus_id")
+
+
+def stream_near_dup_candidates(
+    docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 4,
+    shingle: int = 5,
+) -> DataFrame:
+    """(doc_id, corpus_id, band) candidate near-dup matches of a
+    document stream against a static corpus index. Stateless: per-row
+    signatures (projection) + posexplode + one stream-static equi-join
+    on (band, bucket) — works identically on a batch ``docs`` frame
+    (the oracle twin runs exactly that)."""
+    mh = _rowwise_minhash(F.col(text_col), num_hashes, shingle)
+    staged = docs.select(
+        F.col(id_col),
+        F.posexplode(_band_hashes(mh, band_size)).alias("band", "bucket"),
+    )
+    return staged.join(index, on=["band", "bucket"]).select(
+        F.col(id_col), "corpus_id", "band"
+    )
+
+
+def run_stream_near_dup_to_memory(
+    spark,
+    sf_dir: str,
+    name: str = "neardup_out",
+    num_hashes: int = 8,
+    band_size: int = 4,
+):
+    """Local smoke path: corpus = documents with doc_id%10 < 8, stream
+    = the documents parquet replayed as a file-source stream filtered
+    to doc_id%10 >= 8 (the incremental_dedup split), candidates to a
+    memory sink."""
+    import pyarrow.parquet as pq
+
+    schema_cols = pq.read_schema(f"{sf_dir}/documents.parquet").names
+    ddl = ", ".join(
+        {
+            "doc_id": "doc_id long",
+            "text": "text string",
+            "lang": "lang string",
+            "source": "source string",
+            "n_chars": "n_chars long",
+        }.get(c, f"{c} string")
+        for c in schema_cols
+    )
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.pmod(F.col("doc_id"), F.lit(10)) < 8
+    )
+    index = corpus_band_index(corpus, num_hashes=num_hashes, band_size=band_size)
+    stream = (
+        spark.readStream.schema(ddl)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(F.pmod(F.col("doc_id"), F.lit(10)) >= 8)
+    )
+    q = (
+        stream_near_dup_candidates(
+            stream, index, num_hashes=num_hashes, band_size=band_size
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}")

@@ -202,3 +202,61 @@ def test_stream_kmv_multi_batch_equals_batch_sketch(spark, tmp_path):
         want["est_distinct"],
     )
     assert len(rows) == 2  # one update row per micro-batch
+
+
+def test_stream_near_dup_matches_batch_and_finds_planted(spark, tmp_path):
+    """Streaming near-dup vs a static corpus index: (1) the streaming
+    query's candidates equal running the same stateless signature
+    pipeline on the docs as a batch frame; (2) a planted near-copy of
+    a corpus document is flagged; (3) an unrelated doc is not."""
+    from pyspark.sql import functions as F
+
+    from bubbles.streaming.neardup import (
+        corpus_band_index,
+        stream_near_dup_candidates,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest to hide from the loud hunters"
+    )
+    corpus_rows = [(i, base.replace("fox", f"fox{i}")) for i in range(20)]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    index = corpus_band_index(corpus, num_hashes=8, band_size=4).localCheckpoint()
+
+    near = base.replace("fox", "fox7").replace("dog", "dog")  # ~= doc 7
+    far = "completely different content about spark physical planning"
+    stream_rows = [(100, near), (101, far)]
+    data = tmp_path / "docs"
+    spark.createDataFrame(stream_rows, "doc_id long, text string").write.parquet(
+        str(data)
+    )
+
+    batch_docs = spark.read.parquet(str(data))
+    want = sorted(
+        map(
+            tuple,
+            stream_near_dup_candidates(batch_docs, index)
+            .select("doc_id", "corpus_id", "band")
+            .collect(),
+        )
+    )
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(data))
+    q = (
+        stream_near_dup_candidates(stream, index)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_neardup")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        map(tuple, spark.sql("SELECT doc_id, corpus_id, band FROM t_neardup").collect())
+    )
+    assert got == want
+    flagged = {d for d, _, _ in got}
+    assert 100 in flagged, "planted near-copy not flagged"
+    assert 101 not in flagged, "unrelated doc falsely flagged"
+    assert any(c == 7 for d, c, _ in got if d == 100)
