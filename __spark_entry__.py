@@ -847,6 +847,18 @@ def ivf_ann_topk(spark, sf_dir):
     )
 
 
+def lsh_multiprobe_topk(spark, sf_dir):
+    """Multi-probe LSH ANN (round 7): the query side also searches the
+    buckets reached by flipping its lowest-margin sign bits — recall
+    lever for weakly-clustered spaces (0.14 -> 0.55 measured,
+    PIPELINE_EVAL.json). Twin replays the probe expansion with the
+    same literal planes and a struct list_sort."""
+    from bubbles.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return lsh_topk(emb, k=3, dim=64, n_probes=4)
+
+
 def pivot_revenue_q(spark, sf_dir):
     """Pivot: revenue per return flag by line status columns —
     expressed as portable conditional aggregation (same SQL shape in
@@ -1889,6 +1901,7 @@ def _catalog_queries_b() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_buckets": _widen(curriculum_buckets_q),
         "clustering_ari": _widen(clustering_ari_q),
         "stream_near_dup": _widen(stream_near_dup_q),
+        "lsh_multiprobe_topk": _widen(lsh_multiprobe_topk),
     }
 
 
@@ -2141,6 +2154,71 @@ cand AS (
   SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
   FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
   WHERE a.vec_id != b.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, {_COS_Q_N} AS sim
+  FROM cand c JOIN e q ON c.query_id = q.vec_id JOIN e n ON c.neighbor_id = n.vec_id
+)
+SELECT query_id, neighbor_id, rnk AS rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+"""
+
+
+def _lsh_multiprobe_sql(n_probes: int = 4) -> str:
+    """DuckDB twin of ``lsh_topk(emb[vec_id<300], k=3, dim=64,
+    n_probes=4)``: same literal hyperplanes as the single-probe twin,
+    plus the query-side multi-probe expansion — the probes are the
+    base bucket XOR the masks of the ``n_probes - 1`` lowest-|dot|
+    sign bits, replayed with a struct list_sort exactly like the
+    engine's array_sort over (abs(dot), bit) structs
+    (bubbles/operators/similarity.py lsh_bucket_probes)."""
+    from bubbles.operators.similarity import _projection
+
+    dim, planes, tables, seed = 64, 6, 3, 42
+    tbl_ds = []
+    for t in range(tables):
+        proj = _projection(dim, planes, seed, t)
+        ds = ",\n     ".join(
+            "list_sum(list_transform(list_zip(v, "
+            f"[{', '.join(repr(x) for x in plane)}]::DOUBLE[]), p -> p[1] * p[2]))"
+            for plane in proj
+        )
+        tbl_ds.append(
+            f"SELECT vec_id, v, {t} AS tbl,\n    [{ds}]::DOUBLE[] AS ds FROM e"
+        )
+    dots = "\n  UNION ALL\n  ".join(tbl_ds)
+    nf = min(n_probes - 1, planes)
+    bucket_expr = " + ".join(
+        f"(CASE WHEN ds[{p + 1}] >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 300),
+dots AS (
+  {dots}
+),
+base AS (
+  SELECT vec_id, v, tbl, ds, {bucket_expr} AS bucket FROM dots
+),
+small AS (SELECT tbl, bucket FROM base GROUP BY tbl, bucket HAVING count(*) <= 4096),
+bk AS (SELECT b.vec_id, b.v, b.tbl, b.bucket FROM base b JOIN small USING (tbl, bucket)),
+qprobes AS (
+  SELECT vec_id, tbl,
+         unnest(list_prepend(bucket,
+            list_transform(
+              (list_sort(list_transform(range(0, {planes}),
+                  p -> {{'m': abs(ds[p + 1]), 'p': p}})))[1:{nf}],
+              s -> xor(bucket, 1 << s.p)))) AS probe
+  FROM base
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, m.vec_id AS neighbor_id
+  FROM qprobes q JOIN bk m ON q.tbl = m.tbl AND q.probe = m.bucket
+  WHERE q.vec_id != m.vec_id
 ),
 scored AS (
   SELECT c.query_id, c.neighbor_id, {_COS_Q_N} AS sim
@@ -4129,6 +4207,7 @@ def _catalog_sql_b() -> dict[str, str]:
             JOIN corpus c ON st.band = c.band AND st.bucket = c.bucket
             WHERE st.doc_id % 10 >= 8
         """,
+        "lsh_multiprobe_topk": _lsh_multiprobe_sql(n_probes=4),
     }
 
 
