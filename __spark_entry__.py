@@ -4234,7 +4234,9 @@ def all_oracle_sql() -> dict[str, str]:
 # pivot_revenue, repetition_profile_long (shares its oracle with the
 # certified repetition_profile), events_windowed, events_sessionize
 # (row-identical batch twins of the certified stream_windowed_counts
-# / stream_session_windows).
+# / stream_session_windows), plus the round-7 additions
+# stream_near_dup and lsh_multiprobe_topk (twins judge-verifiable via
+# tools/check_oracle.py meanwhile).
 # ---------------------------------------------------------------------------
 
 GATE_KEYS: list[str] = [
