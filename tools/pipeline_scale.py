@@ -228,6 +228,22 @@ def main():
         )
     )
 
+    from bubbles.streaming.neardup import (
+        corpus_band_index,
+        stream_near_dup_candidates,
+    )
+
+    # round-7 streaming near-dup: measured on its batch twin plan
+    # (identical physical shape to one micro-batch — per-row stateless
+    # signatures + index build + one equi-join probe); 80/20
+    # corpus/stream split like bloom_incremental_dedup
+    OPS["stream_near_dup"] = lambda d, n: run(
+        stream_near_dup_candidates(
+            d.filter(F.pmod("doc_id", F.lit(10)) >= 8),
+            corpus_band_index(d.filter(F.pmod("doc_id", F.lit(10)) < 8)),
+        )
+    )
+
     from bubbles.operators.dedup import semantic_dedup
     from bubbles.operators.kmeans import kmeans_fit
     from bubbles.operators.lm import bigram_lm_score
