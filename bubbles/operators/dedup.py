@@ -80,6 +80,59 @@ def minhash_signatures(
     return digs.groupBy(id_col).agg(*aggs)
 
 
+def band_buckets(
+    sig: DataFrame,
+    num_hashes: int,
+    band_size: int,
+    max_bucket_size: int | None,
+    id_col: str = "doc_id",
+    checkpoint: bool = False,
+) -> DataFrame:
+    """(id, band, bucket) LSH band buckets over a MinHash signature
+    frame — the ONE construction both the batch pair generator and the
+    streaming corpus index (streaming/neardup.corpus_band_index) use,
+    so the band hash (md5 of '|'-joined lanes), band count and
+    over-common-bucket cap can never drift between them (the oracle
+    twins replay these byte-for-byte).
+
+    ``checkpoint=True`` materializes the slim bucket relation before
+    the cap — pass it when multiple consumers follow (see the
+    measured rationale in ``minhash_lsh_pairs``)."""
+    n_bands = num_hashes // band_size
+    # one posexplode pass instead of a per-band union: a union of
+    # per-band projections defeats exchange reuse (column pruning makes
+    # each branch's partial aggregate distinct), so the whole shingle
+    # explode + digest + shuffle pipeline would run once PER BAND;
+    # exploding an array of band hashes computes the signatures once
+    band_hashes = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"mh{b * band_size + j}") for j in range(band_size)],
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+    buckets = sig.select(
+        F.col(id_col), F.posexplode(band_hashes).alias("band", "bucket")
+    )
+    if checkpoint:
+        buckets = buckets.localCheckpoint()
+    if max_bucket_size:
+        # groupBy count (map-side partial) + equi-join back: skew-safe,
+        # no window; the join is AQE-splittable
+        small = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.count("*").alias("__bn"))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        buckets = buckets.join(small, on=["band", "bucket"])
+    return buckets
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -107,46 +160,19 @@ def minhash_lsh_pairs(
     par = df.sparkSession.sparkContext.defaultParallelism
     df = df.repartition(par)
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle)
-    n_bands = num_hashes // band_size
-    # one posexplode pass instead of a per-band union: a union of
-    # per-band projections defeats exchange reuse (column pruning makes
-    # each branch's partial aggregate distinct), so the whole shingle
-    # explode + digest + shuffle pipeline ran once PER BAND; exploding
-    # an array of band hashes computes the signatures exactly once
-    band_hashes = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[F.col(f"mh{b * band_size + j}") for j in range(band_size)],
-                )
-            )
-            for b in range(n_bands)
-        ]
+    # checkpoint=True: buckets feeds THREE consumers (size-cap count,
+    # join side A, join side B) whose subplans differ, so Catalyst
+    # would re-execute the whole shingle-explode + digest + min-agg
+    # pipeline (75M intermediate rows at 500k docs) for each —
+    # measured 4x the query (A/B in tools/minhash_ab.py: 330/122 s
+    # baseline vs 31/77 s checkpointed, identical pairs).
+    # Materializing the SLIM (id, band, bucket) relation once ends
+    # that: ~50 B/doc/band in the block manager (disk-spilling storage
+    # level), far cheaper than recomputing the signature pipeline per
+    # consumer at any corpus size.
+    buckets = band_buckets(
+        sig, num_hashes, band_size, max_bucket_size, id_col, checkpoint=True
     )
-    buckets = sig.select(
-        F.col(id_col), F.posexplode(band_hashes).alias("band", "bucket")
-    )
-    # buckets feeds THREE consumers (size-cap count, join side A, join
-    # side B) whose subplans differ, so Catalyst re-executes the whole
-    # shingle-explode + digest + min-agg pipeline (75M intermediate
-    # rows at 500k docs) for each — measured 4x the query (A/B in
-    # tools/minhash_ab.py: 330/122 s baseline vs 31/77 s checkpointed,
-    # identical pairs). Materializing the SLIM (id, band, bucket)
-    # relation once ends that: ~50 B/doc/band in the block manager
-    # (disk-spilling storage level), far cheaper than recomputing the
-    # signature pipeline per consumer at any corpus size.
-    buckets = buckets.localCheckpoint()
-    if max_bucket_size:
-        # groupBy count (map-side partial) + equi-join back: skew-safe,
-        # no window; the join is AQE-splittable
-        small = (
-            buckets.groupBy("band", "bucket")
-            .agg(F.count("*").alias("__bn"))
-            .filter(F.col("__bn") <= max_bucket_size)
-            .select("band", "bucket")
-        )
-        buckets = buckets.join(small, on=["band", "bucket"])
     a = buckets.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
     b2 = buckets.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"))
     return (

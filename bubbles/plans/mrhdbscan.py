@@ -500,12 +500,26 @@ class MRHDBSCANModel:
         persisted: a loaded model serves labels/tree/outliers/MST;
         refit for the level matrix."""
         import json
+        import os
 
         spark = self.labels.sparkSession
+        # refresh-in-place guard: a relation loaded FROM this path
+        # cannot be overwrite-written to it (Spark truncates the
+        # directory its own scan is reading) — materialize the blocks
+        # first when any input file lives under the target
+        norm = path.rstrip("/")
+        cands = {norm, os.path.abspath(norm)}
         for name in self._SAVE_RELATIONS:
-            getattr(self, name).write.mode("overwrite").parquet(
-                f"{path}/{name}"
-            )
+            rel = getattr(self, name)
+            try:
+                reads_target = any(
+                    f"{c}/{name}" in f for c in cands for f in rel.inputFiles()
+                )
+            except Exception:
+                reads_target = True  # cannot prove safety -> materialize
+            if reads_target:
+                rel = rel.localCheckpoint()
+            rel.write.mode("overwrite").parquet(f"{path}/{name}")
         meta = {
             "n_iterations": int(self.n_iterations),
             "levels_mode": self._levels_mode,

@@ -37,34 +37,56 @@ from pyspark.sql import functions as F
 from bubbles.operators.text import char_ngrams
 
 
-def _rowwise_minhash(text: Column, num_hashes: int, shingle: int) -> list[Column]:
+def _stage_rowwise_minhash(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    shingle: int,
+) -> tuple[DataFrame, list[Column]]:
     """Stateless MinHash lanes: min over the distinct in-row shingle
     set of 8-hex-char md5 lanes — identical values to
     ``operators.dedup.minhash_signatures`` (same salts, same lanes),
-    computed per row instead of via explode + groupBy."""
-    grams = F.array_distinct(char_ngrams(text, shingle))
+    computed per row instead of via explode + groupBy.
+
+    Returns (staged_df, lane_columns). The digests are materialized
+    ONCE per salt in a staging projection (one md5 per shingle per
+    salt = ceil(num_hashes/4) total, same as the batch path); the four
+    lanes per salt are cheap substring minima over the staged arrays —
+    without the stage, each lane's higher-order transform would
+    re-evaluate the full md5, 4x the dominant per-row CPU cost.
+
+    Rows with NO shingles (NULL text or shorter than ``shingle``) are
+    dropped here, mirroring the batch path where explode produces
+    nothing for them — otherwise every such row would land in the
+    md5-of-empty sentinel bucket and near-dup-match every other short
+    row."""
+    grams = F.array_distinct(char_ngrams(F.col(text_col), shingle))
+    n_salts = (num_hashes + 3) // 4
+
+    def salted_md5(salt: int):
+        # factory closure: a pyspark higher-order lambda must take
+        # ONLY its lambda variables — extra/default params are rejected
+        if salt == 0:
+            return lambda g: F.md5(g)
+        pre = F.lit(f"{salt}|")
+        return lambda g: F.md5(F.concat(pre, g))
+
+    dig_cols = [
+        F.transform(grams, salted_md5(s)).alias(f"__digs{s}")
+        for s in range(n_salts)
+    ]
+    staged = docs.where(F.size(grams) > 0).select(F.col(id_col), *dig_cols)
 
     def lane_min(salt: int, lane: int) -> Column:
-        # factory closure: a pyspark higher-order lambda must take
-        # ONLY lambda variables (default params become lambda vars)
         off = lane * 8
-        if salt == 0:
-            return F.array_min(
-                F.transform(
-                    grams, lambda g: F.substring(F.md5(g), off + 1, 8)
-                )
-            )
-        pre = f"{salt}|"
-        return F.array_min(
-            F.transform(
-                grams,
-                lambda g: F.substring(
-                    F.md5(F.concat(F.lit(pre), g)), off + 1, 8
-                ),
-            )
-        )
 
-    return [lane_min(*divmod(i, 4)) for i in range(num_hashes)]
+        def sub(d):
+            return F.substring(d, off + 1, 8)
+
+        return F.array_min(F.transform(F.col(f"__digs{salt}"), sub))
+
+    return staged, [lane_min(*divmod(i, 4)) for i in range(num_hashes)]
 
 
 def _band_hashes(mh: list[Column], band_size: int) -> Column:
@@ -97,26 +119,16 @@ def corpus_band_index(
     the same over-common-bucket cap as ``minhash_lsh_pairs``: a bucket
     shared by more than ``max_bucket_size`` corpus docs is boilerplate
     and would fan every matching stream row out by its full size."""
-    from bubbles.operators.dedup import minhash_signatures
+    from bubbles.operators.dedup import band_buckets, minhash_signatures
 
     par = corpus.sparkSession.sparkContext.defaultParallelism
     sig = minhash_signatures(
         corpus.repartition(par), text_col, id_col, num_hashes, shingle
     )
-    mh = [F.col(f"mh{i}") for i in range(num_hashes)]
-    buckets = sig.select(
-        F.col(id_col).alias("corpus_id"),
-        F.posexplode(_band_hashes(mh, band_size)).alias("band", "bucket"),
+    buckets = band_buckets(sig, num_hashes, band_size, max_bucket_size, id_col)
+    return buckets.select(
+        "band", "bucket", F.col(id_col).alias("corpus_id")
     )
-    if max_bucket_size:
-        small = (
-            buckets.groupBy("band", "bucket")
-            .agg(F.count("*").alias("__bn"))
-            .filter(F.col("__bn") <= max_bucket_size)
-            .select("band", "bucket")
-        )
-        buckets = buckets.join(small, on=["band", "bucket"])
-    return buckets.select("band", "bucket", "corpus_id")
 
 
 def stream_near_dup_candidates(
@@ -133,12 +145,14 @@ def stream_near_dup_candidates(
     signatures (projection) + posexplode + one stream-static equi-join
     on (band, bucket) — works identically on a batch ``docs`` frame
     (the oracle twin runs exactly that)."""
-    mh = _rowwise_minhash(F.col(text_col), num_hashes, shingle)
-    staged = docs.select(
+    staged, mh = _stage_rowwise_minhash(
+        docs, text_col, id_col, num_hashes, shingle
+    )
+    probes = staged.select(
         F.col(id_col),
         F.posexplode(_band_hashes(mh, band_size)).alias("band", "bucket"),
     )
-    return staged.join(index, on=["band", "bucket"]).select(
+    return probes.join(index, on=["band", "bucket"]).select(
         F.col(id_col), "corpus_id", "band"
     )
 

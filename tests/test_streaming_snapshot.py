@@ -224,7 +224,12 @@ def test_stream_near_dup_matches_batch_and_finds_planted(spark, tmp_path):
     corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
     index = corpus_band_index(corpus, num_hashes=8, band_size=4).localCheckpoint()
 
-    near = base.replace("fox", "fox7").replace("dog", "dog")  # ~= doc 7
+    # genuine NEAR-copy of corpus doc 7 (not byte-identical): the
+    # trailing words change, so only a partial shingle overlap —
+    # a band must still match on the agreeing lanes
+    near = base.replace("fox", "fox7").replace(
+        "loud hunters", "quiet hunters"
+    )
     far = "completely different content about spark physical planning"
     stream_rows = [(100, near), (101, far)]
     data = tmp_path / "docs"
@@ -260,3 +265,6 @@ def test_stream_near_dup_matches_batch_and_finds_planted(spark, tmp_path):
     assert 100 in flagged, "planted near-copy not flagged"
     assert 101 not in flagged, "unrelated doc falsely flagged"
     assert any(c == 7 for d, c, _ in got if d == 100)
+    # the stream text is NOT in the corpus byte-identically, so the
+    # match above exercises partial-overlap banding, not equality
+    assert near not in {t for _, t in corpus_rows}
