@@ -208,6 +208,18 @@ def test_lsh_multiprobe_buckets_and_recall(spark):
     r1, r4 = rec(1), rec(4)
     assert r4 > r1, f"multi-probe did not lift recall: {r1} -> {r4}"
 
+    # index-and-batch shape: multi-probe with an explicit queries=
+    # frame must return exactly the self-search rows for those queries
+    full = lsh_topk(df, k=3, planes=8, tables=2, n_probes=4).toPandas()
+    sub = lsh_topk(
+        df, k=3, planes=8, tables=2, n_probes=4,
+        queries=df.filter(F.col("vec_id") < 40),
+    ).toPandas()
+    want = full[full.query_id < 40]
+    a = set(map(tuple, want[["query_id", "neighbor_id", "rank"]].values))
+    b = set(map(tuple, sub[["query_id", "neighbor_id", "rank"]].values))
+    assert a == b
+
 
 def test_embedding_cosine_dedup(spark):
     from bubbles.operators.similarity import embedding_cosine_dedup_pairs
