@@ -2245,11 +2245,14 @@ sims AS (
                       * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) END AS s
   FROM e CROSS JOIN c
 ),
--- assignment: unrounded cosine DISTANCE argmin, first centroid wins
--- ties (the engine's strict-< scan in centroid_ids order = cid asc)
+-- assignment: SAME ordering key as the probes (6dp-rounded cosine
+-- desc, centroid id asc) — the engine derives both from one rounded
+-- similarity matrix, so the assigned centroid is probes[0] by
+-- construction (round-7 fix: the former unrounded-distance argmin
+-- could diverge from the rounded probe order on near-ties)
 assign AS (
   SELECT vec_id AS neighbor_id, v AS nv, cid AS centroid FROM sims
-  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY 1.0 - s ASC, cid ASC) = 1
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY round(s, 6) DESC, cid ASC) = 1
 ),
 -- probing: top-4 centroids per query by 6dp-ROUNDED similarity
 -- (the engine's Arrow scorer rounds), centroid id breaking ties
@@ -3056,7 +3059,7 @@ def _catalog_sql_b() -> dict[str, str]:
             ),
             assign AS (
               SELECT vec_id, v, cid AS centroid FROM sims
-              QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY 1.0 - s ASC, cid ASC) = 1
+              QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY round(s, 6) DESC, cid ASC) = 1
             ),
             pairs AS (
               SELECT a.vec_id AS i, b.vec_id AS j

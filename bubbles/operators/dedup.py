@@ -98,6 +98,16 @@ def band_buckets(
     ``checkpoint=True`` materializes the slim bucket relation before
     the cap — pass it when multiple consumers follow (see the
     measured rationale in ``minhash_lsh_pairs``)."""
+    if num_hashes % band_size:
+        # a silent floor-division would pay for the trailing lanes'
+        # md5 work in minhash_signatures and then never band them —
+        # the caller believes they bought num_hashes/band_size bands
+        # of recall while getting floor() of it
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by band_size "
+            f"({band_size}); {num_hashes % band_size} trailing MinHash "
+            "lanes would be computed but never banded"
+        )
     n_bands = num_hashes // band_size
     # one posexplode pass instead of a per-band union: a union of
     # per-band projections defeats exchange reuse (column pruning makes
@@ -278,7 +288,14 @@ def simhash_dedup(
     aggregation), NOT a window — 10⁹ near-identical docs collapse to
     one (band, value, min_id) row at the combiner instead of
     serializing one giant window partition; the join back is
-    AQE-skew-splittable."""
+    AQE-skew-splittable.
+
+    Row-count preserving: a NULL-text doc has no tokens (explode emits
+    nothing, so it never reaches a signature) but is re-attached with
+    NULL bands and canonical_id = its own id — the sibling dedup
+    operators (exact_dedup keeps NULL rows, near_dup_groups re-attaches
+    no-pair docs) make the same promise, and a pipeline asserting
+    row-count preservation must not silently lose crawl rows."""
     sigs = simhash64_bands(df, text_col, id_col)
     bands = None
     for b in range(4):
@@ -292,7 +309,14 @@ def simhash_dedup(
         .groupBy(id_col)
         .agg(F.min("__bmin").alias("canonical_id"))
     )
-    return sigs.join(canon, on=id_col)
+    out = sigs.join(canon, on=id_col)
+    return (
+        df.select(F.col(id_col))
+        .join(out, on=id_col, how="left")
+        .withColumn(
+            "canonical_id", F.coalesce(F.col("canonical_id"), F.col(id_col))
+        )
+    )
 
 
 def ngram_jaccard_pairs(
@@ -653,7 +677,12 @@ def semantic_dedup(
             ]
         )
         norms = np.linalg.norm(X, axis=1)
-        dup = np.full(len(ids), -1, dtype=np.int64)
+        # explicit has_dup mask instead of a -1 id sentinel: ids are
+        # longs with no sign contract, so a sentinel in id space would
+        # corrupt results for corpora with negative ids (and make an
+        # actual id of -1 indistinguishable from "no duplicate")
+        dup = np.zeros(len(ids), dtype=np.int64)
+        has = np.zeros(len(ids), dtype=bool)
         for lo in range(1, len(ids), 1024):
             hi = min(lo + 1024, len(ids))
             num = X[lo:hi] @ X.T
@@ -665,21 +694,23 @@ def semantic_dedup(
                 m = sim[r - lo, :r] >= threshold
                 if m.any():
                     dup[r] = ids[int(np.argmax(m))]
+                    has[r] = True
         return pd.DataFrame(
             {
                 "point_id": ids,
                 "centroid": pdf["centroid"].to_numpy()[order],
                 "dup_of": dup,
+                "has_dup": has,
             }
         )
 
     out = assigned.groupBy("centroid").applyInPandas(
-        kernel, "point_id long, centroid long, dup_of long"
+        kernel, "point_id long, centroid long, dup_of long, has_dup boolean"
     )
     return out.select(
         F.col("point_id").alias(id_col),
         F.col("centroid"),
-        F.when(F.col("dup_of") >= 0, F.col("dup_of")).alias("dup_of"),
+        F.when(F.col("has_dup"), F.col("dup_of")).alias("dup_of"),
     )
 
 

@@ -167,6 +167,25 @@ def lsh_bucket_probes(
     )
 
 
+def _require_integral_ids(df: DataFrame, id_col: str, op: str) -> None:
+    """The ANN scale paths ship ids through numpy int64 kernels and
+    long-typed Arrow schemas; a string id that the brute-force
+    baseline happily ranks would otherwise die as an opaque cast error
+    deep in an executor. Fail fast on the driver instead."""
+    from pyspark.sql import types as T
+
+    dt = df.schema[id_col].dataType
+    if not isinstance(
+        dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+    ):
+        raise TypeError(
+            f"{op} requires an integral {id_col!r} (the bucket kernels "
+            f"score ids as int64); got {dt.simpleString()} — hash or "
+            "zip your ids to longs first (cosine_topk has no such "
+            "restriction)"
+        )
+
+
 def lsh_topk(
     df: DataFrame,
     k: int = 5,
@@ -229,11 +248,18 @@ def lsh_topk(
     Rows with a NULL vector are excluded up front (a crawl corpus
     has them; np.stack inside the scoring kernel would throw on the
     whole batch otherwise)."""
+    _require_integral_ids(df, id_col, "lsh_topk")
     df = df.filter(F.col(vec_col).isNotNull())
     if queries is not None:
         queries = queries.filter(F.col(vec_col).isNotNull())
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        row = df.select(vec_col).first()
+        if row is None:  # empty / all-NULL corpus: zero rows, like
+            spark = df.sparkSession  # the brute-force baseline
+            return spark.createDataFrame(
+                [], "query_id long, neighbor_id long, rank int"
+            )
+        dim = len(row[0])
     if planes is None:
         import math
 
@@ -367,44 +393,44 @@ def _ivf_assign_probe(
                 continue
             X = _vec_matrix(pdf["features"])
             # hoisted row norms: _rows_cosine recomputes
-            # sqrt(einsum(X,X)) for every centroid — the same array
-            # every time, so computing it once is bit-identical and
-            # turns the k-loop from 2 passes over X per centroid into
-            # 1 (measured 7x at k=1600). Everything else replicates
-            # kernels.hdbscan_kernel._rows_cosine exactly.
+            # ONE point-x-centroid similarity matrix drives BOTH the
+            # assignment and the probes, through the SAME ordering key
+            # (6dp-rounded cosine desc, centroid id asc): the assigned
+            # centroid IS probes[0] by construction. The former split
+            # derivation (unrounded-distance argmin loop for
+            # assignment, rounded-sim argsort for probes) could
+            # diverge on near-ties (<5e-7 apart round equal; the two
+            # sides also took different BLAS paths with last-ulp
+            # drift), leaving a point whose own inverted list is never
+            # probed — the zero-candidate failure class the r5 fully-
+            # tied bug was about, surviving in its near-tie form.
             Xn = np.sqrt(np.einsum("ij,ij->i", X, X))
-            best_d = np.full(len(X), np.inf)
-            best_i = np.zeros(len(X), dtype=np.int64)
-            if len(perm):
-                best_i[:] = perm[0]
-            for j in perm:  # ascending centroid id: strict < keeps
-                x = mat[j]  # the smallest tied id
-                den = Xn * np.sqrt(x @ x)
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    d = 1.0 - (X @ x) / den
-                d = np.where(den == 0, 1.0, d)
-                upd = d < best_d
-                best_d[upd] = d[upd]
-                best_i[upd] = j
             num = X @ mat.T
-            den = (
-                np.linalg.norm(X, axis=1)[:, None]
-                * np.linalg.norm(mat, axis=1)[None, :]
-            )
+            den = Xn[:, None] * np.linalg.norm(mat, axis=1)[None, :]
             sim = np.round(
                 np.where(den == 0.0, 0.0, num / np.where(den == 0.0, 1.0, den)), 6
             )
+            simp = sim[:, perm]  # id-ascending column view
             if n_probe_eff == 1:
                 # argmax = first occurrence of the max = smallest
                 # centroid id under the perm view — identical to the
                 # stable desc argsort's first element, without sorting
                 # all k columns (the sort dominated the kernel at
                 # k=1600: 0.70s -> 0.05s per 3100-row batch)
-                top = np.argmax(sim[:, perm], axis=1)[:, None]
+                top = np.argmax(simp, axis=1)[:, None]
             else:
-                top = np.argsort(-sim[:, perm], axis=1, kind="stable")[
+                top = np.argsort(-simp, axis=1, kind="stable")[
                     :, :n_probe_eff
                 ]
+            best_i = perm[top[:, 0]]
+            # rep_dist (inverted-list cap ordering): UNROUNDED cosine
+            # distance to the assigned centroid
+            rows = np.arange(len(X))
+            den_a = den[rows, best_i]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                best_d = np.where(
+                    den_a == 0.0, 1.0, 1.0 - num[rows, best_i] / den_a
+                )
             yield pd.DataFrame(
                 {
                     "point_id": pdf["point_id"],
@@ -545,6 +571,7 @@ def ivf_topk(
 
     from bubbles.operators.sampling import stratified_sample_exact
 
+    _require_integral_ids(df, id_col, "ivf_topk")
     # NULL-vector rows excluded (same contract as lsh_topk: np.stack
     # in the assignment kernel would throw on the whole Arrow batch)
     df = df.filter(F.col(vec_col).isNotNull())
@@ -593,6 +620,21 @@ def ivf_topk(
             cents.select("sample_ord", "point_id", "features").collect(),
             key=lambda r: r.sample_ord,
         )
+    # fail fast ON THE DRIVER with the actual cause: an empty/partial
+    # centroid set otherwise surfaces as a bare numpy shape error deep
+    # in an executor ((0,) @ (n,d).T), or silently trains fewer
+    # centroids than the caller asked for
+    if centroid_ids is not None:
+        found = {int(r.point_id) for r in crows}
+        missing = [int(x) for x in centroid_ids if int(x) not in found]
+        if missing:
+            raise ValueError(
+                f"centroid_ids not present in the corpus (or NULL-"
+                f"vector-filtered): {missing[:20]}"
+                + ("..." if len(missing) > 20 else "")
+            )
+    elif not crows:
+        raise ValueError("cannot sample centroids from an empty corpus")
     cids = np.array([r.point_id for r in crows], dtype=np.int64)
     cmat = np.array([r.features for r in crows], dtype=np.float64)
     # ONE mapInPandas pass computes both roles of the point-x-centroid
@@ -607,7 +649,13 @@ def ivf_topk(
     # index" step): downstream the kernel output feeds the inverted
     # list, its cap, AND the probe side — uncheckpointed, Spark would
     # re-execute the kernel once per branch (measured 3x at 200k rows)
-    both = _ivf_assign_probe(base, cids, cmat, n_probe).localCheckpoint()
+    # index-and-batch mode reads only the ASSIGNMENT from the corpus
+    # pass (probes come from the query-side kernel below) — n_probe=1
+    # takes the cheap argmax path and skips materializing an unused
+    # n_probe-long array per corpus row through the checkpoint
+    both = _ivf_assign_probe(
+        base, cids, cmat, n_probe if queries is None else 1
+    ).localCheckpoint()
     assigned = both.select(
         F.col("point_id").alias("neighbor_id"),
         F.col("features").alias("__cv"),
@@ -723,8 +771,8 @@ def _score_bucket_pairs(threshold: float):
         )
         if len(qpdf) == 0 or len(mpdf) == 0:
             return empty
-        Q = np.array([np.asarray(v, dtype=np.float64) for v in qpdf["__qv"]])
-        M = np.array([np.asarray(v, dtype=np.float64) for v in mpdf["__cv"]])
+        Q = _vec_matrix(qpdf["__qv"])
+        M = _vec_matrix(mpdf["__cv"])
         qids = qpdf["query_id"].to_numpy(dtype=np.int64)
         nids = mpdf["neighbor_id"].to_numpy(dtype=np.int64)
         mnorm = np.linalg.norm(M, axis=1)[None, :]
@@ -773,11 +821,21 @@ def embedding_cosine_dedup_pairs_lsh(
     NULL-vector rows are excluded (ANN-family contract)."""
     df = df.filter(F.col(vec_col).isNotNull())
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        row = df.select(vec_col).first()
+        if row is None:  # empty / all-NULL corpus: zero pairs, like
+            spark = df.sparkSession  # the brute-force baseline
+            return spark.createDataFrame(
+                [], "id_a long, id_b long, cos_sim double"
+            )
+        dim = len(row[0])
     if planes is None:
         import math
 
         planes = max(6, math.ceil(math.log2(max(df.count(), 2) / 256)))
+    # single-file corpus arrives in one split — spread the
+    # tables x planes x dim bucket projections first (same rationale
+    # and shape as lsh_topk / minhash_lsh_pairs)
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     found = None
     for t in range(tables):
         b = lsh_bucket(df, dim, planes, seed, t, id_col, vec_col)

@@ -1165,6 +1165,101 @@ def test_ann_degenerate_corpora(spark):
     assert pdf.notna().all().all()
 
 
+def test_ann_edge_contracts(spark):
+    """Round-7 review fixes: (1) near-tied centroids — assignment must
+    equal the first probe, so n_probe=1 self-search always searches a
+    point's own inverted list (nonzero candidates); (2) empty/all-NULL
+    corpus returns zero rows like the brute baseline instead of a
+    driver TypeError; (3) missing centroid_ids and non-integral id
+    columns fail fast with actionable errors; (4) num_hashes not
+    divisible by band_size is rejected."""
+    import pytest as _pytest
+
+    from bubbles.operators.dedup import band_buckets, minhash_lsh_pairs
+    from bubbles.operators.similarity import (
+        embedding_cosine_dedup_pairs_lsh,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    # (1) two centroids whose vectors differ below the 6dp rounding:
+    # every point's rounded sims tie, probes pick the smaller id, and
+    # the assignment MUST follow (pre-fix the unrounded argmin could
+    # assign the other one -> its list is never probed at n_probe=1)
+    near = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [1.0, 1e-9, 0.0, 0.0])]
+        + [(10 + i, [1.0, (i % 3) * 1e-9, 0.0, 0.0]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    out = ivf_topk(
+        near, k=3, n_probe=1, centroid_ids=[0, 1], n_rows=32
+    ).toPandas()
+    assert set(out["query_id"]) == set(
+        [0, 1] + [10 + i for i in range(30)]
+    ), "some point's own inverted list was never probed"
+
+    # (2) empty corpus short-circuits
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert lsh_topk(empty, k=3).count() == 0
+    assert embedding_cosine_dedup_pairs_lsh(empty).count() == 0
+
+    # (3) driver-side validation
+    with _pytest.raises(ValueError, match="centroid_ids not present"):
+        ivf_topk(near, k=3, centroid_ids=[999], n_rows=32)
+    strings = spark.createDataFrame(
+        [("a", [1.0, 0.0])], "vec_id string, embedding array<double>"
+    )
+    with _pytest.raises(TypeError, match="integral"):
+        lsh_topk(strings, k=1, dim=2)
+    with _pytest.raises(TypeError, match="integral"):
+        ivf_topk(strings, k=1)
+
+    # (4) band remainder
+    with _pytest.raises(ValueError, match="divisible"):
+        minhash_lsh_pairs(
+            spark.createDataFrame([(1, "abcdefgh")], "doc_id long, text string"),
+            num_hashes=10,
+            band_size=4,
+        )
+    del band_buckets  # imported to assert the public surface exists
+
+
+def test_simhash_preserves_null_text_rows(spark):
+    """simhash_dedup is row-count preserving: NULL-text docs come back
+    with NULL bands and canonical_id = self (sibling-operator
+    contract), instead of silently vanishing from the output."""
+    from bubbles.operators.dedup import simhash_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "the same text"), (2, "the same text"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = simhash_dedup(docs).toPandas().set_index("doc_id")
+    assert sorted(out.index) == [1, 2, 3]
+    assert out.loc[1, "canonical_id"] == 1 and out.loc[2, "canonical_id"] == 1
+    assert out.loc[3, "canonical_id"] == 3
+    assert out.loc[3, ["sim_b0", "sim_b1", "sim_b2", "sim_b3"]].isna().all()
+
+
+def test_semantic_dedup_negative_ids(spark):
+    """dup_of must work in full id space — a -1 sentinel would corrupt
+    corpora with negative ids (and alias an actual id of -1)."""
+    from bubbles.operators.dedup import semantic_dedup
+
+    vecs = spark.createDataFrame(
+        [(-5, [1.0, 0.0]), (7, [1.0, 0.0]), (9, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = (
+        semantic_dedup(vecs, threshold=0.99, centroid_ids=[-5])
+        .toPandas()
+        .set_index("vec_id")
+    )
+    assert pd.isna(out.loc[-5, "dup_of"])  # smallest id survives
+    assert out.loc[7, "dup_of"] == -5  # negative canonical id kept
+    assert pd.isna(out.loc[9, "dup_of"])  # orthogonal: not a dup
+
+
 def test_ann_null_vectors_excluded(spark):
     """NULL embedding rows (a real crawl corpus has them) are dropped
     at the operator boundary instead of poisoning an Arrow batch."""
