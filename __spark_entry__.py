@@ -644,7 +644,9 @@ def pipeline_clean_corpus_q(spark, sf_dir):
     scrub = F.col("text")
     n_pii = F.lit(0)
     for kind, pat in PII_PATTERNS.items():
-        n_pii = n_pii + F.regexp_count(F.col("text"), F.lit(pat))
+        # count on the progressively-scrubbed text (round-7 pii_scrub
+        # semantics): n_pii == placeholders actually inserted
+        n_pii = n_pii + F.regexp_count(scrub, F.lit(pat))
         scrub = F.regexp_replace(scrub, pat, f"<{kind.upper()}>")
     base = docs.select(
         "doc_id",
@@ -2034,7 +2036,8 @@ feat AS (
            + (CASE WHEN en_hits >= 2 THEN 250000 ELSE 0 END)
            AS quality_micros,
          list_reduce(list_prepend(CAST(0 AS BIGINT),
-             list_transform(toks, t -> CAST(length(t) AS BIGINT))),
+             list_transform(toks,
+                 t -> CAST(CONCAT('0x', substr(md5(t), 1, 8)) AS BIGINT))),
              (a, b) -> (a * 1000003 + b) % 2147483647) AS fingerprint
   FROM base
 )
@@ -2629,19 +2632,31 @@ def _catalog_sql_a() -> dict[str, str]:
         """,
         # same RE2-compatible patterns, same replacement order (email,
         # ipv4, phone), counts over the ORIGINAL text on both sides
+        # each kind counts on the text AFTER the previous kinds'
+        # replacements (round-7 semantics: n_<kind> == placeholders
+        # actually inserted, no overlap overcount)
         "pii_scrub": """
-            SELECT doc_id,
-                   CAST(len(regexp_extract_all(text,
-                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
-                   CAST(len(regexp_extract_all(text,
-                       '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT) AS n_ipv4,
-                   CAST(len(regexp_extract_all(text,
+            WITH s1 AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                     regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+              FROM documents
+            ), s2 AS (
+              SELECT doc_id, n_email,
+                     CAST(len(regexp_extract_all(t1,
+                         '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT) AS n_ipv4,
+                     regexp_replace(t1,
+                         '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IPV4>', 'g') AS t2
+              FROM s1
+            )
+            SELECT doc_id, n_email, n_ipv4,
+                   CAST(len(regexp_extract_all(t2,
                        '\\+[0-9][0-9 ()-]{6,}[0-9]')) AS BIGINT) AS n_phone,
-                   md5(regexp_replace(regexp_replace(regexp_replace(text,
-                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                       '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IPV4>', 'g'),
+                   md5(regexp_replace(t2,
                        '\\+[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g')) AS scrub_md5
-            FROM documents
+            FROM s2
         """,
         # winnowing: same 60-bit md5-prefix gram hash as the Spark
         # side; window-min over w=4 consecutive k=5-gram hashes,
@@ -2667,22 +2682,33 @@ def _catalog_sql_a() -> dict[str, str]:
         # Same integer quality micro-units and scrub chain as the
         # corpus_language_stats / pii_scrub twins.
         "pipeline_clean_corpus": """
-            WITH base AS (
+            WITH p1 AS (
+              SELECT doc_id, text,
+                     CAST(len(regexp_extract_all(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS np1,
+                     regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+              FROM documents
+            ), p2 AS (
+              SELECT doc_id, text, np1,
+                     CAST(len(regexp_extract_all(t1,
+                         '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT) AS np2,
+                     regexp_replace(t1,
+                         '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IPV4>', 'g') AS t2
+              FROM p1
+            ),
+            base AS (
               SELECT doc_id,
                      length(text) AS n_chars,
                      length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
                      string_split_regex(lower(text), '\\s+') AS toks,
-                     md5(regexp_replace(regexp_replace(regexp_replace(text,
-                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                         '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IPV4>', 'g'),
+                     md5(regexp_replace(t2,
                          '\\+[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g')) AS scrub_md5,
-                     CAST(len(regexp_extract_all(text,
-                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
-                       + CAST(len(regexp_extract_all(text,
-                         '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT)
-                       + CAST(len(regexp_extract_all(text,
+                     -- progressive counts (round-7 pii_scrub semantics)
+                     np1 + np2
+                       + CAST(len(regexp_extract_all(t2,
                          '\\+[0-9][0-9 ()-]{6,}[0-9]')) AS BIGINT) AS n_pii
-              FROM documents
+              FROM p2
             ),
             feat AS (
               SELECT doc_id, scrub_md5, n_pii,
@@ -3091,7 +3117,8 @@ def _catalog_sql_b() -> dict[str, str]:
                      string_agg(tok, ' ' ORDER BY pos) AS segtext
               FROM t GROUP BY doc_id, pos // 16
             ), b AS (
-              SELECT segtext FROM s
+              -- empty segments are structure, never boilerplate
+              SELECT segtext FROM s WHERE length(segtext) > 0
               GROUP BY segtext HAVING count(DISTINCT doc_id) >= 2
             ), f AS (
               SELECT s.doc_id, s.seg, s.segtext,
@@ -4105,7 +4132,7 @@ def _catalog_sql_b() -> dict[str, str]:
             )
             SELECT s.ab, s.cab, a.cw AS ca, b.cw AS cb,
                    CAST((CAST(1000000 AS HUGEINT) * s.cab * t.n)
-                        // (a.cw * b.cw) AS BIGINT) AS lift_micro
+                        // (CAST(a.cw AS HUGEINT) * b.cw) AS BIGINT) AS lift_micro
             FROM sp s
             JOIN uni a ON s.wa = a.w
             JOIN uni b ON s.wb = b.w

@@ -18,8 +18,13 @@ At 100 TB this is embarrassingly parallel: no key skew is possible
 because nothing ever groups by a key.
 
 Determinism contract: the score uses a log-free rational idf
-``(N - df + 0.5) / (df + 0.5)`` (same ranking ordering as the
-classic BM25 idf, which is its log) and constants k1=1.5, b=0.75
+``(N - df + 0.5) / (df + 0.5)`` — PER TERM this orders documents
+identically to the classic BM25 idf (which is its log); for
+MULTI-TERM queries the summed rational idfs weight rare terms more
+heavily than summed log idfs would, so rankings can differ from
+textbook BM25 where a common-term tf pile-up would have outranked a
+single rare-term hit. That trade is deliberate — constants k1=1.5,
+b=0.75
 that are exactly representable doubles, so every arithmetic step is
 a correctly-rounded IEEE op on identical inputs — the DuckDB twin
 reproduces the score BIT-IDENTICALLY (no rounding tolerance needed
@@ -73,8 +78,13 @@ def keyword_search(
     Returns (id_col, dl, tf_<term>..., score) ordered by
     (score desc, id) — the tie-break keeps the limit boundary
     deterministic across engines.
+
+    NULL-text rows are excluded: Spark's ``size(NULL)`` is -1 (legacy
+    sizeOfNull), which would poison ``sum_dl``/``avgdl`` for EVERY
+    document and diverge from SQL engines where ``sum()`` skips NULL.
     """
     _check_terms(terms)
+    df = df.filter(F.col(text_col).isNotNull())
     toks = tokens(F.col(text_col))
 
     # closure helper: a `lambda x, t=t:` two-arg form would be read by
@@ -162,7 +172,7 @@ def keyword_search_sql(
                  {tf_cols}
           FROM (SELECT {id_col},
                        string_split_regex(lower({text_col}), '\\s+') AS toks
-                FROM {table})
+                FROM {table} WHERE {text_col} IS NOT NULL)
         ), stats AS (
           SELECT CAST(count(*) AS DOUBLE) AS n_docs,
                  CAST(sum(dl) AS DOUBLE) AS sum_dl,

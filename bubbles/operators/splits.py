@@ -14,13 +14,25 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def md5_long(id_col: Column) -> Column:
+    """The ONE md5-prefix-to-long recipe every hash-derived ordering /
+    bucketing in this module uses (first 8 hex chars of the md5 of the
+    stringified id, as a long). Factored so the recipe (prefix width,
+    cast) can never drift between the split / packing / quota /
+    mixture paths — the DuckDB twins replay it verbatim."""
+    return F.conv(
+        F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10
+    ).cast("long")
+
+
+def md5_bucket(id_col: Column, mod: int) -> Column:
+    """Stable [0, mod) bucket from :func:`md5_long`."""
+    return md5_long(id_col) % mod
+
+
 def split_bucket(id_col: Column) -> Column:
     """Stable [0, 100) bucket from the md5 of the stringified id."""
-    return (
-        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 100
-    )
+    return md5_bucket(id_col, 100)
 
 
 def assign_split(
@@ -56,10 +68,12 @@ def pack_sequences(
     running concatenation in ``id_col`` order, and every
     ``max_tokens`` tokens starts a new training sequence.
 
-    Adds: ``stream`` (0..n_streams-1), ``stream_offset`` (first token
-    position of this doc in its stream), ``seq_id`` (global sequence
-    the doc STARTS in = stream * ceil-capacity + offset div
-    max_tokens), ``seq_offset`` (position within that sequence).
+    Returns a PROJECTION to (id_col, tokens_col, ``stream``
+    (0..n_streams-1), ``stream_offset`` (first token position of this
+    doc in its stream), ``seq_id`` (global sequence the doc STARTS in
+    = stream * ceil-capacity + offset div max_tokens), ``seq_offset``
+    (position within that sequence)) — other input columns are
+    dropped; re-join on ``id_col`` to carry them.
     Documents longer than ``max_tokens`` simply span sequences, as in
     the real layout.
 
@@ -82,11 +96,7 @@ def pack_sequences(
     # split_bucket is already mod 100, which would leave every stream
     # >= 100 empty. For n_streams=100 this is bit-identical to
     # split_bucket (same md5 prefix), which is what the DuckDB twin pins.
-    stream = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % n_streams
-    )
+    stream = md5_bucket(F.col(id_col), n_streams)
     from pyspark.sql import Window
 
     w = (
@@ -134,11 +144,7 @@ def source_quota(
     32·max_per_key survivors per key. Returns (key_col, id_col)."""
     from bubbles.operators.similarity import salted_topk_per_key
 
-    h = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        .alias("__h")
-    )
+    h = md5_long(F.col(id_col)).alias("__h")
     ranked = df.select(F.col(key_col), F.col(id_col), h)
     kept = salted_topk_per_key(
         ranked, key_col, [F.col("__h"), F.col(id_col)], max_per_key

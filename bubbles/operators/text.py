@@ -71,7 +71,9 @@ def quality_features(text: Column) -> dict[str, Column]:
     n_punct = F.length(F.regexp_replace(text, "[^.,;:!?]", ""))
     toks = tokens(text)
     n_tokens = F.size(toks)
-    n_stop = F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])))
+    # array_intersect already dedupes (verified both engines), so no
+    # pre-distinct pass is needed
+    n_stop = F.size(F.array_intersect(toks, F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])))
     return {
         "n_chars": n_chars,
         "n_alpha": n_alpha,
@@ -122,8 +124,9 @@ def quality_score(text: Column) -> Column:
 
 def lang_id(text: Column) -> Column:
     """Stopword-hit argmax over the language lists (ties: en>de>fr —
-    fixed order so the oracle matches)."""
-    toks = F.array_distinct(tokens(text))
+    fixed order so the oracle matches). array_intersect dedupes, so
+    the token list needs no pre-distinct pass."""
+    toks = tokens(text)
     hits = {
         lang: F.size(F.array_intersect(toks, F.array(*[F.lit(s) for s in words])))
         for lang, words in LANG_STOPWORDS.items()
@@ -169,7 +172,13 @@ def repetition_profile(
 
     All ratios are exact-integer divisions (bit-identical in any
     engine). The top-token count is a per-row lambda over distinct
-    tokens (O(distinct·n) inside codegen — documents, not books)."""
+    tokens (O(distinct·n) inside codegen — documents, not books).
+
+    NULL-text rows are excluded (both variants): ``size(NULL)`` is -1
+    in Spark, which would emit a garbage n_tokens=-1 row here while
+    the exploded long variant emits no row at all — dropping them
+    keeps the two variants' documented row-for-row equivalence."""
+    df = df.filter(F.col(text_col).isNotNull())
     t = F.col(text_col)
     toks = tokens(t)
     n = F.size(toks)
@@ -204,7 +213,9 @@ def repetition_profile_long(
     web-page-sized docs, quadratic for a 500k-token book. This shape
     explodes to (doc, token) rows and takes two partial-aggregated
     shuffles (token counts, then per-doc rollup): O(n) work, fully
-    distributed, identical output columns."""
+    distributed, identical output columns (NULL-text rows excluded in
+    both variants — see ``repetition_profile``)."""
+    df = df.filter(F.col(text_col).isNotNull())
     t = F.col(text_col)
     toks = df.select(F.col(id_col), F.explode(tokens(t)).alias("__tok"))
     per_tok = toks.groupBy(id_col, "__tok").agg(F.count("*").alias("__c"))
@@ -254,11 +265,18 @@ def pii_scrub(
     placeholders and count the matches per kind — the pre-training
     scrub pass. Pure ``regexp_replace`` / ``regexp_count`` column
     expressions (JVM-side; the patterns are RE2-compatible so the
-    DuckDB twin replays them verbatim)."""
+    DuckDB twin replays them verbatim).
+
+    Each kind is COUNTED on the text after the previous kinds'
+    replacements — the same text its own replacement runs on — so
+    n_<kind> always equals the number of <KIND> placeholders inserted.
+    (Counting on the original text overcounted when patterns overlap:
+    an IPv4 inside an already-masked email domain was counted but
+    never produced a placeholder.)"""
     scrubbed = F.col(text_col)
     counts = {}
     for kind, pat in PII_PATTERNS.items():
-        counts[kind] = F.regexp_count(F.col(text_col), F.lit(pat))
+        counts[kind] = F.regexp_count(scrubbed, F.lit(pat))
         scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
     return df.select(
         F.col(id_col),
@@ -268,13 +286,20 @@ def pii_scrub(
 
 
 def fingerprint(text: Column) -> Column:
-    """Order-sensitive rolling hash over tokens:
-    fold(acc = (acc*1000003 + token_len) mod 2^31). Deterministic,
-    cheap, SQL-expressible (DuckDB list_reduce)."""
+    """Order-sensitive rolling hash over token CONTENT:
+    fold(acc = (acc*1000003 + uint32(md5(token))) mod (2^31 - 1)).
+    Deterministic and SQL-expressible (DuckDB list_reduce with the
+    same md5-prefix integer). The folded value is the token's md5
+    prefix, not its length — a length-only fold (the round-6 version)
+    collided any two texts with the same token-length sequence
+    ('the cat ran' == 'his dog sat'), useless as a document identity."""
+    tok_h = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast(  # noqa: E731
+        "long"
+    )
     return F.aggregate(
         tokens(text),
         F.lit(0).cast("long"),
-        lambda acc, t: (acc * 1000003 + F.length(t)) % F.lit(2147483647).cast("long"),
+        lambda acc, t: (acc * 1000003 + tok_h(t)) % F.lit(2147483647).cast("long"),
     )
 
 
@@ -451,7 +476,13 @@ def segment_dedup(
         )
     seghash = segments.withColumn("h", F.md5("segtext"))
     boiler = (
-        seghash.groupBy("h")
+        # EMPTY segments (blank lines / trailing delimiters) are
+        # structure, not boilerplate — without the length guard, two
+        # docs each containing one blank line make EVERY blank line in
+        # the corpus "boilerplate" and the restitch destroys paragraph
+        # breaks corpus-wide
+        seghash.filter(F.length("segtext") > 0)
+        .groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= int(min_docs))
         .select("h", F.lit(True).alias("is_boiler"))
@@ -619,8 +650,13 @@ def collocations(
     ua = uni.select(F.col("w").alias("wa"), F.col("cw").alias("ca"))
     ub = uni.select(F.col("w").alias("wb"), F.col("cw").alias("cb"))
     joined = bgc.join(ua, "wa").join(ub, "wb").crossJoin(F.broadcast(total))
+    # the DIVISOR is promoted to DECIMAL too: ca*cb in BIGINT wraps
+    # past 2^63 (a stopword pair at ~1.5e13 corpus tokens is ~3e23),
+    # silently corrupting lift_micro exactly at the corpus scale the
+    # numerator's DECIMAL(38,0) cast was added for
     lift = F.expr(
-        "CAST(1000000 AS DECIMAL(38,0)) * cab * n_tokens div (ca * cb)"
+        "CAST(1000000 AS DECIMAL(38,0)) * cab * n_tokens "
+        "div (CAST(ca AS DECIMAL(38,0)) * cb)"
     ).cast("long")
     return (
         joined.select(

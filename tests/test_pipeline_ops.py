@@ -824,6 +824,90 @@ def test_pii_scrub(spark):
     assert out.loc[2, "text_scrubbed"] == df.toPandas().set_index("doc_id").loc[2, "text"]
 
 
+def test_pii_counts_equal_inserted_placeholders(spark):
+    """Round-7 fix: each kind counts on the text after the previous
+    kinds' replacements, so n_<kind> always equals the <KIND>
+    placeholders inserted — an IPv4 inside an already-masked email
+    domain is not double-counted."""
+    from bubbles.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [(0, "contact bob@mail.192.168.0.10.example.com today")],
+        "doc_id long, text string",
+    )
+    r = pii_scrub(df).collect()[0]
+    for kind in ("email", "ipv4", "phone"):
+        assert r[f"n_{kind}"] == r["text_scrubbed"].count(
+            f"<{kind.upper()}>"
+        ), kind
+
+
+def test_segment_dedup_keeps_blank_lines(spark):
+    """Empty segments (paragraph breaks) are structure, never
+    boilerplate — two docs each containing a blank line must not get
+    every blank line stripped corpus-wide."""
+    from bubbles.operators.text import segment_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "alpha\n\nbeta"), (2, "gamma\n\ndelta")],
+        "doc_id long, text string",
+    )
+    out = segment_dedup(docs, min_docs=2).toPandas().set_index("doc_id")
+    assert out.loc[1, "text_clean"] == "alpha\n\nbeta"
+    assert out.loc[2, "text_clean"] == "gamma\n\ndelta"
+    assert (out["n_kept"] == 3).all()
+
+
+def test_fingerprint_is_content_sensitive(spark):
+    """Round-7 fix: the rolling fingerprint folds token md5 prefixes,
+    not token lengths — same-shape texts must not collide."""
+    from bubbles.operators.text import fingerprint
+
+    df = spark.createDataFrame(
+        [(0, "the cat ran"), (1, "his dog sat"), (2, "the cat ran")],
+        "doc_id long, text string",
+    )
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in df.select("doc_id", fingerprint(F.col("text")).alias("fp")).collect()
+    }
+    assert fps[0] == fps[2]  # identical content, identical fingerprint
+    assert fps[0] != fps[1]  # same token-length shape, different content
+
+
+def test_keyword_search_ignores_null_text(spark):
+    """A NULL-text row must not poison avgdl (size(NULL) = -1) — the
+    corpus stats and scores match the NULL-free corpus exactly."""
+    from bubbles.operators.search import keyword_search
+
+    clean = spark.createDataFrame(
+        [(i, f"hash join vector doc {i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    dirty = clean.unionByName(
+        spark.createDataFrame([(99, None)], "doc_id long, text string")
+    )
+    a = keyword_search(clean, ["hash", "vector"]).toPandas()
+    b = keyword_search(dirty, ["hash", "vector"]).toPandas()
+    assert a.equals(b)
+
+
+def test_repetition_variants_agree_on_null_text(spark):
+    """Both repetition variants drop NULL-text rows (no garbage
+    n_tokens=-1 row from one and no row from the other)."""
+    from bubbles.operators.text import (
+        repetition_profile,
+        repetition_profile_long,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, None)], "doc_id long, text string"
+    )
+    a = repetition_profile(df).toPandas()
+    b = repetition_profile_long(df).toPandas()
+    assert sorted(a["doc_id"]) == [0] and sorted(b["doc_id"]) == [0]
+
+
 def test_pack_sequences_layout(spark):
     from bubbles.operators.splits import pack_sequences
 
