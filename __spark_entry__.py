@@ -3544,7 +3544,7 @@ def _catalog_sql_b() -> dict[str, str]:
             s AS (
               SELECT l_returnflag, hv, v FROM (
                 SELECT l_returnflag, hv, v,
-                       row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn
+                       row_number() OVER (PARTITION BY l_returnflag ORDER BY hv, v) AS rn
                 FROM h) WHERE rn <= 1024
             ),
             r AS (
@@ -3568,7 +3568,7 @@ def _catalog_sql_b() -> dict[str, str]:
             WITH e AS (
               SELECT user_id, event_id, epoch_us(ts) AS ts_us,
                      CAST(floor(value * 1000) AS BIGINT) AS x
-              FROM events WHERE value IS NOT NULL
+              FROM events WHERE value IS NOT NULL AND NOT isnan(value)
             ),
             r AS (
               SELECT user_id, event_id, x,
@@ -3984,7 +3984,7 @@ def _catalog_sql_b() -> dict[str, str]:
                    CAST(CAST(floor(value / 25.0) AS BIGINT) * 25.0
                         AS DOUBLE) AS bin_start,
                    count(*) AS n
-            FROM events WHERE value IS NOT NULL
+            FROM events WHERE value IS NOT NULL AND NOT isnan(value)
             GROUP BY 1
         """,
         # plain window rank per term (the engine caps through the

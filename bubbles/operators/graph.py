@@ -182,7 +182,7 @@ def triangle_count(
     )
 
 
-def k_core(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
+def k_core(edges: DataFrame, k: int, max_iter: int | None = None) -> DataFrame:
     """The k-core of an undirected graph: the maximal subgraph where
     every vertex has degree >= k — the community/spam-analysis
     companion to ``connected_components`` / ``pagerank`` /
@@ -202,11 +202,16 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
     count comparison, never an accumulator (retry-safe). Rounds are
     data-dependent but bounded: each round removes >= 1 vertex or
     terminates, and real graphs peel in a handful of rounds; an
-    unconverged loop raises rather than returning silently-wrong
-    cores. Not expressible as a bounded SQL twin (the fixpoint depth
-    is data-dependent), so correctness is pinned by a brute-force
-    Python peeling differential in pytest — the MRHDBSCAN-kernel
-    check pattern."""
+    ``max_iter=None`` (default) iterates to the fixpoint: peeling
+    removes at least one vertex per round, so it ALWAYS terminates
+    within |V| rounds — a fixed cap is wrong for legitimately
+    deep-peeling graphs (a 300-vertex path at k=2 sheds only its two
+    endpoints per round, ~150 rounds to the correct empty core). Pass
+    an explicit ``max_iter`` as a safety budget; exceeding it raises
+    rather than returning silently-wrong cores. Not expressible as a
+    bounded SQL twin (the fixpoint depth is data-dependent), so
+    correctness is pinned by a brute-force Python peeling differential
+    in pytest — the MRHDBSCAN-kernel check pattern."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     sym = (
@@ -217,7 +222,10 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
         .localCheckpoint()
     )
     n_edges = sym.count()
-    for _ in range(max_iter):
+    import itertools
+
+    rounds = range(max_iter) if max_iter is not None else itertools.count()
+    for _ in rounds:
         deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select(F.col("a").alias("v"))
         pruned = (

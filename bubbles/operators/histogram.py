@@ -32,8 +32,11 @@ def histogram(df: DataFrame, col: str, bin_width: float) -> DataFrame:
     if not (bin_width > 0):
         raise ValueError(f"bin_width must be > 0, got {bin_width}")
     b = F.floor(F.col(col).cast("double") / F.lit(float(bin_width))).cast("long")
+    # NaN passes isNotNull but has no bin: floor(NaN) casts to a
+    # garbage long in non-ANSI Spark (0) while SQL engines NULL/error
+    # — drop it on both sides (the twin filters NOT isnan too)
     return (
-        df.filter(F.col(col).isNotNull())
+        df.filter(F.col(col).isNotNull() & ~F.isnan(F.col(col).cast("double")))
         .groupBy(b.alias("bin"))
         .agg(F.count(F.lit(1)).alias("n"))
         .select(

@@ -107,10 +107,21 @@ def bigram_lm_score(
             ).alias("tok_micro"),
         )
     )
+    # the SUM runs in DECIMAL(38,0): tok_micro alone is bounded by
+    # micro * (ctx_max + V) ~ 1e16-1e18, but a long OOV document SUMS
+    # thousands of those — a BIGINT sum wraps past 2^63 silently in
+    # non-ANSI Spark and the garbage doc would score as maximally
+    # fluent (the exact docs a perplexity filter exists to drop).
+    # DuckDB's sum() over BIGINT is already HUGEINT, so the twins
+    # agree; the final div brings the average back inside long.
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
-        F.sum("tok_micro").alias("inv_sum_micro"),
-        F.expr("sum(tok_micro) div count(1)").alias("inv_avg_micro"),
+        F.sum(F.col("tok_micro").cast("decimal(38,0)"))
+        .cast("long")
+        .alias("inv_sum_micro"),
+        F.expr(
+            "CAST(sum(CAST(tok_micro AS DECIMAL(38,0))) div count(1) AS BIGINT)"
+        ).alias("inv_avg_micro"),
     )
 
 

@@ -102,6 +102,10 @@ def kmv_merge(sketches: DataFrame, group_col: str, k: int = 256) -> DataFrame:
     retained hashes in ``__hv``; output matches ``kmv_distinct`` run
     over the union of the original inputs exactly (pinned by
     tests/test_profile_sketch.py)."""
+    if k < 2:
+        # k=1 makes (k-1)*HASH_SPACE // kth = 0 — every group would
+        # silently report 0 distinct (same guard as kmv_distinct)
+        raise ValueError(f"k must be >= 2, got {k}")
     from bubbles.operators.similarity import salted_topk_per_key
 
     uniq = sketches.select(F.col(group_col), F.col("__hv")).distinct()
@@ -283,7 +287,12 @@ def sampled_quantiles(
             F.col(value_col).alias("__v"),
         ).filter(F.col("__hv").isNotNull() & F.col("__v").isNotNull()),
         group_col,
-        [F.col("__hv")],
+        # __v in the ordering too: a DUPLICATE id (same hash) carrying
+        # two different values straddling the k boundary would
+        # otherwise be retained by partition arrival order —
+        # nondeterministic and un-twinnable. (__hv, __v) is a total
+        # order over the retained columns, so the cut is exact.
+        [F.col("__hv"), F.col("__v")],
         k,
     )
     w = Window.partitionBy(group_col).orderBy("__v", "__hv")

@@ -5,8 +5,9 @@ Batch/stream parity: each streaming query has a batch twin with
 identical semantics so the DuckDB oracle can check the rows (the
 driver runs the batch twin; tests run the stream against the twin).
 
-Timestamp note: the driver parquet has shipped two generations of
-``events.ts`` — TIMESTAMP(NANOS) and plain TIMESTAMP(MICROS)/NTZ.
+Timestamp note: the driver parquet has shipped three generations of
+``events.ts`` — TIMESTAMP(NANOS), TIMESTAMP_NTZ, and plain instant
+TIMESTAMP(MICROS).
 ``read_events_batch`` / ``read_events_stream`` sniff the footer
 (pyarrow, metadata-only) and normalize both to a true TIMESTAMP
 ``ts`` plus integer-microsecond ``ts_us`` matching DuckDB's
@@ -41,17 +42,28 @@ EVENT_SCHEMA_NTZ = (
 _NTZ_EPOCH_US = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
 
 
-def _events_ts_is_nanos(sf_dir: str) -> bool:
-    """True when events.ts is the legacy TIMESTAMP(NANOS) generation.
-    Sniffed from the parquet footer with pyarrow: metadata-only, no
-    Spark job, and — unlike Spark schema inference — needs no
-    session conf (Spark refuses to even INFER a NANOS column without
-    ``spark.sql.legacy.parquet.nanosAsLong``)."""
+def _events_ts_kind(sf_dir: str) -> str:
+    """'nanos' | 'ntz' | 'instant' — the three ``ts`` generations of
+    the driver parquet. Sniffed from the parquet footer with pyarrow:
+    metadata-only, no Spark job, and — unlike Spark schema inference —
+    needs no session conf (Spark refuses to even INFER a NANOS column
+    without ``spark.sql.legacy.parquet.nanosAsLong``). A tz-annotated
+    footer (isAdjustedToUTC) is the plain instant TIMESTAMP
+    generation — reading it as TIMESTAMP_NTZ is a parquet conversion
+    error, so the stream reader must pick a different schema for it."""
     import pyarrow.parquet as pq
     import pyarrow.types as pt
 
     t = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
-    return pt.is_timestamp(t) and t.unit == "ns"
+    if pt.is_timestamp(t) and t.unit == "ns":
+        return "nanos"
+    if pt.is_timestamp(t) and t.tz is not None:
+        return "instant"
+    return "ntz"
+
+
+def _events_ts_is_nanos(sf_dir: str) -> bool:
+    return _events_ts_kind(sf_dir) == "nanos"
 
 
 def read_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,15 +98,43 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     The file-source schema must be declared up front, so sniff the
     footer (pyarrow, metadata-only) to pick the right one. Conf-free,
     like read_events_batch: explicit schemas + NTZ arithmetic."""
-    legacy = _events_ts_is_nanos(sf_dir)
+    kind = _events_ts_kind(sf_dir)
+    schema = {
+        "nanos": EVENT_SCHEMA_NANOS,
+        "ntz": EVENT_SCHEMA_NTZ,
+        # plain instant TIMESTAMP generation (batch reader's third
+        # branch): declare it as-is — an NTZ schema over an
+        # isAdjustedToUTC column is a parquet conversion error
+        "instant": EVENT_SCHEMA_NANOS.replace("ts long", "ts timestamp"),
+    }[kind]
     raw = (
-        spark.readStream.schema(EVENT_SCHEMA_NANOS if legacy else EVENT_SCHEMA_NTZ)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if legacy:
+    if kind == "nanos":
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if kind == "instant":
+        return raw.withColumn("ts", F.timestamp_micros(F.unix_micros("ts")))
     return raw.withColumn("ts", F.timestamp_micros(F.expr(_NTZ_EPOCH_US)))
+
+
+def _drive_to_memory(spark, stream_df, output_mode: str, name: str):
+    """Shared local smoke-path driver: run the streaming query
+    synchronously to completion into a memory sink. try/finally stops
+    the query even when a micro-batch throws, so a failed drive never
+    leaks a running query into the session."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
 
 
 def windowed_counts(events: DataFrame, minutes: int = 5) -> DataFrame:
@@ -183,16 +223,12 @@ def run_sessions_to_memory(
     """Drive the session-window query over the parquet micro-batch.
     Complete mode + a single batch emits each session exactly once
     (session-window aggregations don't support update mode)."""
-    q = (
-        session_counts_stream(read_events_stream(spark, sf_dir))
-        .writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
+    return _drive_to_memory(
+        spark,
+        session_counts_stream(read_events_stream(spark, sf_dir)),
+        "complete",
+        name,
     )
-    q.processAllAvailable()
-    q.stop()
-    return spark.sql(f"SELECT * FROM {name}")
 
 
 def stateful_user_totals(events: DataFrame, timeout_ms: int = 0) -> DataFrame:
@@ -231,31 +267,17 @@ def run_stateful_to_memory(
 ):
     """Drive the stateful operator over the parquet micro-batch."""
     ev = read_events_stream(spark, sf_dir)
-    q = (
-        stateful_user_totals(ev)
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .start()
+    return _drive_to_memory(
+        spark, stateful_user_totals(ev), "update", name
     )
-    q.processAllAvailable()
-    q.stop()
-    return spark.sql(f"SELECT * FROM {name}")
 
 
 def run_stream_to_memory(spark: SparkSession, sf_dir: str, name: str = "stream_out"):
     """Drive the streaming query synchronously to completion over the
     parquet micro-batch (local smoke path)."""
-    q = (
-        windowed_counts(read_events_stream(spark, sf_dir))
-        .writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
+    return _drive_to_memory(
+        spark, windowed_counts(read_events_stream(spark, sf_dir)), "complete", name
     )
-    q.processAllAvailable()
-    q.stop()
-    return spark.sql(f"SELECT * FROM {name}")
 
 
 def attribution_join_stream(
@@ -351,16 +373,9 @@ def run_attribution_to_memory(
     spark: SparkSession, sf_dir: str, name: str = "attr_out"
 ):
     """Drive the stream-stream join over the parquet micro-batch."""
-    q = (
-        attribution_join_stream(read_events_stream(spark, sf_dir))
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
+    return _drive_to_memory(
+        spark, attribution_join_stream(read_events_stream(spark, sf_dir)), "append", name
     )
-    q.processAllAvailable()
-    q.stop()
-    return spark.sql(f"SELECT * FROM {name}")
 
 
 def dedup_events_stream(events: DataFrame, within: str = "30 minutes") -> DataFrame:
@@ -378,8 +393,13 @@ def dedup_events_stream(events: DataFrame, within: str = "30 minutes") -> DataFr
 
 def dedup_events_batch(events: DataFrame) -> DataFrame:
     """Batch twin of ``dedup_events_stream``: one row per event_id,
-    first arrival wins (min (ts, user_id, ...) struct — deterministic
-    for exact duplicate rows too)."""
+    keeping the min (ts, user_id, ...) struct — a DETERMINISTIC
+    canonical choice (stable for exact duplicate rows too). The stream
+    keeps the first ARRIVAL instead (dropDuplicatesWithinWatermark has
+    no other option), so the two agree whenever duplicates arrive in
+    ts order — which the file-replay driver guarantees — but an
+    out-of-order in-window duplicate pair can legitimately keep
+    different witnesses. Equality of the KEY SET is unconditional."""
     others = [c for c in events.columns if c != "event_id"]
     best = F.min(F.struct(*others)).alias("__b")
     return (
@@ -391,16 +411,9 @@ def dedup_events_batch(events: DataFrame) -> DataFrame:
 
 def run_dedup_to_memory(spark: SparkSession, sf_dir: str, name: str = "dedup_out"):
     """Drive the streaming dedup over the parquet micro-batch."""
-    q = (
-        dedup_events_stream(read_events_stream(spark, sf_dir))
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
+    return _drive_to_memory(
+        spark, dedup_events_stream(read_events_stream(spark, sf_dir)), "append", name
     )
-    q.processAllAvailable()
-    q.stop()
-    return spark.sql(f"SELECT * FROM {name}")
 
 
 def stateful_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
@@ -436,6 +449,7 @@ def stateful_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                     rows.append((int(ts.value // 1000), float(v)))
             rows.sort()
             cur = list(state.get) if state.exists else None
+            late = None  # [start, last, n, total] — pre-session stragglers
             for ts_us, v in rows:
                 if cur is None:
                     cur = [ts_us, ts_us, 0, 0.0]
@@ -445,12 +459,29 @@ def stateful_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                     )
                     cur = [ts_us, ts_us, 0, 0.0]
                 elif ts_us < cur[0] - gap_us:
-                    # within-watermark late event landing a full gap
-                    # BEFORE the open session: in the fully-sorted
-                    # batch twin it would have closed as its own
-                    # session, so emit it as one instead of letting it
-                    # drag the stored session's bounds backwards
-                    out.append((key[0], int(ts_us), 1, round(float(v), 6)))
+                    # within-watermark late events landing a full gap
+                    # BEFORE the open session: the fully-sorted batch
+                    # twin would have clustered them by the SAME gap
+                    # rule and closed them before the open session —
+                    # so gap-cluster them here too (rows is sorted, so
+                    # this is the identical left-to-right clustering;
+                    # emitting each as a singleton split a mutually-
+                    # close pair the twin merges)
+                    if late is not None and ts_us - late[1] <= gap_us:
+                        late[1] = ts_us
+                        late[2] += 1
+                        late[3] += v
+                    else:
+                        if late is not None:
+                            out.append(
+                                (
+                                    key[0],
+                                    int(late[0]),
+                                    int(late[2]),
+                                    round(float(late[3]), 6),
+                                )
+                            )
+                        late = [ts_us, ts_us, 1, float(v)]
                     continue
                 # max/min, never plain assignment: a late event inside
                 # the session span must not shrink `last` (that would
@@ -462,6 +493,10 @@ def stateful_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                 cur[1] = max(cur[1], ts_us)
                 cur[2] += 1
                 cur[3] += v
+            if late is not None:
+                out.append(
+                    (key[0], int(late[0]), int(late[2]), round(float(late[3]), 6))
+                )
             if cur is not None:
                 state.update(tuple(cur))
                 # close the open session once the event-time watermark
@@ -571,16 +606,9 @@ def run_distinct_types_to_memory(
     """Drive the transformWithStateInPandas operator over the parquet
     micro-batch; single batch -> final state equals the batch twin."""
     ev = read_events_stream(spark, sf_dir)
-    q = (
-        distinct_types_stream(ev)
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .start()
+    return _drive_to_memory(
+        spark, distinct_types_stream(ev), "update", name
     )
-    q.processAllAvailable()
-    q.stop()
-    return spark.sql(f"SELECT * FROM {name}")
 
 
 def user_segments_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -617,16 +645,9 @@ def run_enrich_to_memory(
     spark: SparkSession, sf_dir: str, name: str = "enrich_out"
 ) -> DataFrame:
     dim = user_segments_dim(spark, sf_dir)
-    q = (
-        enrich_stream(read_events_stream(spark, sf_dir), dim)
-        .writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
+    return _drive_to_memory(
+        spark, enrich_stream(read_events_stream(spark, sf_dir), dim), "complete", name
     )
-    q.processAllAvailable()
-    q.stop()
-    return spark.sql(f"SELECT * FROM {name}")
 
 
 def kmv_distinct_stream(events: DataFrame, k: int = 16) -> DataFrame:
@@ -645,6 +666,9 @@ def kmv_distinct_stream(events: DataFrame, k: int = 16) -> DataFrame:
 
     from bubbles.operators.sketch import HASH_SPACE, kmv_hash
 
+    if k < 2:
+        # same guard as batch kmv_distinct: k=1 silently estimates 0
+        raise ValueError(f"k must be >= 2, got {k}")
     hashed = events.select(
         F.col("event_type"), kmv_hash(F.col("user_id")).alias("hv")
     ).filter(F.col("hv").isNotNull())
@@ -683,16 +707,9 @@ def kmv_distinct_stream(events: DataFrame, k: int = 16) -> DataFrame:
 def run_kmv_to_memory(
     spark: SparkSession, sf_dir: str, name: str = "kmv_out", k: int = 16
 ) -> DataFrame:
-    q = (
-        kmv_distinct_stream(read_events_stream(spark, sf_dir), k=k)
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .start()
+    return _drive_to_memory(
+        spark, kmv_distinct_stream(read_events_stream(spark, sf_dir), k=k), "update", name
     )
-    q.processAllAvailable()
-    q.stop()
-    return spark.sql(f"SELECT * FROM {name}")
 
 
 def anomaly_flags_stream(events: DataFrame, min_n: int = 8, z: int = 3) -> DataFrame:
@@ -769,7 +786,11 @@ def anomaly_flags_batch(events: DataFrame, min_n: int = 8, z: int = 3) -> DataFr
     count/sum/sum-of-squares per user via one window, the identical
     integer comparison in DECIMAL(38,0) (headroom past the kernel's
     int64 — the window side never overflows first). One exchange on
-    user_id; per-user window partitions are user-history-sized."""
+    user_id; per-user window partitions are user-history-sized.
+
+    NaN values are dropped like the stream kernel drops them (NaN
+    passes isNotNull; without the guard the batch side would emit a
+    row the stream never emits and shift every later n_prior)."""
     from pyspark.sql import Window
 
     x = F.floor(F.col("value") * 1000).cast("long")
@@ -779,7 +800,7 @@ def anomaly_flags_batch(events: DataFrame, min_n: int = 8, z: int = 3) -> DataFr
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     staged = (
-        events.filter(F.col("value").isNotNull())
+        events.filter(F.col("value").isNotNull() & ~F.isnan("value"))
         .select("user_id", "event_id", "ts_us", x.alias("x"))
         .select(
             "user_id",
@@ -804,13 +825,6 @@ def anomaly_flags_batch(events: DataFrame, min_n: int = 8, z: int = 3) -> DataFr
 def run_anomaly_to_memory(
     spark: SparkSession, sf_dir: str, name: str = "anomaly_out"
 ) -> DataFrame:
-    q = (
-        anomaly_flags_stream(read_events_stream(spark, sf_dir))
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
+    return _drive_to_memory(
+        spark, anomaly_flags_stream(read_events_stream(spark, sf_dir)), "append", name
     )
-    q.processAllAvailable()
-    q.stop()
-    return spark.sql(f"SELECT * FROM {name}")

@@ -273,3 +273,17 @@ def test_k_core_validation(spark):
     df = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
     with pytest.raises(ValueError):
         k_core(df, k=0)
+
+
+def test_k_core_deep_peel_converges_by_default(spark):
+    """Round-7 fix: max_iter=None (default) iterates to the fixpoint —
+    a long path peels only its two endpoints per round, which used to
+    exhaust the fixed 100-round cap and raise on a legal input; an
+    explicit budget still raises when exceeded."""
+    from bubbles.operators.graph import k_core
+
+    path = [(i, i + 1) for i in range(240)]  # needs ~120 rounds at k=2
+    df = spark.createDataFrame(path, "src bigint, dst bigint")
+    assert k_core(df, k=2).count() == 0
+    with pytest.raises(RuntimeError, match="did not converge"):
+        k_core(df, k=2, max_iter=5)

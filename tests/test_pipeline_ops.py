@@ -1553,6 +1553,80 @@ def test_stateful_sessions_event_time_timeout(spark, tmp_path):
     assert twin_groups == {(7, 2, 3.0), (7, 1, 4.0), (8, 1, 1.5)}
 
 
+def test_stateful_sessions_merges_late_pair(spark, tmp_path):
+    """Round-7 fix: two within-watermark late events that land a full
+    gap BEFORE the open session and are mutually within the gap must
+    emit ONE merged session (the sorted batch twin's clustering), not
+    two singletons. gap < watermark delay so the late branch is
+    reachable: watermark = prev-batch max - 10min; late rows must sit
+    in [watermark, session_start - gap)."""
+    import glob
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bubbles.streaming.events import EVENT_SCHEMA_NTZ, stateful_sessions
+
+    base = 1_700_000_000_000_000
+    MIN = 60_000_000
+
+    def write_batch(name, rows):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["click"] * len(rows)),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        stage = tmp_path / "stage"
+        stage.mkdir(exist_ok=True)
+        pq.write_table(tbl, f"{stage}/{name}.parquet")
+        shutil.copy(
+            glob.glob(f"{stage}/{name}.parquet")[0],
+            str(tmp_path / "src" / f"{name}.parquet"),
+        )
+
+    (tmp_path / "src").mkdir()
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA_NTZ)
+        .parquet(str(tmp_path / "src"))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        stateful_sessions(raw, gap_minutes=5)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_late_pair")
+        .start()
+    )
+    try:
+        # batch 1: open session at T+20 (watermark after -> T+10)
+        write_batch("b1", [(1, base + 20 * MIN, 7, 1.0)])
+        q.processAllAvailable()
+        # batch 2: two late events at T+11 / T+12 — above the T+10
+        # watermark, below session start - gap (T+15), mutually
+        # within the 5-min gap -> ONE merged session
+        write_batch(
+            "b2",
+            [(2, base + 11 * MIN, 7, 2.0), (3, base + 12 * MIN, 7, 4.0)],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM t_late_pair").toPandas()
+    sessions = {
+        (r.session_start_us, r.n_events, r.sum_value)
+        for r in got.itertuples()
+    }
+    assert (base + 11 * MIN, 2, 6.0) in sessions, sessions
+    assert (base + 11 * MIN, 1, 2.0) not in sessions  # no singletons
+    assert (base + 12 * MIN, 1, 4.0) not in sessions
+
+
 def test_distinct_types_stream_matches_batch_or_gates(spark):
     """transformWithStateInPandas op: runs when protobuf is present
     (single batch -> equals the batch twin); otherwise raises its
