@@ -3637,7 +3637,10 @@ def _catalog_sql_b() -> dict[str, str]:
               SELECT o_orderkey AS k, count(*) AS cb FROM orders GROUP BY o_orderkey
             ),
             c AS (
-              SELECT ca.k, CAST(ca.ca * cb.cb AS BIGINT) AS c
+              -- HUGEINT product + VARCHAR key, matching the engine's
+              -- DECIMAL(38,0) product + string tie-break (round 7)
+              SELECT CAST(ca.k AS VARCHAR) AS k,
+                     CAST(ca.ca AS HUGEINT) * cb.cb AS c
               FROM ca JOIN cb ON ca.k = cb.k
             ),
             m AS (SELECT k, c FROM c ORDER BY c DESC, k DESC LIMIT 1),
@@ -3648,7 +3651,7 @@ def _catalog_sql_b() -> dict[str, str]:
             )
             SELECT CAST(a.join_rows AS BIGINT) AS join_rows,
                    CAST(a.n_keys_common AS BIGINT) AS n_keys_common,
-                   coalesce(m.c, 0) AS max_key_rows,
+                   CAST(coalesce(m.c, 0) AS BIGINT) AS max_key_rows,
                    m.k AS max_key,
                    CAST(CASE WHEN a.join_rows > 0
                         THEN (CAST(m.c AS HUGEINT) * 1000000) // a.join_rows

@@ -51,6 +51,21 @@ def merge_upsert(
     if missing:
         raise ValueError(f"changes is missing columns: {missing}")
 
+    # reject unrecognized ops PER ROW (raise_error inside codegen —
+    # no extra pass): a winner with a typo'd op ('Upsert', 'insert')
+    # would otherwise pass the left_anti removal but fail the upsert
+    # filter, silently DELETING the key from the next version
+    changes = changes.withColumn(
+        op_col,
+        F.when(F.col(op_col).isin(*OPS), F.col(op_col)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"merge_upsert: {op_col} must be one of {OPS}, got "),
+                    F.col(op_col).cast("string"),
+                )
+            )
+        ),
+    )
     # deterministic winner under duplicated/equal seqs: md5 of the
     # full payload as the final tie-break (engine-portable)
     h = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in payload]))

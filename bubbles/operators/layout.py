@@ -33,10 +33,14 @@ ZMAX = (1 << ZBITS) - 1
 
 def _bucket_expr(vcol: str, mincol: str, maxcol: str, zmax: int = ZMAX) -> "F.Column":
     """``(v - vmin) * zmax div max(vmax - vmin, 1)`` with DECIMAL(38)
-    headroom — identical text semantics in Spark SQL and DuckDB."""
+    headroom — identical text semantics in Spark SQL and DuckDB.
+    Column names are backtick-quoted: an unquoted name with a space,
+    dash or keyword either fails to parse or — worse — parses as an
+    arithmetic expression ('x-1' = x minus 1) and z-orders garbage."""
+    v, lo, hi = (f"`{c}`" for c in (vcol, mincol, maxcol))
     return F.expr(
-        f"CAST(CAST(({vcol} - {mincol}) AS DECIMAL(38,0)) * {zmax}"
-        f" div greatest({maxcol} - {mincol}, 1) AS BIGINT)"
+        f"CAST(CAST(({v} - {lo}) AS DECIMAL(38,0)) * {zmax}"
+        f" div greatest({hi} - {lo}, 1) AS BIGINT)"
     )
 
 

@@ -67,7 +67,11 @@ def decode_media(
                 )
             feats = []
             for blob in pdf[media_col]:
-                arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+                # NULL blob -> all-zero histogram (same quarantine
+                # stance as decode_media_real; bytes(None) raises)
+                arr = np.frombuffer(
+                    bytes(blob) if blob is not None else b"", dtype=np.uint8
+                )
                 hist = np.bincount(arr % feature_dim, minlength=feature_dim).astype(
                     np.float64
                 )
@@ -257,8 +261,8 @@ def _media_features(blob: bytes) -> dict:
                 sample_rate=int(rate),
                 n_samples=int(x.shape[0]),
                 features=[
-                    float(mono.mean()),
-                    float(mono.std()),
+                    float(mono.mean()) if len(mono) else 0.0,
+                    float(mono.std()) if len(mono) else 0.0,
                     float(mono.min()) if len(mono) else 0.0,
                     float(mono.max()) if len(mono) else 0.0,
                     float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0,
@@ -347,8 +351,12 @@ def frame_sample(
     The actual per-frame pixel decode is ``sample_frames_real``
     (netpbm streams); compressed containers (H.264 etc.) still need
     an external codec and quarantine as kind='unknown' there."""
+    # ceil, not floor: a 2500 ms clip at every_ms=1000 has a planned
+    # sample point at 2000 ms (strictly inside the clip) — floor
+    # silently dropped the tail frame of every non-multiple duration
     n_frames = F.greatest(
-        (F.col("meta.duration_ms") / F.lit(every_ms)).cast("int"), F.lit(1)
+        F.ceil(F.col("meta.duration_ms") / F.lit(every_ms)).cast("int"),
+        F.lit(1),
     )
     return df.select(
         id_col,
@@ -448,32 +456,43 @@ def sample_frames_real(
                     rows.append({**base, "kind": "corrupt"})
                     continue
                 nf = len(index)
-                for i in range(0, nf, every_n):
-                    off, end, w, h, c = index[i]
-                    px = (
-                        np.frombuffer(b, np.uint8, count=end - off, offset=off)
-                        .reshape(h, w, c)
-                        .astype(np.float64)
-                        / 255.0
-                    )
-                    rows.append(
-                        {
-                            id_col: mid,
-                            "kind": "video/netpbm",
-                            "frame_idx": i,
-                            "n_frames": nf,
-                            "width": w,
-                            "height": h,
-                            "channels": c,
-                            "features": [
-                                float(px.mean()),
-                                float(px.std()),
-                                float(px.min()),
-                                float(px.max()),
-                            ]
-                            + [float(px[:, :, ch].mean()) for ch in range(c)],
-                        }
-                    )
+                try:
+                    # the per-frame decode sits under its own guard:
+                    # a header-valid ZERO-AREA frame ('P5 0 0 255')
+                    # passes the index but empty-array reductions
+                    # raise — one poison clip must quarantine, not
+                    # kill the stage (same contract as the index call)
+                    frame_rows = []
+                    for i in range(0, nf, every_n):
+                        off, end, w, h, c = index[i]
+                        px = (
+                            np.frombuffer(b, np.uint8, count=end - off, offset=off)
+                            .reshape(h, w, c)
+                            .astype(np.float64)
+                            / 255.0
+                        )
+                        frame_rows.append(
+                            {
+                                id_col: mid,
+                                "kind": "video/netpbm",
+                                "frame_idx": i,
+                                "n_frames": nf,
+                                "width": w,
+                                "height": h,
+                                "channels": c,
+                                "features": [
+                                    float(px.mean()),
+                                    float(px.std()),
+                                    float(px.min()),
+                                    float(px.max()),
+                                ]
+                                + [float(px[:, :, ch].mean()) for ch in range(c)],
+                            }
+                        )
+                except Exception:
+                    rows.append({**base, "kind": "corrupt"})
+                    continue
+                rows.extend(frame_rows)
             yield pd.DataFrame(
                 rows,
                 columns=[

@@ -164,9 +164,14 @@ def join_cardinality(
     the join output — 1_000_000 means ONE key is the whole join."""
     ca = df_a.groupBy(key_col).agg(F.count(F.lit(1)).alias("__ca"))
     cb = df_b.groupBy(key_col).agg(F.count(F.lit(1)).alias("__cb"))
+    # __k as STRING (works for any key type — a long cast NULLed
+    # string keys and broke the tie-break); the per-key product in
+    # DECIMAL(38,0) — two 4e9-row sides on one hot key exceed 2^63
+    # and a BIGINT multiply wraps silently in non-ANSI Spark, exactly
+    # the blowup this profile exists to detect
     contrib = ca.join(cb, on=key_col).select(
-        F.col(key_col).cast("long").alias("__k"),
-        (F.col("__ca") * F.col("__cb")).cast("long").alias("__c"),
+        F.col(key_col).cast("string").alias("__k"),
+        (F.col("__ca").cast("decimal(38,0)") * F.col("__cb")).alias("__c"),
     )
     agg = contrib.agg(
         F.coalesce(F.sum("__c"), F.lit(0)).alias("join_rows"),
@@ -174,9 +179,9 @@ def join_cardinality(
         F.max(F.struct(F.col("__c"), F.col("__k"))).alias("__m"),
     )
     return agg.select(
-        "join_rows",
+        F.col("join_rows").cast("long").alias("join_rows"),
         "n_keys_common",
-        F.coalesce(F.col("__m.__c"), F.lit(0)).alias("max_key_rows"),
+        F.coalesce(F.col("__m.__c"), F.lit(0)).cast("long").alias("max_key_rows"),
         F.col("__m.__k").alias("max_key"),
         F.when(F.col("join_rows") > 0,
                F.expr("CAST(__m.__c AS DECIMAL(38,0)) * 1000000 div join_rows"))

@@ -25,18 +25,15 @@ def read_points_text(
     """Parse a numeric text file (one object per line, sep-separated)
     into (point_id, features ARRAY<DOUBLE>)."""
     lines = spark.read.text(path).filter(F.length(F.trim("value")) > 0)
+    # ONE parse rule for both id strategies (the rule living twice
+    # invited silent divergence between the branches)
     feats = F.transform(
         F.split(F.trim(F.col("value")), sep), lambda s: s.cast("double")
     )
     if dense_ids:
         rdd = lines.rdd.zipWithIndex().map(lambda t: (t[1], t[0]["value"]))
-        df = spark.createDataFrame(rdd, schema="point_id long, value string")
-        return df.select(
-            "point_id",
-            F.transform(F.split(F.trim("value"), sep), lambda s: s.cast("double")).alias(
-                "features"
-            ),
-        )
+        lines = spark.createDataFrame(rdd, schema="point_id long, value string")
+        return lines.select("point_id", feats.alias("features"))
     return lines.select(
         F.monotonically_increasing_id().alias("point_id"), feats.alias("features")
     )
@@ -56,8 +53,11 @@ def write_flat_partition(labels: DataFrame, path: str) -> None:
 
 
 def write_cluster_tree(tree: DataFrame, path: str) -> None:
-    """Cluster-tree CSV (label,birth,death,stability,parent) —
-    Main.java:566-571 contract."""
+    """Cluster-tree CSV — Main.java:566-571 contract, extended: the
+    emitted columns are (label, birth_level, death_level, stability,
+    n_points, parent). ``n_points`` is additional to the reference's
+    (label,birth,death,stability,parent) line; the header names the
+    columns so consumers parse by name, not position."""
     tree.select(
         "label", "birth_level", "death_level", "stability", "n_points", "parent"
     ).orderBy("label").write.mode("overwrite").option("header", True).csv(path)

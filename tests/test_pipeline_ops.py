@@ -280,8 +280,19 @@ def test_frame_sample(spark):
         "meta struct<width:int,height:int,sample_rate:int,duration_ms:int>",
     )
     out = frame_sample(df, every_ms=1000).toPandas()
-    assert list(out["frame_idx"]) == [0, 1, 2]
-    assert list(out["offset_ms"]) == [0, 1000, 2000]
+    # ceil semantics (round-7 fix): 3000 ms is strictly inside the
+    # 3500 ms clip, so the tail sample point is planned too
+    assert list(out["frame_idx"]) == [0, 1, 2, 3]
+    assert list(out["offset_ms"]) == [0, 1000, 2000, 3000]
+    exact = frame_sample(
+        spark.createDataFrame(
+            [(1, "video", bytearray(b"v"), (0, 0, 0, 3000))],
+            "media_id long, kind string, media binary, "
+            "meta struct<width:int,height:int,sample_rate:int,duration_ms:int>",
+        ),
+        every_ms=1000,
+    ).toPandas()
+    assert list(exact["offset_ms"]) == [0, 1000, 2000]
 
 
 def test_sample_frames_real_netpbm_stream(spark):
