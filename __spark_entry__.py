@@ -1084,9 +1084,18 @@ def kmeans_fit_q(spark, sf_dir):
     from bubbles.operators.kmeans import kmeans_fit
 
     emb = _t(spark, sf_dir, "embeddings")
-    return kmeans_fit(
-        emb, n_iter=2, centroid_ids=list(range(0, 2000, 100))
-    )
+    # derive the pinned ids from the corpus (vec_id % 100 == 0, id
+    # order — exactly the twin's centroid CTE) instead of a hard
+    # range: kmeans_fit now rejects missing ids rather than silently
+    # dropping them, and the corpus size varies with the SF
+    ids = [
+        int(r[0])
+        for r in emb.filter(F.pmod("vec_id", F.lit(100)) == 0)
+        .select("vec_id")
+        .orderBy("vec_id")
+        .collect()
+    ]
+    return kmeans_fit(emb, n_iter=2, centroid_ids=ids)
 
 
 def dsir_weights_q(spark, sf_dir):

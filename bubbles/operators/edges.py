@@ -28,9 +28,12 @@ def adjacency(edges: DataFrame) -> DataFrame:
 
 
 def max_edge_per_key(edges: DataFrame, key_col: str = "subset_id") -> DataFrame:
-    """Heaviest edge per key (A5). Deterministic tie-break on
-    (src, dst) — the reference keeps the first-seen of equal weights
-    (Main.java:363-371, `>=` comparator)."""
+    """Heaviest edge per key (A5). Deterministic tie-break: the
+    smallest (src, dst) among equal weights — deliberately NOT the
+    reference's behavior (Main.java:363-371 uses a `>=` comparator,
+    which keeps the LAST-SEEN tied edge: scan-order-dependent, hence
+    nondeterministic under Spark partitioning; any fixed total order
+    is a valid replacement and min-(src,dst) is engine-portable)."""
     best = F.max(
         F.struct(F.col("weight"), (-F.col("src")).alias("ns"), (-F.col("dst")).alias("nd"))
     ).alias("__best")
@@ -43,8 +46,13 @@ def max_edge_per_key(edges: DataFrame, key_col: str = "subset_id") -> DataFrame:
 
 
 def tied_edges(edges: DataFrame, max_edges: DataFrame) -> DataFrame:
-    """Edges whose weight ties any per-key max weight (P6) — a
-    left-semi join on weight (the reference scans a collected list)."""
+    """Edges whose weight ties ANY per-key max weight (P6) — a
+    left-semi join on weight alone, faithfully reproducing the
+    reference's collected-list scan (which also matches on weight
+    only). Note the corollary it inherits: with cross-key weight
+    collisions (common for quantized weights), an edge can 'tie' a
+    DIFFERENT key's max — callers needing per-key tie semantics
+    should semi-join on (key, weight) instead."""
     return edges.join(
         max_edges.select("weight").distinct(), on="weight", how="left_semi"
     )

@@ -73,6 +73,21 @@ def _base_and_init(df, k, id_col, vec_col, centroid_ids, seed):
             cents.select("sample_ord", "point_id", "features").collect(),
             key=lambda r: r.sample_ord,
         )[:k]
+    if centroid_ids is not None:
+        # fail fast: a missing / NULL-filtered pinned id would silently
+        # shift every later cluster ordinal (the caller maps ordinal i
+        # back to centroid_ids[i]), and an all-missing list would
+        # assign everything to cluster 0 with distance inf
+        found = {int(r.point_id) for r in crows}
+        missing = [int(x) for x in centroid_ids if int(x) not in found]
+        if missing:
+            raise ValueError(
+                f"centroid_ids not present in the corpus (or NULL-"
+                f"vector-filtered): {missing[:20]}"
+                + ("..." if len(missing) > 20 else "")
+            )
+    elif not crows:
+        raise ValueError("cannot sample centroids from an empty corpus")
     cmat = np.array([r.features for r in crows], dtype=np.float64)
     return base, cmat
 
@@ -102,10 +117,22 @@ def _assign_of(sc, cmat_now):
 
 def _train(base, cmat, n_iter, scale):
     """Run ``n_iter - 1`` exact quantized Lloyd updates; returns the
-    final centroid matrix."""
+    final centroid matrix. With more than one update pass the slim
+    (point_id, features) projection is cached for the duration of the
+    loop (MEMORY_AND_DISK — evictable, recomputable) and unpersisted
+    before returning: without it every Lloyd pass re-executes the full
+    upstream lineage (source scan + cast + NULL filter), one corpus
+    scan per iteration. n_iter=2 (one update) keeps the uncached
+    single-pass plan."""
     import numpy as np
     import pandas as pd
 
+    cached = False
+    if n_iter > 2:
+        from pyspark import StorageLevel
+
+        base.persist(StorageLevel.MEMORY_AND_DISK)
+        cached = True
     sc = base.sparkSession.sparkContext
     for _ in range(n_iter - 1):
         best = _assign_of(sc, cmat)
@@ -152,6 +179,8 @@ def _train(base, cmat, n_iter, scale):
         for r in stats:
             new[int(r.cluster)][int(r.pos)] = float(r.s) / int(r.n) / scale
         cmat = new
+    if cached:
+        base.unpersist(False)
     return cmat
 
 

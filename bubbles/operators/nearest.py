@@ -33,6 +33,11 @@ def nearest_representative(
     same key group. ``reps`` needs (key_col, rep_id_col, sample_ord,
     features). Ties keep the earlier sample ordinal (the reference's
     scan order with strict <, FirstStep.java:84-97).
+
+    Contract: every key present in ``points`` must have reps — the
+    inner join DROPS points of uncovered keys (the bulk twin raises a
+    KeyError on the same condition; fit() guarantees coverage by
+    construction since reps are sampled from the points).
     """
     rep_arrays = reps.groupBy(key_col).agg(
         F.sort_array(
@@ -77,6 +82,7 @@ def nearest_representative_bulk(
     samples_by_subset: dict,
     metric: str = "euclidean",
     features_col: str = "features",
+    bc_out: list | None = None,
 ) -> DataFrame:
     """Arrow/numpy fast path for J1 used inside fit(): the per-subset
     sample sets (driver-bounded, like the reference's closure-shipped
@@ -87,7 +93,16 @@ def nearest_representative_bulk(
 
     ``samples_by_subset``: {subset_id: (ids int64[m], mat float64[m,d])}
     with rows already in sample_ord order (ties keep the first, the
-    reference's scan semantics).
+    reference's scan semantics). ``bc_out``: optional list the sample
+    broadcast is appended to so an iterative caller can ``destroy()``
+    it once the result is materialized — the fit loop makes one
+    broadcast per iteration (hundreds of MB each at big samples) and
+    without the cleanup they accumulate for the fit's lifetime.
+    Contract shared with ``nearest_representative``: every subset_id
+    present in ``points`` must have an entry (this path fails loudly
+    with a KeyError; the column-expression path's inner join silently
+    drops uncovered subsets — prefer this one when coverage is not
+    guaranteed by construction).
     """
     import numpy as np
     import pandas as pd
@@ -96,6 +111,8 @@ def nearest_representative_bulk(
 
     spark = points.sparkSession
     bc = spark.sparkContext.broadcast(samples_by_subset)
+    if bc_out is not None:
+        bc_out.append(bc)
     dist_rows = ROW_DISTANCES[metric]
 
     # Arrow hands the kernel ~10k-row batches; with many live subsets
@@ -178,7 +195,13 @@ def knn_join(
     """Brute-force kNN of each left row among right rows (J5 rebuild,
     ref 源代码/mappers/CoreDistanceMapper.java:57-110): broadcast
     cross join + windowed top-k. Scale path: pre-bucket with LSH and
-    join on buckets before this (see operators.similarity)."""
+    join on buckets before this (see operators.similarity).
+
+    Equal ids on both sides are treated as THE SAME ITEM and excluded
+    (the ANN-family self-search convention, same as lsh_topk/ivf_topk
+    with queries=). For cross-dataset kNN over independent id spaces,
+    disambiguate the ids first (e.g. offset one side) or a right row
+    sharing a left row's id can never be returned as its neighbor."""
     from pyspark.sql import Window
 
     r = right.select(

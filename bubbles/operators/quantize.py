@@ -46,7 +46,12 @@ def quantize_embeddings(
     )).otherwise(F.transform(v, lambda x: F.lit(0)))
     return df.select(
         F.col(id_col),
-        F.size(v).cast("long").alias("n_dims"),
+        # size(NULL) is -1 under legacy sizeOfNull — a NULL vector's
+        # n_dims must be NULL like its codes/scale, not a fake
+        # "negative-dimension" row a consistency check would flag
+        F.when(F.col(vec_col).isNotNull(), F.size(v))
+        .cast("long")
+        .alias("n_dims"),
         amax.alias("scale"),
         F.when(F.col(vec_col).isNotNull(), codes).alias("codes"),
     )

@@ -904,10 +904,19 @@ class MRHDBSCAN:
                     grp["point_id"].to_numpy(np.int64),
                     np.array([np.asarray(f, dtype=np.float64) for f in grp["features"]]),
                 )
+            _bcs: list = []
             assigned = _cut(
-                nearest_representative_bulk(big_df, packed, metric=self.distance),
+                nearest_representative_bulk(
+                    big_df, packed, metric=self.distance, bc_out=_bcs
+                ),
                 f"it{iteration:05d}_assign",
             )
+            # the cut materialized the assignment, so the per-iteration
+            # sample broadcast (up to ~GB at wide samples) is dead —
+            # destroy it instead of letting one accumulate per
+            # iteration for the fit's lifetime
+            for _b in _bcs:
+                _b.destroy()
             _tick(f"it{iteration} assign checkpoint")
             bubbles = bubble_aggregate(assigned, dim)
             model_out = _cut(
