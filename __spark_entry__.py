@@ -4266,73 +4266,75 @@ def all_oracle_sql() -> dict[str, str]:
 # twin-robustness, bench.py and plan_audit — just without an official
 # CORRECTNESS row that round). Rotating coverage = editing GATE_KEYS.
 #
-# Round-7 rotation (VERDICT r6 tasks 3 & 8): the 46 long-certified
-# stalwarts (green in CORRECTNESS rows across rounds 3-6) move out to
-# extras; the 46 never-officially-certified catalog-B queries rotate
-# in, including the streaming parity twins stream_static_enrich /
-# stream_anomaly / stream_kmv_distinct. The three round-6 hash-red
-# rows (root-caused to HUGEINT twin outputs, twins now cast) stay in
-# to certify the fix. Deferred to the round-8 window: rollup_revenue,
-# pivot_revenue, repetition_profile_long (shares its oracle with the
-# certified repetition_profile), events_windowed, events_sessionize
-# (row-identical batch twins of the certified stream_windowed_counts
-# / stream_session_windows), plus the round-7 additions
-# stream_near_dup and lsh_multiprobe_topk (twins judge-verifiable via
-# tools/check_oracle.py meanwhile).
+# Round-8 rotation (VERDICT r7 task 1): the last 7 queries the judge
+# lists as never officially certified rotate in first — rollup_revenue,
+# pivot_revenue, repetition_profile_long, events_windowed,
+# events_sessionize, plus the round-7 additions stream_near_dup and
+# lsh_multiprobe_topk. The rest of the window is backfilled with
+# long-certified stalwarts (green rows in rounds 3-6): the full
+# reference-core operator set (q1/a*/j*/p*/w*/x*/f* + GLOSH + local
+# models), the dedup family, the ANN trio, the text-analysis family,
+# and the streaming parity twins. After this round every catalog
+# query has had an official green CORRECTNESS row in some round.
 # ---------------------------------------------------------------------------
 
 GATE_KEYS: list[str] = [
-    # round-6 hash-reds, twins fixed this round — certify green
-    "corpus_language_rollup",
-    "events_json_k",
-    "pipeline_clean_corpus",
-    # never-certified catalog-B queries (round-7 rotation)
-    "frame_sample_real",
-    "source_quota",
-    "corpus_length_quantiles",
-    "weighted_mixture",
-    "token_budget",
-    "bloom_incremental_dedup",
-    "lm_score",
-    "semantic_dedup",
-    "kmeans_fit",
-    "dsir_weights",
-    "funnel_counts",
-    "cohort_retention",
-    "pagerank",
-    "triangle_count",
-    "active_users",
-    "segment_dedup",
-    "profile_table",
-    "kmv_distinct",
-    "kmv_overlap",
-    "zorder_key",
-    "sampled_quantiles",
-    "key_skew_profile",
-    "scd2_dimension_join",
-    "grouping_sets_revenue",
-    "dedup_keep_best",
-    "join_cardinality",
-    "compaction_plan",
-    "chunk_documents",
-    "merge_upsert",
-    "salted_join",
-    "pipeline_rag_index",
-    "url_canonical",
-    "privacy_release",
-    "value_histogram",
-    "inverted_index",
-    "substring_dedup",
-    "quantize_embeddings",
-    "resample_ffill",
-    "collocations",
-    "corpus_diff",
-    "stream_static_enrich",
-    "stream_anomaly",
-    "stream_kmv_distinct",
-    "leakage_safe_split",
-    "curriculum_buckets",
-    "clustering_ari",
+    # never-certified queries — the round-8 rotation targets, first so
+    # they land inside the gate window even if the driver truncates
+    "rollup_revenue",
+    "pivot_revenue",
+    "repetition_profile_long",
+    "events_windowed",
+    "events_sessionize",
+    "stream_near_dup",
+    "lsh_multiprobe_topk",
+    # stalwarts: reference-core operators (certified rounds 3-6)
+    "q1_pricing_summary",
+    "a1_subset_sizes",
+    "a2_bubble_stats",
+    "a4_adjacency_list",
+    "a5_max_edge_per_key",
+    "j1_nearest_rep",
+    "j2_model_lookup",
+    "p6_semi_join",
+    "p7_anti_join",
+    "w1_topk_per_group",
+    "w5_sample_ordinals",
+    "x1_systematic_sample",
+    "p2_p3_key_filters",
+    "j5_knn_join",
+    "glosh_outliers",
+    "x6_connected_components",
+    "f_distances",
+    "cluster_embeddings",
+    # stalwarts: dedup family
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_near_groups",
+    "dedup_simhash",
+    "ngram_jaccard",
+    "incremental_dedup",
+    "dedup_embedding",
+    "decontaminate",
+    # stalwarts: similarity search
+    "ann_cosine_topk",
+    "lsh_ann_topk",
+    "ivf_ann_topk",
+    # stalwarts: text analysis
+    "text_profile",
+    "langid_confusion",
+    "repetition_profile",
+    "pii_scrub",
+    "doc_fingerprint",
+    "keyword_search",
+    "corpus_vocab",
+    # stalwarts: events / multimodal / splits / streaming
+    "events_asof_join",
+    "multimodal_meta",
+    "multimodal_decode_fake",
+    "dataset_split",
+    "pack_sequences",
+    "stream_stateful_totals",
 ]
 
 
