@@ -28,7 +28,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from bubbles.kernels.hdbscan_kernel import _merge_forest
+from bubbles.kernels.hdbscan_kernel import _inv, _merge_forest
 
 # phase-1 tagged output rows:
 #   kind 0  membership    a=point_id  b=rep_id  w=self/core weight
@@ -533,9 +533,7 @@ def contract_subset_edges_v2(
                 hub = int(minid[cc])
                 chunk.append((c, float(W)))
                 chunk_mass += float(mass[c])
-                chunk_credit = chunk_credit + np.float64(mass[c]) * (
-                    np.float64(1.0) / W
-                )
+                chunk_credit = chunk_credit + np.float64(mass[c]) * _inv(W)
             hub = int(minid[cc])
             cur = cc
 

@@ -301,6 +301,19 @@ class _UnionFind:
         return ra
 
 
+def _inv(x) -> np.float64:
+    """1/x with Java double semantics made explicit: duplicate points
+    produce 0-weight MST edges, and the reference's ``1.0 / weight``
+    yields +inf which then loses every ``<`` comparison as intended
+    (HDBSCANStar.java double arithmetic). Returning the inf explicitly
+    keeps numpy's divide-by-zero RuntimeWarning meaningful for real
+    bugs elsewhere. NaN (root birth) passes through as NaN."""
+    x = np.float64(x)
+    if x == 0.0:
+        return np.float64("inf")
+    return np.float64(1.0) / x
+
+
 def _merge_forest(u: np.ndarray, v: np.ndarray, w: np.ndarray, n: int):
     """Single-linkage merge forest with exact-equality tie groups.
 
@@ -502,7 +515,7 @@ def build_hierarchy(
                 # vertex isolated with only a self edge: the reference
                 # detaches it as noise when that edge is removed
                 # (HDBSCANStar.java:251-271 trace)
-                C.stability += float(vw[node] * (np.float64(1.0) / self_w[node] - np.float64(1.0) / np.float64(C.birth)))
+                C.stability += float(vw[node] * (_inv(self_w[node]) - _inv(C.birth)))
                 noise_level[node] = self_w[node]
                 last_cluster[node] = cl
             else:
@@ -512,17 +525,18 @@ def build_hierarchy(
         W = np.float64(merge_w[node - n])
         kids = node_children(node)
         # IEEE division (1/0 = inf) to match Java double semantics
-        inv_birth = np.float64(1.0) / np.float64(C.birth)  # NaN for root
+        inv_W = _inv(W)
+        inv_birth = _inv(C.birth)  # NaN for root
         big = [k for k in kids if sub_w[k] >= min_cluster_size]
         small = [k for k in kids if sub_w[k] < min_cluster_size]
         for k in small:
             verts = subtree_vertices(k)
             if credit_fixed is None:
-                C.stability += float(sub_w[k] * (np.float64(1.0) / W - inv_birth))
+                C.stability += float(sub_w[k] * (inv_W - inv_birth))
             else:
                 C.stability += float(
                     credit_fixed[k]
-                    + mass_nc[k] * (np.float64(1.0) / W)
+                    + mass_nc[k] * inv_W
                     - sub_w[k] * inv_birth
                 )
             for x in verts:
@@ -533,7 +547,7 @@ def build_hierarchy(
             # (ref HdbscanDataBubbles.java:352-372)
             C.death = W
             for k in big:
-                C.stability += float(sub_w[k] * (np.float64(1.0) / W - inv_birth))
+                C.stability += float(sub_w[k] * (inv_W - inv_birth))
                 lbl = next_label
                 next_label += 1
                 clusters[lbl] = ClusterNode(

@@ -216,6 +216,29 @@ def test_duplicate_points_do_not_crash():
     assert ari(res.labels, np.repeat([0, 1], 10)) == pytest.approx(1.0)
 
 
+def test_duplicate_points_warning_free():
+    # Coincident points make 0-weight MST edges; the stability pass
+    # must take the explicit-inf path (_inv) instead of tripping
+    # numpy's divide-by-zero RuntimeWarning. With the guard in place a
+    # RuntimeWarning here would indicate a real bug, so escalate it.
+    import warnings
+
+    X = np.vstack(
+        [
+            np.repeat(np.array([[0.0, 0.0], [5.0, 5.0]]), 10, axis=0),
+            blobs(seed=7, n=40, d=2)[0],
+        ]
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        res = hdbscan_exact(X, min_pts=4, min_cluster_size=4)
+    # the duplicate stacks still come out as two pure clusters
+    lab = np.asarray(res.labels[:20])
+    assert (lab[:10] == lab[0]).all() and lab[0] != -1
+    assert (lab[10:20] == lab[10]).all() and lab[10] != -1
+    assert lab[0] != lab[10]
+
+
 # ---------------- bubble kernel ----------------
 
 
