@@ -3658,9 +3658,15 @@ def _catalog_sql_b() -> dict[str, str]:
                      count(*) AS n_keys_common
               FROM c
             )
-            SELECT CAST(a.join_rows AS BIGINT) AS join_rows,
+            -- like the engine, the headline counts saturate at int64
+            -- max instead of NULLing (Spark non-ANSI) or erroring
+            -- (DuckDB HUGEINT->BIGINT) at the >2^63 blowup scale the
+            -- profile exists to detect
+            SELECT CAST(LEAST(a.join_rows, 9223372036854775807::HUGEINT)
+                        AS BIGINT) AS join_rows,
                    CAST(a.n_keys_common AS BIGINT) AS n_keys_common,
-                   CAST(coalesce(m.c, 0) AS BIGINT) AS max_key_rows,
+                   CAST(LEAST(coalesce(m.c, 0), 9223372036854775807::HUGEINT)
+                        AS BIGINT) AS max_key_rows,
                    m.k AS max_key,
                    CAST(CASE WHEN a.join_rows > 0
                         THEN (CAST(m.c AS HUGEINT) * 1000000) // a.join_rows

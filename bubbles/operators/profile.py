@@ -178,10 +178,31 @@ def join_cardinality(
         F.count(F.lit(1)).alias("n_keys_common"),
         F.max(F.struct(F.col("__c"), F.col("__k"))).alias("__m"),
     )
+    return _cardinality_report(agg)
+
+
+def _cardinality_report(agg: DataFrame) -> DataFrame:
+    """Final projection of ``join_cardinality``, split out so the
+    >2^63 saturation path is unit-testable without 4e9-row inputs.
+
+    The >2^63 blowup (two 4e9-row sides on one hot key) is exactly
+    what this profile exists to report, and a non-ANSI decimal->long
+    cast would NULL the headline counts right at that scale (round-8
+    ADVICE). The output stays BIGINT (the driver's value-hasher is
+    dtype-sensitive; see tests/test_twin_types.py) but SATURATES at
+    int64 max instead of NULLing: a reported 9223372036854775807
+    means "at least this big — do not run this join"."""
+    i64max = F.lit(9223372036854775807).cast("decimal(38,0)")
     return agg.select(
-        F.col("join_rows").cast("long").alias("join_rows"),
+        F.least(F.col("join_rows").cast("decimal(38,0)"), i64max)
+        .cast("long")
+        .alias("join_rows"),
         "n_keys_common",
-        F.coalesce(F.col("__m.__c"), F.lit(0)).cast("long").alias("max_key_rows"),
+        F.least(
+            F.coalesce(F.col("__m.__c"), F.lit(0)).cast("decimal(38,0)"), i64max
+        )
+        .cast("long")
+        .alias("max_key_rows"),
         F.col("__m.__k").alias("max_key"),
         F.when(F.col("join_rows") > 0,
                F.expr("CAST(__m.__c AS DECIMAL(38,0)) * 1000000 div join_rows"))

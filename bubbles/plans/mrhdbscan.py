@@ -634,9 +634,15 @@ class MRHDBSCAN:
         # so a NEW session can call fit() with the same parameters +
         # checkpoint_dir and resume at the last completed iteration
         # boundary with bit-identical results (the sampler orders by
-        # xxhash64(id, seed), never by physical row order). Reusing a
-        # directory across different inputs/params is caller error —
-        # clean it between unrelated fits.
+        # xxhash64(id, seed), never by physical row order). Each
+        # manifest stores a parameter/input fingerprint; fit() raises
+        # instead of resuming when the directory was written by a fit
+        # with different parameters or input (clean it between
+        # unrelated fits). NOTE: the returned model's relations are
+        # lazy plans rooted in the checkpoint parquet — a LATER fit()
+        # on the same directory overwrites those files and stales any
+        # earlier model handle; materialize (collect/save) a model
+        # before re-fitting into its directory.
         self.checkpoint_dir = checkpoint_dir
 
     # ------------------------------------------------------------------
@@ -668,10 +674,43 @@ class MRHDBSCAN:
                 return d.localCheckpoint()
             return checkpoint_parquet(d, f"{ckdir}/{name}")
 
+        fingerprint = None
+        if ckdir is not None:
+            # identity of this fit (round-8 ADVICE): resuming a
+            # checkpoint written under different parameters or input
+            # would silently produce wrong clusters, so every manifest
+            # stores this dict and fit() RAISES on mismatch instead of
+            # resuming. The df.count() is one extra scan, paid only in
+            # durable mode where every loop cut is already a parquet
+            # round-trip.
+            fingerprint = {
+                "min_pts": self.min_pts,
+                "min_cluster_size": self.min_cluster_size,
+                "sample_fraction": self.sample_fraction,
+                "max_local_size": self.max_local_size,
+                "max_samples_per_subset": self.max_samples_per_subset,
+                "distance": self.distance,
+                "seed": self.seed,
+                "max_iterations": self.max_iterations,
+                "global_mode": self.global_mode,
+                "coalesce_chains": self.coalesce_chains,
+                "auto_widen_samples": self.auto_widen_samples,
+                "recursive_contraction": self.recursive_contraction,
+                "n_rows": df.count(),
+            }
         resume = _load_fit_manifest(spark, ckdir) if ckdir else None
         if resume is not None:
             import warnings
 
+            stored = resume.get("fingerprint")
+            if stored != fingerprint:
+                raise ValueError(
+                    f"checkpoint_dir {ckdir!r} holds a fit manifest with a "
+                    f"different parameter/input fingerprint — refusing to "
+                    f"resume incompatible state (clean the directory, or "
+                    f"rerun with the original parameters and input). "
+                    f"stored={stored!r} current={fingerprint!r}"
+                )
             warnings.warn(
                 f"resuming fit from {ckdir} at iteration "
                 f"{resume['iteration']} (clean the directory to start "
@@ -1007,6 +1046,7 @@ class MRHDBSCAN:
                     ckdir,
                     {
                         "iteration": iteration + 1,
+                        "fingerprint": fingerprint,
                         "current_name": f"it{iteration:05d}_current",
                         "leaf_names": leaf_names,
                         "cross_names": cross_names,

@@ -493,6 +493,18 @@ def stateful_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                 cur[1] = max(cur[1], ts_us)
                 cur[2] += 1
                 cur[3] += v
+                # a backwards extension can bring the open session to
+                # within the gap of the pending pre-session cluster —
+                # the sorted batch twin clusters left-to-right, so it
+                # would bridge them into ONE session; reconcile `late`
+                # into `cur` the moment the bridge forms (rows is
+                # sorted, so no further late-branch event can follow a
+                # main-branch one and reopen the question)
+                if late is not None and cur[0] - late[1] <= gap_us:
+                    cur[0] = late[0]
+                    cur[2] += late[2]
+                    cur[3] += late[3]
+                    late = None
             if late is not None:
                 out.append(
                     (key[0], int(late[0]), int(late[2]), round(float(late[3]), 6))

@@ -191,15 +191,13 @@ def run_stream_near_dup_to_memory(
         .parquet(sf_dir)
         .filter(F.pmod(F.col("doc_id"), F.lit(10)) >= 8)
     )
-    q = (
+    from bubbles.streaming.events import _drive_to_memory
+
+    return _drive_to_memory(
+        spark,
         stream_near_dup_candidates(
             stream, index, num_hashes=num_hashes, band_size=band_size
-        )
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
+        ),
+        "append",
+        name,
     )
-    q.processAllAvailable()
-    q.stop()
-    return spark.sql(f"SELECT * FROM {name}")

@@ -129,3 +129,29 @@ def test_checkpoint_dir_unused_without_manifest(spark, tmp_path):
         max_samples_per_subset=16, seed=7, checkpoint_dir=ck,
     ).fit(df)
     assert m.labels.count() == len(X)
+
+
+def test_resume_raises_on_fingerprint_mismatch(spark, tmp_path):
+    """Round-8 ADVICE: the manifest stores a parameter/input
+    fingerprint, and fit() against an existing checkpoint_dir with
+    different parameters or data must RAISE — silently resuming
+    incompatible state produces wrong clusters."""
+    params = dict(
+        min_pts=4, min_cluster_size=5, max_local_size=48,
+        max_samples_per_subset=8, seed=23,
+    )
+    X = _blobs(n=400, seed=11)
+    df = to_df(spark, X)
+    ck = str(tmp_path / "fpck")
+    MRHDBSCAN(**params, checkpoint_dir=ck).fit(df)
+
+    # different parameter -> refuse
+    with pytest.raises(ValueError, match="fingerprint"):
+        MRHDBSCAN(**{**params, "min_pts": 5}, checkpoint_dir=ck).fit(df)
+    # different input (row count) -> refuse
+    with pytest.raises(ValueError, match="fingerprint"):
+        MRHDBSCAN(**params, checkpoint_dir=ck).fit(df.limit(300))
+    # identical params + data still resume cleanly
+    with pytest.warns(RuntimeWarning, match="resuming fit"):
+        m = MRHDBSCAN(**params, checkpoint_dir=ck).fit(df)
+    assert m.labels.count() == len(X)

@@ -1638,6 +1638,88 @@ def test_stateful_sessions_merges_late_pair(spark, tmp_path):
     assert (base + 12 * MIN, 1, 4.0) not in sessions
 
 
+def test_stateful_sessions_bridges_late_cluster_into_open_session(spark, tmp_path):
+    """Round-8 fix (ADVICE r7): when a backwards extension pulls the
+    open session's start to within the gap of the pending late
+    cluster, the sorted batch twin would cluster 11,12,16,20 into ONE
+    session — the stream must reconcile `late` into `cur` instead of
+    emitting it as a separate closed session."""
+    import glob
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bubbles.streaming.events import EVENT_SCHEMA_NTZ, stateful_sessions
+
+    base = 1_700_000_000_000_000
+    MIN = 60_000_000
+
+    def write_batch(name, rows):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["click"] * len(rows)),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        stage = tmp_path / "stage"
+        stage.mkdir(exist_ok=True)
+        pq.write_table(tbl, f"{stage}/{name}.parquet")
+        shutil.copy(
+            glob.glob(f"{stage}/{name}.parquet")[0],
+            str(tmp_path / "src" / f"{name}.parquet"),
+        )
+
+    (tmp_path / "src").mkdir()
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA_NTZ)
+        .parquet(str(tmp_path / "src"))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        stateful_sessions(raw, gap_minutes=5)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_late_bridge")
+        .start()
+    )
+    try:
+        # batch 1: open session at T+20 (watermark after -> T+10)
+        write_batch("b1", [(1, base + 20 * MIN, 7, 1.0)])
+        q.processAllAvailable()
+        # batch 2: late pair at T+11/T+12 (a full gap before T+20)
+        # PLUS a bridging event at T+16 that pulls the session start
+        # back to within the gap of the late cluster
+        write_batch(
+            "b2",
+            [
+                (2, base + 11 * MIN, 7, 2.0),
+                (3, base + 12 * MIN, 7, 4.0),
+                (4, base + 16 * MIN, 7, 8.0),
+            ],
+        )
+        q.processAllAvailable()
+        # batch 3: a far-future event gap-splits, closing the merged
+        # session so the memory sink can observe it
+        write_batch("b3", [(5, base + 60 * MIN, 7, 0.5)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM t_late_bridge").toPandas()
+    sessions = {
+        (r.session_start_us, r.n_events, r.sum_value)
+        for r in got.itertuples()
+    }
+    # one bridged session 11..20 (4 events), exactly as the sorted twin
+    assert (base + 11 * MIN, 4, 15.0) in sessions, sessions
+    assert (base + 11 * MIN, 2, 6.0) not in sessions  # late not split off
+    assert (base + 16 * MIN, 3, 13.0) not in sessions
+
+
 def test_distinct_types_stream_matches_batch_or_gates(spark):
     """transformWithStateInPandas op: runs when protobuf is present
     (single batch -> equals the batch twin); otherwise raises its

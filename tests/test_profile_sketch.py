@@ -466,6 +466,28 @@ def test_join_cardinality_exact_and_fanout(spark):
     assert r["top_key_share_ppm"] == 6 * 1_000_000 // 7
 
 
+def test_join_cardinality_saturates_at_i64max(spark):
+    """Round-8 ADVICE: a >2^63 blowup must report int64 max (a
+    documented saturation value), not a silent NULL from the non-ANSI
+    decimal->long cast — tested through the split-out report
+    projection with a fabricated >2^63 aggregate."""
+    from bubbles.operators.profile import _cardinality_report
+
+    agg = spark.sql(
+        "SELECT CAST('99999999999999999999' AS DECIMAL(38,0)) AS join_rows,"
+        " CAST(2 AS BIGINT) AS n_keys_common,"
+        " named_struct('__c',"
+        "   CAST('99999999999999999998' AS DECIMAL(38,0)),"
+        "   '__k', 'hot') AS __m"
+    )
+    r = _cardinality_report(agg).collect()[0]
+    assert r["join_rows"] == 9223372036854775807  # saturated, not NULL
+    assert r["max_key_rows"] == 9223372036854775807
+    assert r["max_key"] == "hot"
+    # share stays exact: computed on the un-clamped decimals
+    assert r["top_key_share_ppm"] == 999999
+
+
 def test_join_cardinality_disjoint(spark):
     from bubbles.operators.profile import join_cardinality
 
