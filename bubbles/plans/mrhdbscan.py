@@ -104,6 +104,15 @@ def _relabel_join(
     return relabel
 
 
+def _hadoop_exists(spark, path: str) -> bool:
+    # Hadoop-FS existence probe (works for file://, hdfs://, s3a://
+    # alike — anywhere checkpoint_dir can point)
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def _write_fit_manifest(spark, ckdir: str, state: dict) -> None:
     # One JSON row per COMPLETED iteration, each in its own directory
     # (never overwritten): a crash mid-write loses at most the current
@@ -534,8 +543,14 @@ class MRHDBSCANModel:
 
     @classmethod
     def load(cls, spark, path: str) -> "MRHDBSCANModel":
-        """Load a model persisted by :meth:`save`."""
+        """Load a model persisted by :meth:`save`.
+
+        Warns at load time that the level-matrix writer is unavailable
+        (hierarchy retention is driver state and never persisted) so
+        the limitation surfaces here, not at the first
+        ``hierarchy_levels()`` call deep in a pipeline."""
         import json
+        import warnings
 
         meta = json.loads(
             spark.read.text(f"{path}/meta").collect()[0]["value"]
@@ -549,6 +564,19 @@ class MRHDBSCANModel:
         )
         model._levels_mode = meta.get("levels_mode", "exact")
         model._spark = spark
+        reason = (
+            "it was fitted under recursive contraction"
+            if model._levels_mode == "recursive"
+            else "hierarchy retention is driver state and is not persisted"
+        )
+        warnings.warn(
+            f"loaded model serves labels/cluster_tree/outlier_scores/"
+            f"mst_edges but NOT hierarchy_levels ({reason}); refit with "
+            f"MRHDBSCAN(recursive_contraction=False) for the level-matrix "
+            f"writer",
+            UserWarning,
+            stacklevel=2,
+        )
         return model
 
 
@@ -667,12 +695,27 @@ class MRHDBSCAN:
         par = spark.sparkContext.defaultParallelism
         ckdir = self.checkpoint_dir
 
+        # set True once a fingerprint-matched resume loads (and no
+        # constraints are in play — they are not fingerprinted and can
+        # change a contraction cut's content between runs)
+        reuse_cuts = [False]
+
         def _cut(d: DataFrame, name: str) -> DataFrame:
             # loop-level lineage cut: in-session by default, durable
-            # parquet round-trip when checkpoint_dir is set
+            # parquet round-trip when checkpoint_dir is set. On a
+            # fingerprint-matched RESUME, a cut that the interrupted
+            # run COMPLETED (its _SUCCESS marker exists) is read back
+            # instead of recomputed — the whole fit is deterministic
+            # from the durable boundary state, so the content is
+            # bit-identical, and this is what lets a kill INSIDE the
+            # global step restart from the durable contraction cut
+            # rather than refitting that step.
             if ckdir is None:
                 return d.localCheckpoint()
-            return checkpoint_parquet(d, f"{ckdir}/{name}")
+            path = f"{ckdir}/{name}"
+            if reuse_cuts[0] and _hadoop_exists(spark, f"{path}/_SUCCESS"):
+                return spark.read.parquet(path)
+            return checkpoint_parquet(d, path)
 
         fingerprint = None
         if ckdir is not None:
@@ -696,6 +739,12 @@ class MRHDBSCAN:
                 "coalesce_chains": self.coalesce_chains,
                 "auto_widen_samples": self.auto_widen_samples,
                 "recursive_contraction": self.recursive_contraction,
+                # presence only (pair content is not hashed): a
+                # constraints run and a non-constraints run must never
+                # resume each other — the global step differs, and the
+                # cut-reuse fast path below is only safe without
+                # constraints
+                "has_constraints": constraints is not None,
                 "n_rows": df.count(),
             }
         resume = _load_fit_manifest(spark, ckdir) if ckdir else None
@@ -718,6 +767,11 @@ class MRHDBSCAN:
                 RuntimeWarning,
                 stacklevel=2,
             )
+            # fingerprint matched: completed cuts on disk are
+            # bit-identical to what this run would recompute — unless
+            # constraints (not fingerprinted) could change the global
+            # step's cut content
+            reuse_cuts[0] = constraints is None
             current = spark.read.parquet(f"{ckdir}/{resume['current_name']}")
             # same width guard as the fresh path: a checkpoint written
             # small (or from a narrower session) must not pin every

@@ -105,7 +105,9 @@ def test_model_save_load_roundtrip(spark, tmp_path):
     ).fit(to_df(spark, X))
     path = str(tmp_path / "model")
     m.save(path)
-    loaded = MRHDBSCANModel.load(spark, path)
+    # round-8: load signals the hierarchy_levels limitation EAGERLY
+    with pytest.warns(UserWarning, match="NOT hierarchy_levels"):
+        loaded = MRHDBSCANModel.load(spark, path)
     assert loaded.n_iterations == m.n_iterations
     for rel in MRHDBSCANModel._SAVE_RELATIONS:
         # repr-compare: exact float64 round-trip, and NaN == NaN
@@ -129,6 +131,47 @@ def test_checkpoint_dir_unused_without_manifest(spark, tmp_path):
         max_samples_per_subset=16, seed=7, checkpoint_dir=ck,
     ).fit(df)
     assert m.labels.count() == len(X)
+
+
+def test_global_step_resumes_from_durable_cut(spark, tmp_path):
+    """Round-8 (VERDICT r7 task 5): a kill AFTER the global
+    contraction cut must restart from the durable cut on resume — the
+    loop iterations are not recomputed and the contraction parquet is
+    read back, not rewritten. An incomplete cut (no _SUCCESS marker)
+    is not trusted and is recomputed, still bit-identically."""
+    import glob
+    import os
+
+    X = _blobs(n=900, seed=23)
+    df = to_df(spark, X)
+    ck = str(tmp_path / "gck")
+    m = MRHDBSCAN(**PARAMS, checkpoint_dir=ck).fit(df)
+    expected = _labels(m)
+
+    def mtimes(pat):
+        return {
+            p: os.path.getmtime(p)
+            for p in glob.glob(f"{ck}/{pat}/*.parquet")
+        }
+
+    cut_before = mtimes("global_contract")
+    loop_before = mtimes("it*_current")
+    assert cut_before and loop_before
+
+    # the on-disk state after a completed loop + contraction cut IS
+    # the kill-after-the-cut state; a same-fingerprint fit must resume
+    with pytest.warns(RuntimeWarning, match="resuming fit"):
+        m2 = MRHDBSCAN(**PARAMS, checkpoint_dir=ck).fit(df)
+    assert _labels(m2) == expected
+    assert mtimes("global_contract") == cut_before, "cut was recomputed"
+    assert mtimes("it*_current") == loop_before, "loop was recomputed"
+
+    # incomplete cut (kill DURING the cut write): not trusted, recomputed
+    os.remove(f"{ck}/global_contract/_SUCCESS")
+    with pytest.warns(RuntimeWarning, match="resuming fit"):
+        m3 = MRHDBSCAN(**PARAMS, checkpoint_dir=ck).fit(df)
+    assert _labels(m3) == expected
+    assert mtimes("global_contract") != cut_before, "stale cut reused"
 
 
 def test_resume_raises_on_fingerprint_mismatch(spark, tmp_path):
