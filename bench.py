@@ -39,6 +39,12 @@ def main():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # the settle window between reps triggers a JVM GC, which queues
+        # the previous rep's now-unreferenced shuffles for cleanup; by
+        # default shuffle-file deletion is ASYNC, so it lands mid-rep and
+        # randomly taxes a measured run (the r7 lineitem rep-3 spike).
+        # Make it synchronous so cleanup happens inside the settle window.
+        .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -52,8 +58,22 @@ def main():
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     warmups: dict[str, float] = {}
+    profile = os.environ.get("SPARK_GRAFT_BENCH_PROFILE", "") == "1"
 
     import gc
+
+    def _jvm_gc_totals():
+        """(total GC ms, total GC count) across all JVM collectors."""
+        beans = (
+            spark.sparkContext._jvm.java.lang.management.ManagementFactory
+            .getGarbageCollectorMXBeans()
+        )
+        ms = cnt = 0
+        for i in range(beans.size()):
+            b = beans.get(i)
+            ms += max(0, b.getCollectionTime())
+            cnt += max(0, b.getCollectionCount())
+        return ms, cnt
 
     def bench(name: str, thunk, n_runs: int | None = None, n_warmups: int = 1):
         n = n_runs or reps
@@ -83,9 +103,24 @@ def main():
             for r in spark.sparkContext._jsc.getPersistentRDDs().values():
                 r.unpersist(True)
             spark.sparkContext._jvm.System.gc()
+            if profile:
+                gms0, gcnt0 = _jvm_gc_totals()
+                group = f"{name}-rep{i}"
+                spark.sparkContext.setJobGroup(group, name)
             t0 = time.time()
             info = thunk()
             el = round(time.time() - t0, 3)
+            if profile:
+                gms1, gcnt1 = _jvm_gc_totals()
+                jobs = len(
+                    spark.sparkContext.statusTracker().getJobIdsForGroup(group)
+                )
+                spark.sparkContext.setJobGroup("", "")
+                print(
+                    f"#   {name} rep{i}{' (warm)' if i < warm else ''}:"
+                    f" {el}s gc={gms1 - gms0}ms/{gcnt1 - gcnt0}x jobs={jobs}",
+                    file=sys.stderr,
+                )
             if i < warm:
                 warmups[name] = el  # keep the last warmup's time
             else:
@@ -97,6 +132,17 @@ def main():
             f" (warmup {warmups.get(name, 'n/a')}s) ({info})",
             file=sys.stderr,
         )
+
+    # SPARK_GRAFT_BENCH_ONLY="name1,name2" limits the run to those rows
+    # (diagnostic reruns); empty = full headline set.
+    only = {
+        s.strip()
+        for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")
+        if s.strip()
+    }
+
+    def wanted(name: str) -> bool:
+        return not only or name in only
 
     qs = entry_mod.all_queries()
     # headline set: engine-defining queries, not every oracle check
@@ -117,7 +163,8 @@ def main():
         "zorder_key",
     ]
     for name in headline:
-        bench(name, lambda name=name: f"{qs[name](spark, sf_dir).count()} rows")
+        if wanted(name):
+            bench(name, lambda name=name: f"{qs[name](spark, sf_dir).count()} rows")
 
     # IVF ANN at corpus scale: every embedding row is both corpus and
     # query (the training-data-pipeline shape); centroid count sized so
@@ -134,7 +181,8 @@ def main():
         ).count()
         return f"{n} rows, {n_vec} vecs, {n_cent} centroids"
 
-    bench("ivf_ann_topk_full", run_ivf)
+    if wanted("ivf_ann_topk_full"):
+        bench("ivf_ann_topk_full", run_ivf)
 
     # clustering headline: MR-HDBSCAN (bubbles variant) on the full
     # embeddings table — the BASELINE.md comparable (Skin 245k×4 ≈ 60 s
@@ -158,7 +206,8 @@ def main():
         ).fit(pts)
         return f"{model.labels.count()} pts, {model.n_iterations} iters"
 
-    bench("mrhdbscan_embeddings", run_emb)
+    if wanted("mrhdbscan_embeddings"):
+        bench("mrhdbscan_embeddings", run_emb)
 
     # distributed-path clustering headline: 600k lineitem rows in a
     # 4-d engineered feature space (Skin-scale, cf. BASELINE.md)
@@ -189,7 +238,8 @@ def main():
     # through rep 3 (C2 JIT across its many codegen'd stages — 10-rep
     # profile: 21.8, 17.9, 14.7, 14.9, then steady 11.6-12.8 with
     # max/median 1.05); two warmups left the r6 medians 1.3-1.6x noisy
-    bench("mrhdbscan_lineitem", run_li, n_warmups=4)
+    if wanted("mrhdbscan_lineitem"):
+        bench("mrhdbscan_lineitem", run_li, n_warmups=4)
 
     # the reference's real dataset (Skin_NonSkin 245k×4, BASELINE.md
     # Skin DB row: 60.19 s, the paper's bubbles variant on its cluster)
@@ -222,7 +272,8 @@ def main():
             ).fit(spts)
             return f"{m.labels.count()} pts (paper DB baseline 60.19s)"
 
-        bench("skin_nonskin_fit", run_skin, n_warmups=2)
+        if wanted("skin_nonskin_fit"):
+            bench("skin_nonskin_fit", run_skin, n_warmups=2)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -221,6 +221,118 @@ def test_lsh_multiprobe_buckets_and_recall(spark):
     assert a == b
 
 
+def test_lsh_multiprobe_global_allocation(spark):
+    from bubbles.operators.similarity import (
+        _projection,
+        cosine_topk,
+        lsh_bucket,
+        lsh_bucket_probes_global,
+        lsh_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    V = rng.normal(size=(120, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(V)],
+        "vec_id long, embedding array<double>",
+    )
+    tables, planes, budget = 2, 6, 6
+    base = {
+        t: {
+            r["vec_id"]: r["bucket"]
+            for r in lsh_bucket(df, dim=16, planes=planes, table=t).collect()
+        }
+        for t in range(tables)
+    }
+    rows = lsh_bucket_probes_global(
+        df, dim=16, planes=planes, tables=tables, total_probes=budget
+    ).collect()
+    by_id: dict = {}
+    for r in rows:
+        by_id.setdefault(r["vec_id"], []).append((r["__tbl"], r["bucket"]))
+    # numpy re-derivation of the globally smallest-margin (table, bit)
+    # pairs — the allocation the operator must have picked
+    proj = {t: np.array(_projection(16, planes, 42, t)) for t in range(tables)}
+    for vid, pr in by_id.items():
+        assert len(pr) == budget
+        got_flips = set()
+        for t, b in pr:
+            d = bin(b ^ base[t][vid]).count("1")
+            assert d in (0, 1)
+            if d == 1:
+                got_flips.add((t, int(np.log2(b ^ base[t][vid]))))
+        # base bucket of EVERY table is probed
+        for t in range(tables):
+            assert (t, base[t][vid]) in pr
+        margins = sorted(
+            (abs(float(proj[t][p] @ V[vid])), t, p)
+            for t in range(tables)
+            for p in range(planes)
+        )
+        want_flips = {(t, p) for _, t, p in margins[: budget - tables]}
+        assert got_flips == want_flips, (vid, got_flips, want_flips)
+
+    # 2-bit perturbations: budget rows per id, every probe within
+    # Hamming distance 2 of its table's base bucket, and the selected
+    # (table, mask) set is exactly the numpy-smallest summed margins
+    from itertools import combinations
+
+    all_masks = [(1 << p, (p,)) for p in range(planes)] + [
+        ((1 << p) | (1 << q), (p, q)) for p, q in combinations(range(planes), 2)
+    ]
+    rows2 = lsh_bucket_probes_global(
+        df, dim=16, planes=planes, tables=tables, total_probes=10,
+        max_flip_bits=2,
+    ).collect()
+    by_id2: dict = {}
+    for r in rows2:
+        by_id2.setdefault(r["vec_id"], []).append((r["__tbl"], r["bucket"]))
+    for vid, pr in by_id2.items():
+        assert len(pr) == 10
+        got2 = set()
+        for t, b in pr:
+            m = b ^ base[t][vid]
+            assert bin(m).count("1") <= 2
+            if m:
+                got2.add((t, m))
+        scores = sorted(
+            (
+                sum(abs(float(proj[t][p] @ V[vid])) for p in bits),
+                t,
+                mask,
+            )
+            for t in range(tables)
+            for mask, bits in all_masks
+        )
+        want2 = {(t, mask) for _, t, mask in scores[: 10 - tables]}
+        assert got2 == want2, (vid, got2, want2)
+
+    # budget == tables degrades to exactly the per-table base buckets
+    rows0 = lsh_bucket_probes_global(
+        df, dim=16, planes=planes, tables=tables, total_probes=tables
+    ).collect()
+    for r in rows0:
+        assert r["bucket"] == base[r["__tbl"]][r["vec_id"]]
+    assert len(rows0) == tables * len(V)
+
+    # end-to-end: same budget as per-table n_probes, recall must beat
+    # single-probe on the same under-planed config
+    exact = cosine_topk(df, df, k=3).toPandas()
+    e = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+
+    def rec(**kw):
+        a = lsh_topk(df, k=3, planes=8, tables=2, **kw).toPandas()
+        got = set(map(tuple, a[["query_id", "neighbor_id"]].values))
+        return len(e & got) / len(e)
+
+    r1 = rec(n_probes=1)
+    rg = rec(n_probes=4, probe_alloc="global")
+    assert rg > r1, f"global multi-probe did not lift recall: {r1} -> {rg}"
+
+    with pytest.raises(ValueError, match="probe_alloc"):
+        lsh_topk(df, k=3, probe_alloc="nope", n_probes=2)
+
+
 def test_embedding_cosine_dedup(spark):
     from bubbles.operators.similarity import embedding_cosine_dedup_pairs
 

@@ -105,6 +105,23 @@ def main():
     t0 = time.time()
     lsh_mp = lsh_topk(emb, k=k, dim=64, n_probes=8).collect()
     t_ann_lsh_mp = round(time.time() - t0, 2)
+    # same total probe budget (tables*8), allocated across tables by
+    # global perturbation-score order over 1- and 2-bit flips (Lv et
+    # al. query-directed allocation): per-table probing saturates the
+    # single-bit Hamming ball at planes+1 buckets/table, which an
+    # 8-probe budget already exhausts at the auto-sized planes=6
+    t0 = time.time()
+    lsh_mpg = lsh_topk(
+        emb, k=k, dim=64, n_probes=8, probe_alloc="global"
+    ).collect()
+    t_ann_lsh_mpg = round(time.time() - t0, 2)
+    # double the budget: past the single-bit wall the 2-bit masks
+    # keep buying recall
+    t0 = time.time()
+    lsh_mpg16 = lsh_topk(
+        emb, k=k, dim=64, n_probes=16, probe_alloc="global"
+    ).collect()
+    t_ann_lsh_mpg16 = round(time.time() - t0, 2)
     n_cent = max(16, int((n_vec / 200) ** 0.5) ** 2)
     t0 = time.time()
     ivf = ivf_topk(emb, k=k, n_centroids=n_cent, n_probe=8, n_rows=n_vec).collect()
@@ -114,18 +131,29 @@ def main():
         "k": k,
         "lsh_recall": recall(lsh, "query_id", "neighbor_id"),
         "lsh_multiprobe8_recall": recall(lsh_mp, "query_id", "neighbor_id"),
+        "lsh_multiprobe8_global_recall": recall(
+            lsh_mpg, "query_id", "neighbor_id"
+        ),
+        "lsh_multiprobe16_global_recall": recall(
+            lsh_mpg16, "query_id", "neighbor_id"
+        ),
         "ivf_recall": recall(ivf, "query_id", "neighbor_id"),
         "sec_brute": t_brute,
         "sec_lsh": t_ann_lsh,
         "sec_lsh_multiprobe8": t_ann_lsh_mp,
+        "sec_lsh_multiprobe8_global": t_ann_lsh_mpg,
+        "sec_lsh_multiprobe16_global": t_ann_lsh_mpg16,
         "sec_ivf": t_ivf,
         "note": (
             "embeddings are barely separable by construction "
             "(between-centroid 0.2 vs within-spread 0.99, TESTDATA.md) — "
             "a hard ANN instance; recall here is the floor, not the "
-            "ceiling. n_probes=8 multi-probe lifts LSH recall 0.14 -> "
-            "0.55 here; IVF (n_probe=8) remains the designated path "
-            "for weakly-clustered spaces."
+            "ceiling. n_probes=8 per-table multi-probe lifts LSH recall "
+            "0.14 -> 0.55 and saturates there (all planes+1 single-bit "
+            "buckets probed); probe_alloc='global' (1+2-bit flips, "
+            "budget allocated across tables by margin) reaches 0.61 at "
+            "the same budget and 0.84 at n_probes=16 — past IVF's 0.72 "
+            "at comparable wall time."
         ),
     }
     print(json.dumps(results["ann"]), flush=True)
