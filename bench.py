@@ -45,6 +45,24 @@ def main():
         # randomly taxes a measured run (the r7 lineitem rep-3 spike).
         # Make it synchronous so cleanup happens inside the settle window.
         .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
+        # diagnostic escape hatch: extra driver JVM flags for A/B runs
+        # (e.g. -XX:ReservedCodeCacheSize=512m while chasing JIT churn)
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", ""),
+        )
+        # The multi-stage fit loop generates >100 distinct codegen
+        # fragments per run, so Spark's default 100-entry generated-
+        # class cache thrashes: every rep re-Janinos + re-JITs the
+        # same classes (measured 6-7 s JIT per *steady-state* rep at
+        # 100 entries vs 3.1-3.6 s at 5000, with the warmed floor
+        # dropping 14.7 -> 13.5 s and warmup converging by rep 1
+        # instead of rep 3-4). Same knob applies to executors on a
+        # real cluster (see SCALE.md).
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "5000"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -57,6 +75,7 @@ def main():
 
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
+    all_steals: dict[str, list[float]] = {}
     warmups: dict[str, float] = {}
     profile = os.environ.get("SPARK_GRAFT_BENCH_PROFILE", "") == "1"
 
@@ -75,9 +94,61 @@ def main():
             cnt += max(0, b.getCollectionCount())
         return ms, cnt
 
+    _jvm_pid = None
+
+    def _cpu_totals():
+        """(JVM CPU ticks, JIT ms, machine steal ticks, machine busy ticks).
+
+        Separates the causes of a wall-clock spike on a rep: higher
+        JVM CPU at the same job count = the JVM really did more work —
+        rising JIT ms pins that on compilation storms (each fit rep
+        generates fresh codegen classes); flat JVM CPU but wall up =
+        the JVM *waited* — rising steal ticks pin that on hypervisor
+        CPU steal (this box is a shared-host microVM), flat steal
+        means in-guest waiting (disk, scheduling).
+        """
+        nonlocal _jvm_pid
+        jvm = spark.sparkContext._jvm
+        if _jvm_pid is None:
+            _jvm_pid = jvm.java.lang.ProcessHandle.current().pid()
+        with open(f"/proc/{_jvm_pid}/stat") as f:
+            st = f.read().rsplit(")", 1)[1].split()
+        jvm_cpu = int(st[11]) + int(st[12])  # utime + stime, ticks
+        try:
+            jit_ms = (
+                jvm.java.lang.management.ManagementFactory
+                .getCompilationMXBean().getTotalCompilationTime()
+            )
+        except Exception:
+            jit_ms = -1
+        code_mb = 0.0
+        try:
+            pools = (
+                jvm.java.lang.management.ManagementFactory.getMemoryPoolMXBeans()
+            )
+            for i in range(pools.size()):
+                p = pools.get(i)
+                if "CodeHeap" in p.getName() or "Code Cache" in p.getName():
+                    code_mb += p.getUsage().getUsed() / 1048576.0
+        except Exception:
+            code_mb = -1.0
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        # cpu user nice system idle iowait irq softirq steal ...
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        busy = vals[0] + vals[1] + vals[2] + vals[5] + vals[6]
+        return jvm_cpu, jit_ms, code_mb, steal, busy
+
+    def _steal_ticks():
+        with open("/proc/stat") as f:
+            vals = f.readline().split()[1:]
+        return int(vals[7]) if len(vals) > 7 else 0
+
     def bench(name: str, thunk, n_runs: int | None = None, n_warmups: int = 1):
         n = n_runs or reps
         runs = []
+        steals = []
         info = ""
         # untimed warmup(s) before the measured reps (JIT + page cache
         # + shuffle-file reuse): the first execution of a query runs
@@ -105,33 +176,93 @@ def main():
             spark.sparkContext._jvm.System.gc()
             if profile:
                 gms0, gcnt0 = _jvm_gc_totals()
+                cpu0, jit0, _cm0, steal0, busy0 = _cpu_totals()
                 group = f"{name}-rep{i}"
                 spark.sparkContext.setJobGroup(group, name)
+            st0 = _steal_ticks()
             t0 = time.time()
             info = thunk()
             el = round(time.time() - t0, 3)
+            rep_steal = round((_steal_ticks() - st0) / os.sysconf("SC_CLK_TCK"), 2)
             if profile:
                 gms1, gcnt1 = _jvm_gc_totals()
+                cpu1, jit1, code_mb, steal1, busy1 = _cpu_totals()
                 jobs = len(
                     spark.sparkContext.statusTracker().getJobIdsForGroup(group)
                 )
                 spark.sparkContext.setJobGroup("", "")
+                tick = os.sysconf("SC_CLK_TCK")
                 print(
                     f"#   {name} rep{i}{' (warm)' if i < warm else ''}:"
-                    f" {el}s gc={gms1 - gms0}ms/{gcnt1 - gcnt0}x jobs={jobs}",
+                    f" {el}s gc={gms1 - gms0}ms/{gcnt1 - gcnt0}x jobs={jobs}"
+                    f" jvmcpu={(cpu1 - cpu0) / tick:.1f}s"
+                    f" jit={jit1 - jit0}ms code={code_mb:.0f}MB"
+                    f" steal={(steal1 - steal0) / tick:.1f}s"
+                    f" busy={(busy1 - busy0) / tick:.1f}s",
                     file=sys.stderr,
                 )
             if i < warm:
                 warmups[name] = el  # keep the last warmup's time
             else:
                 runs.append(el)
+                steals.append(rep_steal)
         all_runs[name] = runs
+        # per-rep hypervisor CPU steal (sec of stolen CPU time across
+        # all 32 vCPUs during the rep): this box is a shared-host
+        # microVM, and the round-7/8 rep spikes correlate 1:1 with
+        # steal bursts (23.8 s stolen on a 32 s rep whose quiet twins
+        # ran 13.6-14.2 s with 0.2-0.7 s steal) — recorded per-rep so
+        # a spiked median is attributable to the host, not the plan
+        all_steals[name] = steals
         timings[name] = statistics.median(runs)
         print(
             f"# {name}: median {timings[name]}s of {runs}"
             f" (warmup {warmups.get(name, 'n/a')}s) ({info})",
             file=sys.stderr,
         )
+
+    # Fixed-size CPU calibration, independent of any engine code: the
+    # same physical box runs 20-40% slower on some boots (shared-host
+    # microVM — the r6->r7->r8 "regressions" on untouched rows like
+    # keyword_search tracked this exactly), so cross-round medians are
+    # only comparable after normalizing by these. calib_1core = pure
+    # python arithmetic on one core; calib_allcore = one numpy GEMM
+    # per vCPU through Spark python workers (the bench's actual
+    # compute path). Reported in the JSON, excluded from the total.
+    calib: dict[str, float] = {}
+
+    def _calibrate():
+        # 1-core: pure-python arithmetic — GIL-bound and independent
+        # of BLAS thread pools, so the number means the same thing on
+        # every boot/config
+        t0 = time.time()
+        acc = 0
+        for i in range(3_000_000):
+            acc += i * i ^ (i >> 3)
+        calib["calib_1core_sec"] = round(time.time() - t0, 3)
+
+        # all-core: one numpy GEMM per vCPU through Spark python
+        # workers (the bench's actual kernel compute path). Sized so
+        # each worker's GEMM is ~0.1 s single-threaded; BLAS threads
+        # inside 32 concurrent workers oversubscribe either way, which
+        # is itself part of what's being calibrated.
+        n_cpus = int(cpus)
+        rdd = spark.sparkContext.parallelize(range(n_cpus), n_cpus)
+
+        def gemm(_):
+            import numpy as np
+
+            r = np.random.default_rng(1)
+            b = r.standard_normal((1000, 1000))
+            return [float((b @ b)[0, 0])]
+
+        rdd.flatMap(gemm).count()  # warm python workers
+        t0 = time.time()
+        rdd.flatMap(gemm).count()
+        calib["calib_allcore_sec"] = round(time.time() - t0, 3)
+
+    _calibrate()
+    print(f"# calibration: {calib}", file=sys.stderr)
 
     # SPARK_GRAFT_BENCH_ONLY="name1,name2" limits the run to those rows
     # (diagnostic reruns); empty = full headline set.
@@ -239,7 +370,7 @@ def main():
     # profile: 21.8, 17.9, 14.7, 14.9, then steady 11.6-12.8 with
     # max/median 1.05); two warmups left the r6 medians 1.3-1.6x noisy
     if wanted("mrhdbscan_lineitem"):
-        bench("mrhdbscan_lineitem", run_li, n_warmups=4)
+        bench("mrhdbscan_lineitem", run_li, n_runs=max(reps, 5), n_warmups=4)
 
     # the reference's real dataset (Skin_NonSkin 245k×4, BASELINE.md
     # Skin DB row: 60.19 s, the paper's bubbles variant on its cluster)
@@ -284,6 +415,8 @@ def main():
                 "unit": "sec",
                 "queries": timings,
                 "runs": all_runs,
+                "steal": all_steals,
+                "calib": calib,
                 "warmup": warmups,
                 "reps": reps,
                 "sf": sf,

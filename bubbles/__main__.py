@@ -62,6 +62,10 @@ def main(argv=None):
         SparkSession.builder.master(args.get("master", "local[*]"))
         .appName("bubbles-cli")
         .config("spark.sql.adaptive.enabled", "true")
+        # the fit loop emits >100 distinct codegen fragments per run;
+        # the default 100-entry generated-class cache thrashes and
+        # re-JITs every iteration (measured in SCALE.md, round 8)
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
