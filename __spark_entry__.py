@@ -708,6 +708,35 @@ def cluster_embeddings(spark, sf_dir):
     return model.labels
 
 
+def cluster_predict(spark, sf_dir):
+    """Out-of-sample assignment (round 8): fit embeddings[vec_id<400],
+    approximate_predict vec_id in [400,500) — score new points against
+    an existing clustering without refitting (single broadcast +
+    mapInPandas, stream-compatible). Oracle: golden artifact from the
+    exact kernel + an INDEPENDENT numpy derivation of the membership
+    rule (tools/make_golden.py predict_rule), sf-adaptive via the
+    <500-frame fingerprint."""
+    from bubbles import MRHDBSCAN
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    pts = emb.select(
+        F.col("vec_id").alias("point_id"),
+        F.col("embedding").cast("array<double>").alias("features"),
+    )
+    train = pts.filter(F.col("point_id") < 400)
+    new = pts.filter(F.col("point_id") >= 400)
+    model = MRHDBSCAN(
+        min_pts=4, min_cluster_size=10, max_local_size=2000, dim=64
+    ).fit(train)
+    pred = model.predict(train, new, min_pts=4)
+    return pred.select(
+        "point_id",
+        "label",
+        F.round("strength", 6).alias("strength"),
+        "nearest_fitted_id",
+    )
+
+
 def multimodal_decode_fake(spark, sf_dir):
     from bubbles.operators.multimodal import decode_media
 
@@ -1006,6 +1035,7 @@ def _catalog_queries_a() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": _widen(events_asof_join_q),
         "multimodal_meta": _widen(multimodal_meta_q),
         "cluster_embeddings": _widen(cluster_embeddings),
+        "cluster_predict": _widen(cluster_predict),
         "multimodal_decode_fake": _widen(multimodal_decode_fake),
         "lsh_ann_topk": _widen(lsh_ann_topk),
         "ivf_ann_topk": _widen(ivf_ann_topk),
@@ -2890,6 +2920,21 @@ def _catalog_sql_a() -> dict[str, str]:
             FROM read_parquet('/root/repo/tests/golden/glosh_outliers.parquet') g, fp
             WHERE g.input_fp = fp.v
         """,
+        # round-8 out-of-sample predict: golden from the exact kernel
+        # fit (<400) + an independent numpy re-derivation of the
+        # approximate_predict membership rule over [400,500)
+        # (tools/make_golden.py predict_rule), keyed by the <500-frame
+        # fingerprint
+        "cluster_predict": """
+            WITH fp AS (
+              SELECT count(*) + 31 * sum(vec_id)
+                     + 131 * sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)) AS v
+              FROM embeddings WHERE vec_id < 500
+            )
+            SELECT g.point_id, g.label, g.strength, g.nearest_fitted_id
+            FROM read_parquet('/root/repo/tests/golden/cluster_predict.parquet') g, fp
+            WHERE g.input_fp = fp.v
+        """,
     }
 
 
@@ -4341,6 +4386,10 @@ GATE_KEYS: list[str] = [
     "dataset_split",
     "pack_sequences",
     "stream_stateful_totals",
+    # round-8 addition, LAST on purpose: if the driver truncates the
+    # window at 49 rows only this (re-gateable next round) falls out,
+    # never the 7 rotation targets above
+    "cluster_predict",
 ]
 
 

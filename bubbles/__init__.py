@@ -12,12 +12,16 @@ Blueprint: SURVEY.md. Reference is cited per-function as file:line of
 /root/reference/源代码; no code is copied from it.
 """
 
-__all__ = ["MRHDBSCAN", "MRHDBSCANModel"]
+__all__ = ["MRHDBSCAN", "MRHDBSCANModel", "approximate_predict"]
 
 
 def __getattr__(name):  # lazy: keep numpy-only kernel imports Spark-free
-    if name in __all__:
+    if name in ("MRHDBSCAN", "MRHDBSCANModel"):
         from bubbles.plans import mrhdbscan
 
         return getattr(mrhdbscan, name)
+    if name == "approximate_predict":
+        from bubbles.plans.predict import approximate_predict
+
+        return approximate_predict
     raise AttributeError(name)

@@ -498,6 +498,29 @@ class MRHDBSCANModel:
             F.broadcast(rep_levels), on="rep_id"
         ).select("level_weight", "point_id", "label")
 
+    def predict(
+        self,
+        fitted_points: DataFrame,
+        new_points: DataFrame,
+        min_pts: int = 4,
+        metric: str = "euclidean",
+        **kwargs,
+    ) -> DataFrame:
+        """Out-of-sample cluster assignment (approximate_predict):
+        label NEW points against this fitted clustering without
+        refitting — works identically on a Structured Streaming
+        ``new_points`` frame (single broadcast + mapInPandas, zero
+        shuffles). ``fitted_points`` re-supplies the fitted (point_id,
+        features) and ``min_pts``/``metric`` must match the fit; see
+        bubbles.plans.predict.approximate_predict for the membership
+        semantics and the reference-size contract."""
+        from bubbles.plans.predict import approximate_predict
+
+        return approximate_predict(
+            self, fitted_points, new_points, min_pts=min_pts,
+            metric=metric, **kwargs,
+        )
+
     # ------------------------------------------------------------------
     _SAVE_RELATIONS = ("labels", "cluster_tree", "outlier_scores", "mst_edges")
 

@@ -21,7 +21,11 @@ SF_DIRS = [d for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
 def test_goldens_match_current_testdata(sf_dir):
     from tools.make_golden import derive_for_dir
 
-    (cfp, cids, labels), (gfp, gids, scores) = derive_for_dir(sf_dir)
+    (
+        (cfp, cids, labels),
+        (gfp, gids, scores),
+        (pfp, pids, plabel, pstrength, pnearest),
+    ) = derive_for_dir(sf_dir)
 
     g = pq.read_table(f"{GOLDEN}/cluster_embeddings.parquet").to_pandas()
     mine = g[g["input_fp"] == cfp].sort_values("point_id")
@@ -34,3 +38,11 @@ def test_goldens_match_current_testdata(sf_dir):
     assert len(mine) == len(gids)
     assert (mine["point_id"].to_numpy() == gids).all()
     assert (mine["score"].to_numpy() == scores).all()
+
+    p = pq.read_table(f"{GOLDEN}/cluster_predict.parquet").to_pandas()
+    mine = p[p["input_fp"] == pfp].sort_values("point_id")
+    assert len(mine) == len(pids)
+    assert (mine["point_id"].to_numpy() == pids).all()
+    assert (mine["label"].to_numpy() == plabel).all()
+    assert (mine["strength"].to_numpy() == pstrength).all()
+    assert (mine["nearest_fitted_id"].to_numpy() == pnearest).all()

@@ -1,0 +1,180 @@
+"""Out-of-sample prediction (bubbles.plans.predict.approximate_predict).
+
+Pins: (1) predicting the fitted points themselves recovers the fitted
+non-noise labels, (2) far-away points are noise, (3) the Arrow kernel
+matches an independent numpy re-derivation of the membership rule from
+the model relations, (4) the SAME operator over a Structured Streaming
+source produces the batch result (the plan is one broadcast +
+mapInPandas — no shuffle, no window — so stream==batch is a plan
+property, not luck), (5) the broadcast size gate and metric validation
+fail loudly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from bubbles.plans.mrhdbscan import MRHDBSCAN
+from bubbles.plans.predict import approximate_predict
+
+from tests.test_contracted import _blobs, to_df
+
+PARAMS = dict(
+    min_pts=4, min_cluster_size=5, max_local_size=64,
+    max_samples_per_subset=16, seed=7,
+)
+
+
+@pytest.fixture(scope="module")
+def fitted(spark):
+    X = _blobs(n=300, seed=11)
+    df = to_df(spark, X)
+    model = MRHDBSCAN(**PARAMS).fit(df)
+    return X, df, model
+
+
+def _collect_pred(pred):
+    return {
+        int(r["point_id"]): (
+            int(r["label"]),
+            float(r["strength"]),
+            int(r["nearest_fitted_id"]),
+            float(r["mr_dist"]),
+        )
+        for r in pred.collect()
+    }
+
+
+def test_predict_recovers_fitted_labels(spark, fitted):
+    X, df, model = fitted
+    pred = _collect_pred(model.predict(df, df, min_pts=PARAMS["min_pts"]))
+    fit_labels = {
+        int(r["point_id"]): int(r["label"]) for r in model.labels.collect()
+    }
+    assert set(pred) == set(fit_labels)
+    clustered = [p for p, lbl in fit_labels.items() if lbl != 0]
+    assert clustered, "fixture degenerate: no clustered points"
+    agree = [p for p in clustered if pred[p][0] == fit_labels[p]]
+    # a fitted member's own mutual-reachability level is its core
+    # distance, which sits inside its cluster's lifetime — self-predict
+    # must recover the flat labels
+    assert len(agree) == len(clustered), (
+        f"{len(clustered) - len(agree)} of {len(clustered)} clustered "
+        f"points changed label under self-predict"
+    )
+    for p in agree:
+        assert pred[p][2] == p  # own row is the 0-distance neighbor
+    # a member AT its cluster's birth level legitimately scores 0
+    # (strength normalizes the lifetime interval, like the hdbscan
+    # library's probabilities); interior members must score high
+    strengths = [pred[p][1] for p in agree]
+    assert max(strengths) > 0.5
+    assert sum(s > 0.0 for s in strengths) > 0.8 * len(strengths)
+
+
+def test_predict_far_points_are_noise(spark, fitted):
+    X, df, model = fitted
+    far = to_df(spark, X[:40] + 500.0, ids=np.arange(40))
+    pred = _collect_pred(model.predict(df, far, min_pts=PARAMS["min_pts"]))
+    assert len(pred) == 40
+    assert all(lbl == 0 and s == 0.0 for lbl, s, _, _ in pred.values())
+
+
+def test_predict_matches_numpy_reference(spark, fitted):
+    """Differential: re-derive every output column with plain numpy
+    from the model relations and the documented rule."""
+    X, df, model = fitted
+    rng = np.random.default_rng(3)
+    # mix of in-cluster perturbations and mid-range limbo points
+    New = np.vstack(
+        [X[:60] + rng.normal(scale=0.15, size=(60, 2)),
+         rng.uniform(-15, 20, size=(20, 2))]
+    )
+    new_df = to_df(spark, New, ids=np.arange(len(New)))
+    got = _collect_pred(
+        approximate_predict(model, df, new_df, min_pts=PARAMS["min_pts"])
+    )
+
+    fit_rows = sorted(
+        (int(r["point_id"]), int(r["label"]))
+        for r in model.labels.collect()
+    )
+    ids = np.array([p for p, _ in fit_rows], dtype=np.int64)
+    labels = dict(fit_rows)
+    core = {
+        int(r["point_id"]): float(r["core_distance"])
+        for r in model.outlier_scores.collect()
+    }
+    tree = {
+        int(r["label"]): (float(r["birth_level"]), float(r["death_level"]))
+        for r in model.cluster_tree.collect()
+    }
+    order = np.argsort(ids)
+    ids = ids[order]
+    mat = X[ids]  # point_id == row index in the blobs fixture
+    mp = PARAMS["min_pts"]
+    for i, x in enumerate(New):
+        d = np.sqrt(((mat - x) ** 2).sum(axis=1))
+        j = int(np.lexsort((ids, d))[0])
+        exp_nearest = int(ids[j])
+        core_x = float(np.sort(d)[mp - 2]) if mp > 1 else 0.0
+        d_mr = max(float(d[j]), core[exp_nearest], core_x)
+        lbl = labels[exp_nearest]
+        exp_label, exp_strength = 0, 0.0
+        if lbl != 0:
+            b, dth = tree.get(lbl, (np.nan, np.nan))
+            if np.isnan(b) or d_mr <= b:
+                exp_label = lbl
+                exp_strength = (
+                    1.0 if (np.isnan(b) or np.isnan(dth) or b <= dth)
+                    else float(np.clip((b - d_mr) / (b - dth), 0.0, 1.0))
+                )
+        g_lbl, g_str, g_near, g_dmr = got[i]
+        assert g_lbl == exp_label, f"point {i}: label {g_lbl} != {exp_label}"
+        assert g_near == exp_nearest
+        assert g_dmr == pytest.approx(d_mr, rel=1e-12)
+        assert g_str == pytest.approx(exp_strength, abs=1e-8)
+
+
+def test_predict_stream_equals_batch(spark, fitted, tmp_path):
+    X, df, model = fitted
+    rng = np.random.default_rng(9)
+    New = np.vstack([X[:30] + rng.normal(scale=0.2, size=(30, 2)),
+                     rng.uniform(-10, 16, size=(10, 2))])
+    new_df = to_df(spark, New, ids=np.arange(len(New)))
+    src = str(tmp_path / "newpts")
+    new_df.write.parquet(src)
+
+    batch = _collect_pred(
+        approximate_predict(model, df, new_df, min_pts=PARAMS["min_pts"])
+    )
+
+    stream = spark.readStream.schema(
+        "point_id long, features array<double>"
+    ).parquet(src)
+    from bubbles.streaming.events import _drive_to_memory
+
+    streamed = _collect_pred(
+        _drive_to_memory(
+            spark,
+            approximate_predict(model, df, stream, min_pts=PARAMS["min_pts"]),
+            "append",
+            "predict_stream_out",
+        )
+    )
+    assert streamed == batch
+
+
+def test_predict_reference_cap_and_metric(spark, fitted):
+    X, df, model = fitted
+    with pytest.raises(ValueError, match="max_reference_rows"):
+        approximate_predict(
+            model, df, df, min_pts=4, max_reference_rows=10
+        )
+    with pytest.raises(ValueError, match="metric"):
+        approximate_predict(model, df, df, metric="hamming")
+    with pytest.raises(ValueError, match="empty prediction reference"):
+        approximate_predict(
+            model, df.withColumn("point_id", df.point_id + 10_000), df,
+        )

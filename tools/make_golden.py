@@ -8,6 +8,10 @@ hash-check them like every other row:
 - ``tests/golden/glosh_outliers.parquet`` — GLOSH scores of
   ``embeddings[vec_id<1000]``, 6-dp HALF_UP (decimal arithmetic =
   Spark's BigDecimal rounding)
+- ``tests/golden/cluster_predict.parquet`` — approximate_predict of
+  ``embeddings[400<=vec_id<500]`` against the exact-kernel fit of
+  ``embeddings[vec_id<400]`` via an independent numpy derivation of
+  the membership rule (``predict_rule`` below), strength 6-dp HALF_UP
 
 The goldens are SF-ADAPTIVE: each generation's rows carry an exact
 integer fingerprint of its input frame
@@ -75,9 +79,49 @@ def round6_half_up(x: float) -> float:
     )
 
 
+def predict_rule(
+    X_new: np.ndarray,
+    ids_tr: np.ndarray,
+    X_tr: np.ndarray,
+    labels_tr: np.ndarray,
+    core_tr: np.ndarray,
+    tree: dict,
+    min_pts: int = 4,
+):
+    """Independent numpy derivation of approximate_predict's membership
+    rule (bubbles/plans/predict.py documents the semantics): nearest
+    fitted point (distance ties -> smallest id), core_x = (min_pts-1)-th
+    smallest fitted distance with a virtual self-0, d_mr = max of the
+    three, member iff d_mr <= birth_level of the neighbor's cluster,
+    strength = the position inside the cluster's [death, birth]
+    lifetime. Deliberately NOT imported from the engine."""
+    out_label = np.zeros(len(X_new), dtype=np.int64)
+    out_strength = np.zeros(len(X_new), dtype=np.float64)
+    out_nearest = np.zeros(len(X_new), dtype=np.int64)
+    for i, x in enumerate(X_new):
+        d = np.sqrt(((X_tr - x) ** 2).sum(axis=1))
+        j = int(np.lexsort((ids_tr, d))[0])
+        out_nearest[i] = ids_tr[j]
+        core_x = float(np.sort(d)[min_pts - 2]) if min_pts > 1 else 0.0
+        d_mr = max(float(d[j]), float(core_tr[j]), core_x)
+        lbl = int(labels_tr[j])
+        if lbl == 0:
+            continue
+        b, dth = tree.get(lbl, (np.nan, np.nan))
+        if not (np.isnan(b) or d_mr <= b):
+            continue
+        out_label[i] = lbl
+        out_strength[i] = (
+            1.0
+            if (np.isnan(b) or np.isnan(dth) or b <= dth)
+            else float(np.clip((b - d_mr) / (b - dth), 0.0, 1.0))
+        )
+    return out_label, out_strength, out_nearest
+
+
 def derive_for_dir(sf_dir: str):
-    """(cluster_rows, glosh_rows) for one testdata generation, slow-
-    reference-verified."""
+    """(cluster_rows, glosh_rows, predict_rows) for one testdata
+    generation, slow-reference-verified."""
     from bubbles.kernels.hdbscan_kernel import (
         build_hierarchy,
         core_distances,
@@ -118,14 +162,67 @@ def derive_for_dir(sf_dir: str):
             out.append(
                 (fp, ids, np.array([round6_half_up(s) for s in res.scores]))
             )
+
+    # cluster_predict golden: exact-kernel fit on vec_id<400, the
+    # numpy membership rule for vec_id in [400,500) — bounds chosen
+    # inside the smallest generation's 500 embeddings so every sf
+    # yields predict rows. Keyed by the <500 frame fingerprint.
+    mask_tr = vec_id < 400
+    ids_tr, X_tr = vec_id[mask_tr], X[mask_tr]
+    res = hdbscan_exact(X_tr, min_pts=4, min_cluster_size=10)
+    core_tr = core_distances(X_tr, 4)
+    src, dst, w = mst_edges(X_tr, core_tr, self_edges=True)
+    fast = build_hierarchy(src, dst, w, np.ones(len(X_tr)), 10)
+    slow_clusters, _, slow_noise = slow_hierarchy(
+        src, dst, w, np.ones(len(X_tr)), 10
+    )
+    assert canon_tree(fast.clusters) == canon_tree(slow_clusters), (
+        f"fast/slow hierarchy mismatch on {sf_dir} (<400) — "
+        "kernel regression, refusing to write golden"
+    )
+    assert np.allclose(fast.noise_level, slow_noise)
+    tree = {int(c.label): (float(c.birth), float(c.death)) for c in res.tree}
+    mask_new = (vec_id >= 400) & (vec_id < 500)
+    ids_new, X_new = vec_id[mask_new], X[mask_new]
+    p_label, p_strength, p_nearest = predict_rule(
+        X_new, ids_tr, X_tr, res.labels.astype(np.int64), core_tr, tree
+    )
+    mask_all = vec_id < 500
+    pfp = input_fingerprint(vec_id[mask_all], X[mask_all])
+    out.append(
+        (
+            pfp,
+            ids_new,
+            p_label,
+            np.array([round6_half_up(s) for s in p_strength]),
+            p_nearest,
+        )
+    )
     return out
+
+
+def _write_deduped(tables, fname):
+    # distinct fingerprints may repeat across generations with
+    # identical content — dedupe whole frames by fp
+    seen = set()
+    keep = []
+    for t in tables:
+        fp = t["input_fp"][0].as_py()
+        if fp not in seen:
+            seen.add(fp)
+            keep.append(t)
+    pq.write_table(pa.concat_tables(keep), os.path.join(GOLDEN_DIR, fname))
 
 
 def main():
     sf_dirs = sys.argv[1:] or sorted(globmod.glob("/root/testdata/sf*"))
-    cl_tables, gl_tables = [], []
+    cl_tables, gl_tables, pr_tables = [], [], []
     for sf_dir in sf_dirs:
-        (cfp, cids, labels), (gfp, gids, scores) = derive_for_dir(sf_dir)
+        (
+            (cfp, cids, labels),
+            (gfp, gids, scores),
+            (pfp, pids, plabel, pstrength, pnearest),
+        ) = derive_for_dir(sf_dir)
         cl_tables.append(
             pa.table(
                 {
@@ -144,34 +241,30 @@ def main():
                 }
             )
         )
-        print(f"{sf_dir}: cluster fp={cfp} n={len(cids)}; glosh fp={gfp} n={len(gids)}")
+        pr_tables.append(
+            pa.table(
+                {
+                    "input_fp": pa.array([pfp] * len(pids), pa.int64()),
+                    "point_id": pa.array(pids, pa.int64()),
+                    "label": pa.array(plabel, pa.int64()),
+                    "strength": pa.array(pstrength, pa.float64()),
+                    "nearest_fitted_id": pa.array(pnearest, pa.int64()),
+                }
+            )
+        )
+        print(
+            f"{sf_dir}: cluster fp={cfp} n={len(cids)}; glosh fp={gfp} "
+            f"n={len(gids)}; predict fp={pfp} n={len(pids)}"
+        )
 
     os.makedirs(GOLDEN_DIR, exist_ok=True)
-    # distinct fingerprints may repeat across generations with
-    # identical content — dedupe whole frames by fp
-    seen = set()
-    keep = []
-    for t in cl_tables:
-        fp = t["input_fp"][0].as_py()
-        if fp not in seen:
-            seen.add(fp)
-            keep.append(t)
-    pq.write_table(
-        pa.concat_tables(keep),
-        os.path.join(GOLDEN_DIR, "cluster_embeddings.parquet"),
+    _write_deduped(cl_tables, "cluster_embeddings.parquet")
+    _write_deduped(gl_tables, "glosh_outliers.parquet")
+    _write_deduped(pr_tables, "cluster_predict.parquet")
+    print(
+        f"wrote {GOLDEN_DIR}/cluster_embeddings.parquet, "
+        f"glosh_outliers.parquet, cluster_predict.parquet"
     )
-    seen = set()
-    keep = []
-    for t in gl_tables:
-        fp = t["input_fp"][0].as_py()
-        if fp not in seen:
-            seen.add(fp)
-            keep.append(t)
-    pq.write_table(
-        pa.concat_tables(keep),
-        os.path.join(GOLDEN_DIR, "glosh_outliers.parquet"),
-    )
-    print(f"wrote {GOLDEN_DIR}/cluster_embeddings.parquet, glosh_outliers.parquet")
 
 
 if __name__ == "__main__":

@@ -786,6 +786,33 @@ def main():
         "a single-partition global sort of the corpus)",
     )
 
+    # round 8: out-of-sample predict — the NEW-POINT side must be one
+    # mapInPandas over the scan with no exchange/join/window (that plan
+    # shape is what makes the same operator run unchanged on a stream)
+    from bubbles import MRHDBSCAN
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("point_id"),
+        F.col("embedding").cast("array<double>").alias("features"),
+    )
+    train = emb.filter(F.col("point_id") < 400)
+    pm = MRHDBSCAN(
+        min_pts=4, min_cluster_size=10, max_local_size=2000, dim=64
+    ).fit(train)
+    pp = plan_of(
+        pm.predict(train, emb.filter(F.col("point_id") >= 400), min_pts=4)
+    )
+    check(
+        "predict is shuffle-free on the new-point side",
+        "Exchange" not in pp
+        and "Join" not in pp
+        and "Window" not in pp
+        and "MapInPandas" in pp,
+        "one broadcast-backed MapInPandas over the scan — zero "
+        "exchanges, so the identical plan legally runs on a streaming "
+        "source (stream scoring)",
+    )
+
     lines = [
         "# PLANS — physical-plan audit (tools/plan_audit.py)",
         "",
