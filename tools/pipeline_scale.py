@@ -12,6 +12,7 @@ Writes SCALEBENCH.json {op: {n_docs: seconds}}.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -25,9 +26,20 @@ def main():
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
+    # SCALE_PARTITIONS overrides the shuffle width: partitions must
+    # scale with data (the repo's own 100 TB rule — "size
+    # spark.sql.shuffle.partitions so partitions fit in executor
+    # memory"); a fixed 32 under a 1000x replication pushes ~40M
+    # exploded shingle rows through each partition. Measured on
+    # stream_near_dup at 5M docs the width barely moved the needle
+    # on this box (1456 s at 32 vs 1518 s at 256, same day) — the
+    # single-JVM shuffle spills to the same local disk either way —
+    # but on a real cluster the width picks how many machines absorb
+    # the explode, so big factors should still scale it.
+    shuffle_parts = os.environ.get("SCALE_PARTITIONS", "32")
     spark = (
         SparkSession.builder.master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
         .config("spark.driver.memory", "48g")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
@@ -297,7 +309,6 @@ def main():
         ),
     }
 
-    import os
     import statistics
 
     # SCALE_OPS=a,b,c limits the measured ops (re-measure only what
