@@ -97,7 +97,8 @@ def main():
     _jvm_pid = None
 
     def _cpu_totals():
-        """(JVM CPU ticks, JIT ms, machine steal ticks, machine busy ticks).
+        """(JVM CPU ticks, JIT ms, code-cache MB used, machine steal
+        ticks, machine busy ticks).
 
         Separates the causes of a wall-clock spike on a rep: higher
         JVM CPU at the same job count = the JVM really did more work —

@@ -10,11 +10,14 @@ the hdbscan library's approximate_predict) re-expressed against this
 engine's distance-level conventions:
 
 * a new point x is measured against the FITTED reference set (the
-  caller re-supplies the fitted features; the model persists labels,
-  core distances and the cluster tree, not vectors),
-* ``core_x`` mirrors the reference's fitted convention (core distance =
-  (min_pts-1)-th smallest including self-0, HDBSCANStar.java) by
-  augmenting x's fitted-neighbor distances with a virtual self-0,
+  caller re-supplies the fitted features, or the model carries a
+  persisted prediction reference — see ``MRHDBSCANModel.save``),
+* ``core_x`` is the distance to x's (min_pts-1)-th nearest fitted
+  neighbor — equivalently the min_pts-th smallest of x's distance
+  list after prepending a virtual self-0. This is the rule that makes
+  self-prediction exact: a fitted point's distance list already
+  contains its own 0, so core_x reproduces the fitted core distance
+  ((min_pts-1)-th smallest including self, HDBSCANStar.java),
 * x would have attached to the hierarchy through its nearest fitted
   point p at the mutual-reachability level
   ``d_mr = max(d(x,p), core(p), core_x)``,
@@ -54,20 +57,68 @@ _PREDICT_SCHEMA = (
 )
 
 
+# diff-tensor budget per distance block: the blocked metrics build a
+# (block × reference × dim) intermediate, so the block width adapts to
+# the reference size (4096 new rows at a 1.5k×2 reference; a handful at
+# a 500k×64 one — each row still vectorized over the full reference)
+_BLOCK_TARGET_BYTES = 1 << 29
+
+
+def _block_distances(mat, Xblk, metric: str):
+    """(block × reference) distance matrix. Element-for-element the
+    same operations (and reduction axis) as the per-row numpy twins in
+    ``bubbles.kernels.hdbscan_kernel.ROW_DISTANCES``, batched over the
+    block axis — the subtract-based metrics are bit-identical to the
+    per-row path (no ||a||²-2ab+||b||² shortcut, which loses precision
+    exactly where it matters: a fitted point's own distance must be an
+    exact 0 for the self-predict tie rule)."""
+    import numpy as np
+
+    if metric == "euclidean":
+        d = Xblk[:, None, :] - mat[None, :, :]
+        return np.sqrt(np.einsum("bmj,bmj->bm", d, d))
+    if metric == "manhattan":
+        return np.abs(Xblk[:, None, :] - mat[None, :, :]).sum(axis=2)
+    if metric == "chebyshev":
+        return np.abs(Xblk[:, None, :] - mat[None, :, :]).max(axis=2)
+    if metric == "cosine":
+        num = Xblk @ mat.T
+        den = (
+            np.sqrt(np.einsum("bj,bj->b", Xblk, Xblk))[:, None]
+            * np.sqrt(np.einsum("mj,mj->m", mat, mat))[None, :]
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = 1.0 - num / den
+        return np.where(den == 0, 1.0, out)
+    if metric == "pearson":
+        Xc = Xblk - Xblk.mean(axis=1, keepdims=True)
+        Mc = mat - mat.mean(axis=1, keepdims=True)
+        num = Xc @ Mc.T
+        den = (
+            np.sqrt(np.einsum("bj,bj->b", Xc, Xc))[:, None]
+            * np.sqrt(np.einsum("mj,mj->m", Mc, Mc))[None, :]
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = 1.0 - num / den
+        return np.where(den == 0, 1.0, out)
+    raise ValueError(f"unknown metric {metric!r}")
+
+
 def _make_predict_kernel(bc, min_pts: int, metric: str):
-    """Arrow kernel: vectorized per-row kNN against the broadcast
-    reference + the membership rule above. Ties on the nearest
-    distance keep the smallest fitted id (deterministic, the repo-wide
-    tie convention)."""
+    """Arrow kernel: chunked block-distance kNN against the broadcast
+    reference + the membership rule above — no per-row Python loop
+    (one numpy pass per ≤4k-row block) and no sort on the reference
+    axis (nearest + tie-break is an O(m) masked argmin; core_x is an
+    O(m) partition). Ties on the nearest distance keep the smallest
+    fitted id (deterministic, the repo-wide tie convention)."""
     import numpy as np
     import pandas as pd
 
-    from bubbles.kernels.hdbscan_kernel import ROW_DISTANCES
-
-    dist_rows = ROW_DISTANCES[metric]
-
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, mat, labels, core, birth, death = bc.value
+        m, dim = mat.shape
+        blk = max(1, min(4096, _BLOCK_TARGET_BYTES // max(1, m * dim * 8)))
+        big_id = np.iinfo(np.int64).max
         for pdf in batches:
             n = len(pdf)
             if n == 0:
@@ -79,35 +130,44 @@ def _make_predict_kernel(bc, min_pts: int, metric: str):
             out_strength = np.zeros(n, dtype=np.float64)
             out_nearest = np.full(n, -1, dtype=np.int64)
             out_dmr = np.full(n, np.inf, dtype=np.float64)
-            for i in range(n):
-                d = dist_rows(mat, X[i])
-                # nearest fitted point; distance ties keep smallest id
-                j = np.lexsort((ids, d))[0]
-                out_nearest[i] = ids[j]
-                # core_x: (min_pts-1)-th smallest including a virtual
-                # self-0 — the fitted convention applied to x
+            for s in range(0, n, blk):
+                e = min(n, s + blk)
+                D = _block_distances(mat, X[s:e], metric)
+                rows = np.arange(e - s)
+                # nearest fitted point; exact distance ties keep the
+                # smallest id: mask the tie columns with their ids and
+                # argmin those (O(m), replaces a full per-row lexsort)
+                dmin = D.min(axis=1)
+                idsel = np.where(D == dmin[:, None], ids[None, :], big_id)
+                j = idsel.argmin(axis=1)
+                out_nearest[s:e] = ids[j]
+                # core_x: the (min_pts-1)-th nearest fitted neighbor —
+                # i.e. the min_pts-th smallest after prepending a
+                # virtual self-0 — so self-predicting a fitted point
+                # reproduces its fitted core distance
                 if min_pts <= 1:
-                    core_x = 0.0
-                elif min_pts - 1 <= d.shape[0]:
-                    core_x = float(np.partition(d, min_pts - 2)[min_pts - 2])
+                    core_x = np.zeros(e - s)
+                elif min_pts - 1 <= m:
+                    core_x = np.partition(D, min_pts - 2, axis=1)[
+                        :, min_pts - 2
+                    ]
                 else:
-                    core_x = float(d.max(initial=0.0))
-                d_mr = max(float(d[j]), float(core[j]), core_x)
-                out_dmr[i] = d_mr
-                lbl = int(labels[j])
-                if lbl == 0:
-                    continue  # nearest fitted point is noise
-                b, dth = float(birth[j]), float(death[j])
-                member = np.isnan(b) or d_mr <= b
-                if not member:
-                    continue
-                out_label[i] = lbl
-                if np.isnan(b) or np.isnan(dth) or b <= dth:
-                    out_strength[i] = 1.0
-                else:
-                    out_strength[i] = float(
-                        np.clip((b - d_mr) / (b - dth), 0.0, 1.0)
-                    )
+                    core_x = D.max(axis=1)
+                d_mr = np.maximum(np.maximum(D[rows, j], core[j]), core_x)
+                out_dmr[s:e] = d_mr
+                lbl = labels[j]
+                b, dth = birth[j], death[j]
+                # member iff the nearest fitted point is clustered and
+                # d_mr is inside the cluster's lifetime (NaN birth =
+                # always-member); noise (label 0) scores strength 0
+                member = (lbl != 0) & (np.isnan(b) | (d_mr <= b))
+                out_label[s:e] = np.where(member, lbl, 0)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    frac = np.clip((b - d_mr) / (b - dth), 0.0, 1.0)
+                full_strength = np.isnan(b) | np.isnan(dth) | (b <= dth)
+                out_strength[s:e] = np.where(
+                    member, np.where(full_strength, 1.0, frac), 0.0
+                )
             yield pd.DataFrame(
                 {
                     "point_id": pdf["point_id"].astype(np.int64),
@@ -146,6 +206,13 @@ def approximate_predict(
     the call raises — sample the fitted set per cluster instead (a
     stratified sample keeps every decision boundary; prediction
     against a sample is still approximate_predict, just coarser).
+
+    Broadcast lifetime: the reference broadcast cannot be destroyed
+    eagerly (the returned plan is lazy and may be a streaming source),
+    so it lives until the SparkContext ends. Callers that re-score in
+    a loop (notebooks, plan audits) can reclaim executor/driver memory
+    once a result is fully consumed via the handle attached to the
+    returned DataFrame: ``result._reference_broadcast.unpersist()``.
     """
     if metric not in ("euclidean", "manhattan", "chebyshev", "cosine", "pearson"):
         raise ValueError(f"unknown metric {metric!r}")
@@ -199,6 +266,10 @@ def approximate_predict(
         F.col("point_id").cast("long").alias("point_id"),
         F.col(features_col).cast("array<double>").alias("features"),
     )
-    return staged.mapInPandas(
+    out = staged.mapInPandas(
         _make_predict_kernel(bc, min_pts, metric), schema=_PREDICT_SCHEMA
     )
+    # expose the broadcast so long-lived sessions can unpersist it once
+    # the result is consumed (see the docstring's lifetime note)
+    out._reference_broadcast = bc
+    return out

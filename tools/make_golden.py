@@ -90,11 +90,14 @@ def predict_rule(
 ):
     """Independent numpy derivation of approximate_predict's membership
     rule (bubbles/plans/predict.py documents the semantics): nearest
-    fitted point (distance ties -> smallest id), core_x = (min_pts-1)-th
-    smallest fitted distance with a virtual self-0, d_mr = max of the
-    three, member iff d_mr <= birth_level of the neighbor's cluster,
-    strength = the position inside the cluster's [death, birth]
-    lifetime. Deliberately NOT imported from the engine."""
+    fitted point (distance ties -> smallest id), core_x = the
+    (min_pts-1)-th nearest fitted-neighbor distance (equivalently the
+    min_pts-th smallest after prepending a virtual self-0 — the rule
+    that makes self-predict reproduce the fitted core distance), d_mr
+    = max of the three, member iff d_mr <= birth_level of the
+    neighbor's cluster, strength = the position inside the cluster's
+    [death, birth] lifetime. Deliberately NOT imported from the
+    engine."""
     out_label = np.zeros(len(X_new), dtype=np.int64)
     out_strength = np.zeros(len(X_new), dtype=np.float64)
     out_nearest = np.zeros(len(X_new), dtype=np.int64)
