@@ -453,6 +453,8 @@ class MRHDBSCANModel:
     _membership = None  # contracted mode: DataFrame(point_id, rep_id, core)
     _levels_mode = "exact"  # "recursive": level matrix unavailable
     _spark = None
+    _fit_params = None  # {"min_pts", "metric"} — predict()'s defaults
+    _predict_reference = None  # persisted (features+label+core+levels)
 
     def hierarchy_levels(self, full: bool = False) -> DataFrame:
         """Per-level label matrix as rows (level_weight, point_id,
@@ -500,37 +502,75 @@ class MRHDBSCANModel:
 
     def predict(
         self,
-        fitted_points: DataFrame,
-        new_points: DataFrame,
-        min_pts: int = 4,
-        metric: str = "euclidean",
+        fitted_points: DataFrame | None = None,
+        new_points: DataFrame | None = None,
+        min_pts: int | None = None,
+        metric: str | None = None,
         **kwargs,
     ) -> DataFrame:
         """Out-of-sample cluster assignment (approximate_predict):
         label NEW points against this fitted clustering without
         refitting — works identically on a Structured Streaming
         ``new_points`` frame (single broadcast + mapInPandas, zero
-        shuffles). ``fitted_points`` re-supplies the fitted (point_id,
-        features) and ``min_pts``/``metric`` must match the fit; see
+        shuffles).
+
+        Call shapes:
+        * ``model.predict(fitted_points, new_points)`` — re-supply the
+          fitted (point_id, features) alongside the new ones.
+        * ``model.predict(new_points)`` — score against the model's
+          persisted prediction reference (``save(path,
+          fitted_points=...)`` + ``load``); no training data needed.
+
+        ``min_pts``/``metric`` default to the FIT's parameters (carried
+        on the model and persisted in the save meta); pass them only to
+        deliberately deviate. See
         bubbles.plans.predict.approximate_predict for the membership
         semantics and the reference-size contract."""
         from bubbles.plans.predict import approximate_predict
 
+        if new_points is None:
+            # single-frame shape: the one positional arg is the new
+            # points; the reference comes from the persisted sample
+            fitted_points, new_points = None, fitted_points
+        if new_points is None:
+            raise ValueError("predict needs a new_points DataFrame")
+        fp = self._fit_params or {}
         return approximate_predict(
-            self, fitted_points, new_points, min_pts=min_pts,
-            metric=metric, **kwargs,
+            self, fitted_points, new_points,
+            min_pts=fp.get("min_pts", 4) if min_pts is None else min_pts,
+            metric=fp.get("metric", "euclidean") if metric is None else metric,
+            **kwargs,
         )
 
     # ------------------------------------------------------------------
     _SAVE_RELATIONS = ("labels", "cluster_tree", "outlier_scores", "mst_edges")
 
-    def save(self, path: str) -> None:
+    def save(
+        self,
+        path: str,
+        fitted_points: DataFrame | None = None,
+        predict_rows_per_cluster: int = 20_000,
+        features_col: str = "features",
+    ) -> None:
         """Persist the model's four relations as parquet under
-        ``path`` plus a one-row JSON meta (n_iterations, levels mode).
-        Distributed writes — nothing is collected. The hierarchy
-        retention state (``hierarchy_levels``) is driver-side and NOT
-        persisted: a loaded model serves labels/tree/outliers/MST;
-        refit for the level matrix."""
+        ``path`` plus a one-row JSON meta (n_iterations, levels mode,
+        fit params). Distributed writes — nothing is collected. The
+        hierarchy retention state (``hierarchy_levels``) is driver-side
+        and NOT persisted: a loaded model serves labels/tree/outliers/
+        MST; refit for the level matrix.
+
+        ``fitted_points`` (point_id, features of the fitted data)
+        additionally persists a PREDICTION REFERENCE so the loaded
+        model can ``predict(new_points)`` with no training data on
+        hand: the features are joined with labels, core distances and
+        tree levels, then capped per cluster (noise included) to
+        ``predict_rows_per_cluster`` rows by a deterministic hash-
+        stride systematic sample — per-cluster stratification keeps
+        every decision boundary represented no matter how skewed the
+        cluster sizes are, and the stride rule (keep point_id where
+        xxhash64 % ceil(n_c/cap) == 0) needs one tiny per-label count
+        instead of a per-cluster sort window. Set
+        ``predict_rows_per_cluster=0`` to persist every fitted row."""
         import json
         import os
 
@@ -541,6 +581,47 @@ class MRHDBSCANModel:
         # first when any input file lives under the target
         norm = path.rstrip("/")
         cands = {norm, os.path.abspath(norm)}
+        # build the prediction reference BEFORE any overwrite: its plan
+        # joins labels/outlier_scores/cluster_tree, which the loop below
+        # may be about to rewrite in place
+        ref = None
+        if fitted_points is not None:
+            from bubbles.plans.predict import reference_frame
+
+            ref = reference_frame(self, fitted_points, features_col)
+            if predict_rows_per_cluster:
+                # bounded collect: one row per cluster label (+ noise)
+                counts = ref.groupBy("label").count().collect()
+                strides = [
+                    (
+                        int(r["label"]),
+                        max(1, -(-int(r["count"]) // predict_rows_per_cluster)),
+                    )
+                    for r in counts
+                ]
+                stride_map = spark.createDataFrame(
+                    strides, "label long, __stride long"
+                )
+                ref = (
+                    ref.join(F.broadcast(stride_map), on="label")
+                    .filter(
+                        F.pmod(F.xxhash64("point_id"), F.col("__stride")) == 0
+                    )
+                    .drop("__stride")
+                    .select(
+                        "point_id", "features", "label", "core_distance",
+                        "birth_level", "death_level",
+                    )
+                )
+            try:
+                ref_reads_target = any(
+                    norm in f or os.path.abspath(norm) in f
+                    for f in ref.inputFiles()
+                )
+            except Exception:
+                ref_reads_target = True
+            if ref_reads_target:
+                ref = ref.localCheckpoint()
         for name in self._SAVE_RELATIONS:
             rel = getattr(self, name)
             try:
@@ -552,10 +633,14 @@ class MRHDBSCANModel:
             if reads_target:
                 rel = rel.localCheckpoint()
             rel.write.mode("overwrite").parquet(f"{path}/{name}")
+        if ref is not None:
+            ref.write.mode("overwrite").parquet(f"{path}/predict_reference")
         meta = {
             "n_iterations": int(self.n_iterations),
             "levels_mode": self._levels_mode,
-            "format_version": 1,
+            "fit_params": self._fit_params,
+            "predict_reference": ref is not None,
+            "format_version": 2,
         }
         (
             spark.createDataFrame([(json.dumps(meta),)], "meta string")
@@ -587,6 +672,11 @@ class MRHDBSCANModel:
         )
         model._levels_mode = meta.get("levels_mode", "exact")
         model._spark = spark
+        model._fit_params = meta.get("fit_params")
+        if meta.get("predict_reference"):
+            model._predict_reference = spark.read.parquet(
+                f"{path}/predict_reference"
+            )
         reason = (
             "it was fitted under recursive contraction"
             if model._levels_mode == "recursive"
@@ -1156,6 +1246,7 @@ class MRHDBSCAN:
                 n_iterations=iteration,
             )
             model._spark = spark
+            model._fit_params = {"min_pts": self.min_pts, "metric": self.distance}
             return model
         leaf_edges = leaf_parts[0]
         for e in leaf_parts[1:]:
@@ -1288,6 +1379,7 @@ class MRHDBSCAN:
         )
         model._hier = (res, verts)
         model._spark = spark
+        model._fit_params = {"min_pts": self.min_pts, "metric": self.distance}
         return model
 
     # ------------------------------------------------------------------
@@ -1500,6 +1592,7 @@ class MRHDBSCAN:
         model._hier = (res, verts)
         model._membership = membership
         model._spark = spark
+        model._fit_params = {"min_pts": self.min_pts, "metric": self.distance}
         return model
 
     # ------------------------------------------------------------------
@@ -1787,6 +1880,7 @@ class MRHDBSCAN:
         ).select("point_id", F.col("rep2").alias("rep_id"), "core_distance")
         model._levels_mode = "recursive"
         model._spark = spark
+        model._fit_params = {"min_pts": self.min_pts, "metric": self.distance}
         return model
 
 

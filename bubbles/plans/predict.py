@@ -181,9 +181,33 @@ def _make_predict_kernel(bc, min_pts: int, metric: str):
     return kernel
 
 
+def reference_frame(
+    model, fitted_points: DataFrame, features_col: str = "features"
+) -> DataFrame:
+    """Join the fitted features with everything the membership rule
+    needs: (point_id, features, label, core_distance, birth_level,
+    death_level). Distributed — this is also what
+    ``MRHDBSCANModel.save`` persists (sampled) as the model's
+    prediction reference."""
+    tree = model.cluster_tree.select("label", "birth_level", "death_level")
+    return (
+        fitted_points.select("point_id", F.col(features_col).alias("features"))
+        .join(model.labels, on="point_id")
+        .join(
+            model.outlier_scores.select("point_id", "core_distance"),
+            on="point_id",
+        )
+        .join(tree, on="label", how="left")  # noise has no tree row
+        .select(
+            "point_id", "features", "label", "core_distance",
+            "birth_level", "death_level",
+        )
+    )
+
+
 def approximate_predict(
     model,
-    fitted_points: DataFrame,
+    fitted_points: DataFrame | None,
     new_points: DataFrame,
     min_pts: int = 4,
     metric: str = "euclidean",
@@ -195,11 +219,12 @@ def approximate_predict(
     membership semantics.
 
     ``fitted_points`` must be (point_id, features) of the data the
-    model was fitted on (or a sample of it; see below) and ``min_pts``
-    / ``metric`` must match the fit's parameters — the model relations
-    carry neither vectors nor hyper-parameters, so the caller
-    re-supplies them (same contract as scikit-style transformers that
-    require X at predict time for neighbor searches).
+    model was fitted on (or a sample of it; see below), and ``min_pts``
+    / ``metric`` must match the fit's parameters. Pass
+    ``fitted_points=None`` to score against the model's PERSISTED
+    prediction reference instead (``MRHDBSCANModel.save(...,
+    fitted_points=...)`` + ``load`` — the deploy-a-model workflow:
+    fit offline, save, predict online with no training data on hand).
 
     Scale contract: the joined reference (features + label + core +
     tree levels) is a single broadcast. Past ``max_reference_rows``
@@ -220,20 +245,16 @@ def approximate_predict(
 
     spark = new_points.sparkSession
 
-    tree = model.cluster_tree.select("label", "birth_level", "death_level")
-    ref = (
-        fitted_points.select("point_id", F.col(features_col).alias("features"))
-        .join(model.labels, on="point_id")
-        .join(
-            model.outlier_scores.select("point_id", "core_distance"),
-            on="point_id",
-        )
-        .join(tree, on="label", how="left")  # noise has no tree row
-        .select(
-            "point_id", "features", "label", "core_distance",
-            "birth_level", "death_level",
-        )
-    )
+    if fitted_points is None:
+        ref = getattr(model, "_predict_reference", None)
+        if ref is None:
+            raise ValueError(
+                "no prediction reference: pass fitted_points, or persist "
+                "one with MRHDBSCANModel.save(path, fitted_points=...) "
+                "and load the model from there"
+            )
+    else:
+        ref = reference_frame(model, fitted_points, features_col)
     rows = ref.limit(max_reference_rows + 1).collect()
     if len(rows) > max_reference_rows:
         raise ValueError(

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from bubbles.plans.mrhdbscan import MRHDBSCAN
 from bubbles.plans.predict import approximate_predict
@@ -164,6 +165,79 @@ def test_predict_stream_equals_batch(spark, fitted, tmp_path):
         )
     )
     assert streamed == batch
+
+
+def test_predict_from_saved_reference(spark, fitted, tmp_path):
+    """save(fitted_points=...) -> load -> predict with NO training data
+    reproduces predict-with-full-reference exactly (uncapped sample),
+    using the fit's own min_pts/metric from the persisted meta."""
+    from bubbles.plans.mrhdbscan import MRHDBSCANModel
+
+    X, df, model = fitted
+    rng = np.random.default_rng(17)
+    New = np.vstack(
+        [X[:40] + rng.normal(scale=0.2, size=(40, 2)),
+         rng.uniform(-12, 18, size=(12, 2))]
+    )
+    new_df = to_df(spark, New, ids=np.arange(len(New)))
+    want = _collect_pred(
+        approximate_predict(model, df, new_df, min_pts=PARAMS["min_pts"])
+    )
+
+    path = str(tmp_path / "model")
+    model.save(path, fitted_points=df, predict_rows_per_cluster=0)
+    with pytest.warns(UserWarning, match="NOT hierarchy_levels"):
+        loaded = MRHDBSCANModel.load(spark, path)
+    assert loaded._fit_params == {
+        "min_pts": PARAMS["min_pts"], "metric": "euclidean"
+    }
+    # model-only call shape: one positional frame = the new points
+    got = _collect_pred(loaded.predict(new_df))
+    assert got == want
+
+
+def test_predict_saved_reference_stratified_cap(spark, fitted, tmp_path):
+    """A small per-cluster cap persists a bounded reference that still
+    covers every cluster (stratified), and prediction stays sane."""
+    from bubbles.plans.mrhdbscan import MRHDBSCANModel
+
+    X, df, model = fitted
+    path = str(tmp_path / "model_capped")
+    cap = 12
+    model.save(path, fitted_points=df, predict_rows_per_cluster=cap)
+    with pytest.warns(UserWarning):
+        loaded = MRHDBSCANModel.load(spark, path)
+    per_label = {
+        int(r["label"]): int(r["n"])
+        for r in loaded._predict_reference.groupBy("label")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    fit_labels = {
+        int(r["label"]) for r in model.labels.select("label").distinct().collect()
+    }
+    # stratified: every fitted label (incl. noise) keeps representatives
+    assert set(per_label) == fit_labels
+    # hash-stride sampling is approximate; bound it loosely
+    assert all(1 <= n <= 3 * cap for n in per_label.values())
+    # prediction against the sample: far points are still noise
+    far = to_df(spark, X[:20] + 500.0, ids=np.arange(20))
+    pred = _collect_pred(loaded.predict(far))
+    assert all(lbl == 0 for lbl, _, _, _ in pred.values())
+
+
+def test_predict_without_reference_raises(spark, fitted, tmp_path):
+    from bubbles.plans.mrhdbscan import MRHDBSCANModel
+
+    X, df, model = fitted
+    path = str(tmp_path / "model_noref")
+    model.save(path)
+    with pytest.warns(UserWarning):
+        loaded = MRHDBSCANModel.load(spark, path)
+    with pytest.raises(ValueError, match="no prediction reference"):
+        loaded.predict(df)
+    with pytest.raises(ValueError, match="new_points"):
+        loaded.predict()
 
 
 def test_predict_reference_cap_and_metric(spark, fitted):
