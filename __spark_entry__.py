@@ -737,6 +737,39 @@ def cluster_predict(spark, sf_dir):
     )
 
 
+def cluster_predict_distributed(spark, sf_dir):
+    """Round 9: the DISTRIBUTED predict path (reference through the
+    IVF index + exact column-expression re-rank, never broadcast or
+    collected) on the same fit/new split as cluster_predict. Every
+    centroid is probed, so the candidate set is the full reference and
+    the result must equal the broadcast kernel's — certified against
+    the SAME golden artifact (bubbles/plans/predict.py
+    _predict_via_index; the euclidean→cosine MIPS reduction makes the
+    index ranking metric-exact)."""
+    from bubbles import MRHDBSCAN
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    pts = emb.select(
+        F.col("vec_id").alias("point_id"),
+        F.col("embedding").cast("array<double>").alias("features"),
+    )
+    train = pts.filter(F.col("point_id") < 400)
+    new = pts.filter(F.col("point_id") >= 400)
+    model = MRHDBSCAN(
+        min_pts=4, min_cluster_size=10, max_local_size=2000, dim=64
+    ).fit(train)
+    pred = model.predict(
+        train, new, min_pts=4, index="ivf",
+        index_kwargs={"n_centroids": 16, "n_probe": 16},
+    )
+    return pred.select(
+        "point_id",
+        "label",
+        F.round("strength", 6).alias("strength"),
+        "nearest_fitted_id",
+    )
+
+
 def multimodal_decode_fake(spark, sf_dir):
     from bubbles.operators.multimodal import decode_media
 
@@ -1036,6 +1069,7 @@ def _catalog_queries_a() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": _widen(multimodal_meta_q),
         "cluster_embeddings": _widen(cluster_embeddings),
         "cluster_predict": _widen(cluster_predict),
+        "cluster_predict_distributed": _widen(cluster_predict_distributed),
         "multimodal_decode_fake": _widen(multimodal_decode_fake),
         "lsh_ann_topk": _widen(lsh_ann_topk),
         "ivf_ann_topk": _widen(ivf_ann_topk),
@@ -2935,6 +2969,19 @@ def _catalog_sql_a() -> dict[str, str]:
             FROM read_parquet('/root/repo/tests/golden/cluster_predict.parquet') g, fp
             WHERE g.input_fp = fp.v
         """,
+        # round-9 distributed predict: full-probe IVF candidates = the
+        # whole reference, so the index path must reproduce the exact
+        # broadcast kernel — same golden artifact, same fingerprint
+        "cluster_predict_distributed": """
+            WITH fp AS (
+              SELECT count(*) + 31 * sum(vec_id)
+                     + 131 * sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)) AS v
+              FROM embeddings WHERE vec_id < 500
+            )
+            SELECT g.point_id, g.label, g.strength, g.nearest_fitted_id
+            FROM read_parquet('/root/repo/tests/golden/cluster_predict.parquet') g, fp
+            WHERE g.input_fp = fp.v
+        """,
     }
 
 
@@ -4317,79 +4364,75 @@ def all_oracle_sql() -> dict[str, str]:
 # twin-robustness, bench.py and plan_audit — just without an official
 # CORRECTNESS row that round). Rotating coverage = editing GATE_KEYS.
 #
-# Round-8 rotation (VERDICT r7 task 1): the last 7 queries the judge
-# lists as never officially certified rotate in first — rollup_revenue,
-# pivot_revenue, repetition_profile_long, events_windowed,
-# events_sessionize, plus the round-7 additions stream_near_dup and
-# lsh_multiprobe_topk. The rest of the window is backfilled with
-# long-certified stalwarts (green rows in rounds 3-6): the full
-# reference-core operator set (q1/a*/j*/p*/w*/x*/f* + GLOSH + local
-# models), the dedup family, the ANN trio, the text-analysis family,
-# and the streaming parity twins. After this round every catalog
-# query has had an official green CORRECTNESS row in some round.
+# Round-9 rotation (VERDICT r8 task 5): every catalog query now has an
+# official green row SOMEWHERE, but 53 were last certified on round-7
+# code — rotate exactly those into the window so the whole catalog is
+# re-certified on post-predict/post-multiprobe code, plus the one NEW
+# round-9 query (cluster_predict_distributed) first. 54 keys > the
+# ~50-row window, so the 3 with the heaviest independent coverage
+# (plan-audited curriculum_buckets, golden-pinned clustering_ari,
+# pytest-differential leakage_safe_split) sit LAST and are the only
+# ones a truncation can drop — re-gate them in round 10.
 # ---------------------------------------------------------------------------
 
 GATE_KEYS: list[str] = [
-    # never-certified queries — the round-8 rotation targets, first so
-    # they land inside the gate window even if the driver truncates
-    "rollup_revenue",
-    "pivot_revenue",
-    "repetition_profile_long",
-    "events_windowed",
-    "events_sessionize",
-    "stream_near_dup",
-    "lsh_multiprobe_topk",
-    # stalwarts: reference-core operators (certified rounds 3-6)
-    "q1_pricing_summary",
-    "a1_subset_sizes",
-    "a2_bubble_stats",
-    "a4_adjacency_list",
-    "a5_max_edge_per_key",
-    "j1_nearest_rep",
-    "j2_model_lookup",
-    "p6_semi_join",
-    "p7_anti_join",
-    "w1_topk_per_group",
-    "w5_sample_ordinals",
-    "x1_systematic_sample",
-    "p2_p3_key_filters",
-    "j5_knn_join",
-    "glosh_outliers",
-    "x6_connected_components",
-    "f_distances",
-    "cluster_embeddings",
-    # stalwarts: dedup family
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_near_groups",
-    "dedup_simhash",
-    "ngram_jaccard",
-    "incremental_dedup",
-    "dedup_embedding",
-    "decontaminate",
-    # stalwarts: similarity search
-    "ann_cosine_topk",
-    "lsh_ann_topk",
-    "ivf_ann_topk",
-    # stalwarts: text analysis
-    "text_profile",
-    "langid_confusion",
-    "repetition_profile",
-    "pii_scrub",
-    "doc_fingerprint",
-    "keyword_search",
-    "corpus_vocab",
-    # stalwarts: events / multimodal / splits / streaming
-    "events_asof_join",
-    "multimodal_meta",
-    "multimodal_decode_fake",
-    "dataset_split",
-    "pack_sequences",
-    "stream_stateful_totals",
-    # round-8 addition, LAST on purpose: if the driver truncates the
-    # window at 49 rows only this (re-gateable next round) falls out,
-    # never the 7 rotation targets above
-    "cluster_predict",
+    # new this round — certify the distributed predict path
+    "cluster_predict_distributed",
+    # last certified round 6 or earlier, on round-7 code — the rotation
+    "corpus_language_rollup",
+    "events_json_k",
+    "pipeline_clean_corpus",
+    "stream_dedup_events",
+    "stream_attribution_join",
+    "stream_windowed_counts",
+    "stream_session_windows",
+    "frame_sample_real",
+    "source_quota",
+    "corpus_length_quantiles",
+    "weighted_mixture",
+    "token_budget",
+    "bloom_incremental_dedup",
+    "lm_score",
+    "semantic_dedup",
+    "kmeans_fit",
+    "dsir_weights",
+    "funnel_counts",
+    "cohort_retention",
+    "pagerank",
+    "triangle_count",
+    "active_users",
+    "segment_dedup",
+    "profile_table",
+    "kmv_distinct",
+    "kmv_overlap",
+    "zorder_key",
+    "sampled_quantiles",
+    "key_skew_profile",
+    "scd2_dimension_join",
+    "grouping_sets_revenue",
+    "dedup_keep_best",
+    "join_cardinality",
+    "compaction_plan",
+    "chunk_documents",
+    "merge_upsert",
+    "salted_join",
+    "pipeline_rag_index",
+    "url_canonical",
+    "privacy_release",
+    "value_histogram",
+    "inverted_index",
+    "substring_dedup",
+    "quantize_embeddings",
+    "resample_ffill",
+    "collocations",
+    "corpus_diff",
+    "stream_static_enrich",
+    "stream_anomaly",
+    "stream_kmv_distinct",
+    # heaviest independent coverage — the only droppable tail
+    "leakage_safe_split",
+    "curriculum_buckets",
+    "clustering_ari",
 ]
 
 

@@ -762,6 +762,40 @@ def hierarchy_levels(
     return out
 
 
+def labels_at_level(
+    result: HierarchyResult, W: float, apply_noise: bool = True
+) -> np.ndarray:
+    """Single-level variant of ``hierarchy_levels``' per-point rule
+    (identical semantics, arbitrary W): label = deepest chain cluster
+    with birth >= W > death (root active everywhere), noise (0) once
+    noise_level(p) > W. O(n · chain depth), no n×levels matrix — this
+    is what makes a dendrogram cut answerable at scales where the full
+    matrix writer refuses.
+
+    ``apply_noise=False`` skips the vertex's own noise gate and
+    returns the pure chain label: callers that track a FINER noise
+    level per member (a coalesced chunk's members carry exact detach
+    weights below the chunk vertex's reduced-graph noise level) gate
+    externally with that, and take the chain label for the window
+    where the member outlives its chunk vertex."""
+    clusters = result.clusters
+    n = len(result.last_cluster)
+    parent_of = {lbl: c.parent for lbl, c in clusters.items()}
+    birth_of = {lbl: c.birth for lbl, c in clusters.items()}
+    labels = np.zeros(n, dtype=np.int64)
+    for p in range(n):
+        if apply_noise and result.noise_level[p] > W:
+            continue
+        lbl = int(result.last_cluster[p])
+        while lbl != 0:
+            b = birth_of[lbl]
+            if lbl == 1 or (not np.isnan(b) and b >= W):
+                labels[p] = lbl
+                break
+            lbl = parent_of[lbl]
+    return labels
+
+
 # ---------------------------------------------------------------------------
 # One-call exact pipeline (the applyInPandas leaf kernel and the test
 # oracle): X -> labels, tree, scores, mst.

@@ -455,6 +455,8 @@ class MRHDBSCANModel:
     _spark = None
     _fit_params = None  # {"min_pts", "metric"} — predict()'s defaults
     _predict_reference = None  # persisted (features+label+core+levels)
+    _membership_l1 = None  # recursive mode: point -> level-1 rep
+    _l2 = None  # recursive mode: (rep_id, rep2, detach)
 
     def hierarchy_levels(self, full: bool = False) -> DataFrame:
         """Per-level label matrix as rows (level_weight, point_id,
@@ -479,7 +481,8 @@ class MRHDBSCANModel:
             # point scales where the recursive path engages anyway.
             raise ValueError(
                 "hierarchy_levels is unavailable under recursive "
-                "contraction; refit with "
+                "contraction; use hierarchy_at(eps) for a single "
+                "dendrogram cut, or refit with "
                 "MRHDBSCAN(recursive_contraction=False) for the "
                 "level-matrix writer"
             )
@@ -499,6 +502,77 @@ class MRHDBSCANModel:
         return self._membership.join(
             F.broadcast(rep_levels), on="rep_id"
         ).select("level_weight", "point_id", "label")
+
+    def hierarchy_at(self, eps: float) -> DataFrame:
+        """Per-point labels at ONE dendrogram level (distance ``eps``)
+        — the "cut the dendrogram at ε" query, WITHOUT the n×levels
+        matrix, and therefore available under recursive contraction
+        where ``hierarchy_levels`` refuses (round 9). Returns
+        (level_weight, point_id, label); label semantics are exactly
+        one row of the level writer: deepest chain cluster with
+        birth ≥ eps > death (root active everywhere), noise (0) once
+        the point's detach level exceeds eps.
+
+        Recursive mode replays the level from the durable pieces: a
+        level-1 representative's noise gate is its EXACT detach weight
+        (contract_kernel v2 carries it; a member can outlive its chunk
+        vertex's reduced-graph noise transition, so the chunk's own
+        noise level must NOT gate it — NaN detach inherits the chunk
+        gate); while clustered, its label is the chunk's deepest chain
+        cluster active at eps (the pure chain rule, noise gate
+        skipped); points share their level-1 representative's
+        trajectory exactly (v1 contraction purity contract).
+        Differential-tested against the non-recursive level matrix."""
+        if self._hier is None:
+            raise ValueError("hierarchy retention disabled")
+        import pyarrow as pa
+
+        res, verts = self._hier
+        w = F.lit(float(eps)).alias("level_weight")
+        if self._levels_mode == "recursive":
+            labs = hk.labels_at_level(res, float(eps), apply_noise=False)
+            rep_df = self._spark.createDataFrame(
+                pa.table(
+                    {
+                        "rep2": pa.array(np.asarray(verts, np.int64), pa.int64()),
+                        "label": pa.array(labs.astype(np.int64), pa.int64()),
+                        "__nl": pa.array(
+                            np.asarray(res.noise_level, np.float64),
+                            pa.float64(),
+                        ),
+                    }
+                )
+            )
+            gate = F.when(
+                F.col("detach").isNull() | F.isnan("detach"), F.col("__nl")
+            ).otherwise(F.col("detach"))
+            rep1 = self._l2.join(F.broadcast(rep_df), on="rep2").select(
+                "rep_id",
+                F.when(gate > F.lit(float(eps)), F.lit(0))
+                .otherwise(F.col("label"))
+                .alias("label"),
+            )
+            # rep1 is O(level-1 retained) — can be millions; plain
+            # equi-join, AQE picks the strategy
+            return self._membership_l1.join(rep1, on="rep_id").select(
+                w, "point_id", "label"
+            )
+        labs = hk.labels_at_level(res, float(eps))
+        rep_df = self._spark.createDataFrame(
+            pa.table(
+                {
+                    "rep_id": pa.array(np.asarray(verts, np.int64), pa.int64()),
+                    "label": pa.array(labs.astype(np.int64), pa.int64()),
+                }
+            )
+        )
+        if self._membership is None:
+            return rep_df.select(
+                w, F.col("rep_id").alias("point_id"), "label"
+            )
+        return self._membership.join(F.broadcast(rep_df), on="rep_id").select(
+            w, "point_id", "label"
+        )
 
     def predict(
         self,
@@ -1878,6 +1952,11 @@ class MRHDBSCAN:
         model._membership = membership.join(
             m2.select("rep_id", "rep2"), on="rep_id"
         ).select("point_id", F.col("rep2").alias("rep_id"), "core_distance")
+        # the two durable pieces hierarchy_at(eps) replays a single
+        # level from: point -> level-1 rep (exact trajectory sharing)
+        # and level-1 rep -> (level-2 chunk, exact detach weight)
+        model._membership_l1 = membership
+        model._l2 = m2.select("rep_id", "rep2", "detach")
         model._levels_mode = "recursive"
         model._spark = spark
         model._fit_params = {"min_pts": self.min_pts, "metric": self.distance}

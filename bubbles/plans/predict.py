@@ -57,68 +57,34 @@ _PREDICT_SCHEMA = (
 )
 
 
-# diff-tensor budget per distance block: the blocked metrics build a
-# (block × reference × dim) intermediate, so the block width adapts to
-# the reference size (4096 new rows at a 1.5k×2 reference; a handful at
-# a 500k×64 one — each row still vectorized over the full reference)
-_BLOCK_TARGET_BYTES = 1 << 29
-
-
-def _block_distances(mat, Xblk, metric: str):
-    """(block × reference) distance matrix. Element-for-element the
-    same operations (and reduction axis) as the per-row numpy twins in
-    ``bubbles.kernels.hdbscan_kernel.ROW_DISTANCES``, batched over the
-    block axis — the subtract-based metrics are bit-identical to the
-    per-row path (no ||a||²-2ab+||b||² shortcut, which loses precision
-    exactly where it matters: a fitted point's own distance must be an
-    exact 0 for the self-predict tie rule)."""
-    import numpy as np
-
-    if metric == "euclidean":
-        d = Xblk[:, None, :] - mat[None, :, :]
-        return np.sqrt(np.einsum("bmj,bmj->bm", d, d))
-    if metric == "manhattan":
-        return np.abs(Xblk[:, None, :] - mat[None, :, :]).sum(axis=2)
-    if metric == "chebyshev":
-        return np.abs(Xblk[:, None, :] - mat[None, :, :]).max(axis=2)
-    if metric == "cosine":
-        num = Xblk @ mat.T
-        den = (
-            np.sqrt(np.einsum("bj,bj->b", Xblk, Xblk))[:, None]
-            * np.sqrt(np.einsum("mj,mj->m", mat, mat))[None, :]
-        )
-        with np.errstate(divide="ignore", invalid="ignore"):
-            out = 1.0 - num / den
-        return np.where(den == 0, 1.0, out)
-    if metric == "pearson":
-        Xc = Xblk - Xblk.mean(axis=1, keepdims=True)
-        Mc = mat - mat.mean(axis=1, keepdims=True)
-        num = Xc @ Mc.T
-        den = (
-            np.sqrt(np.einsum("bj,bj->b", Xc, Xc))[:, None]
-            * np.sqrt(np.einsum("mj,mj->m", Mc, Mc))[None, :]
-        )
-        with np.errstate(divide="ignore", invalid="ignore"):
-            out = 1.0 - num / den
-        return np.where(den == 0, 1.0, out)
-    raise ValueError(f"unknown metric {metric!r}")
-
-
 def _make_predict_kernel(bc, min_pts: int, metric: str):
-    """Arrow kernel: chunked block-distance kNN against the broadcast
-    reference + the membership rule above — no per-row Python loop
-    (one numpy pass per ≤4k-row block) and no sort on the reference
-    axis (nearest + tie-break is an O(m) masked argmin; core_x is an
-    O(m) partition). Ties on the nearest distance keep the smallest
-    fitted id (deterministic, the repo-wide tie convention)."""
+    """Arrow kernel: per-row kNN against the broadcast reference + the
+    membership rule above. Ties on the nearest distance keep the
+    smallest fitted id (deterministic, the repo-wide tie convention) —
+    selected by an O(m) min + masked argmin, NOT a full lexsort of the
+    reference axis (the old O(m log m) sort dominated per-row cost at
+    the 500k-row cap).
+
+    Why per-row and not a (block × reference) distance matrix: the
+    reference matrix is small enough to stay cache-resident (500k × 64
+    doubles = 256 MB worst-case, 1.6 MB at the bench shapes), so the
+    row pass streams it at LLC speed; a blocked 3D diff tensor
+    (block·m·dim doubles) spills to DRAM and measured 2–12× SLOWER at
+    every tested shape on this class of host (50k×4: 721 µs/row
+    per-row vs 1.7–8.5 ms/row blocked; see SCALEBENCH
+    predict_broadcast for the shipping per-point cost). The
+    ||a||²-2ab+||b||² GEMM shortcut is faster still but loses the
+    exact 0 self-distance the tie rule and the pinned goldens rely
+    on."""
     import numpy as np
     import pandas as pd
 
+    from bubbles.kernels.hdbscan_kernel import ROW_DISTANCES
+
+    dist_rows = ROW_DISTANCES[metric]
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, mat, labels, core, birth, death = bc.value
-        m, dim = mat.shape
-        blk = max(1, min(4096, _BLOCK_TARGET_BYTES // max(1, m * dim * 8)))
-        big_id = np.iinfo(np.int64).max
         for pdf in batches:
             n = len(pdf)
             if n == 0:
@@ -130,44 +96,39 @@ def _make_predict_kernel(bc, min_pts: int, metric: str):
             out_strength = np.zeros(n, dtype=np.float64)
             out_nearest = np.full(n, -1, dtype=np.int64)
             out_dmr = np.full(n, np.inf, dtype=np.float64)
-            for s in range(0, n, blk):
-                e = min(n, s + blk)
-                D = _block_distances(mat, X[s:e], metric)
-                rows = np.arange(e - s)
+            for i in range(n):
+                d = dist_rows(mat, X[i])
                 # nearest fitted point; exact distance ties keep the
-                # smallest id: mask the tie columns with their ids and
-                # argmin those (O(m), replaces a full per-row lexsort)
-                dmin = D.min(axis=1)
-                idsel = np.where(D == dmin[:, None], ids[None, :], big_id)
-                j = idsel.argmin(axis=1)
-                out_nearest[s:e] = ids[j]
+                # smallest id — O(m) scan, no sort
+                cand = np.flatnonzero(d == d.min())
+                j = cand[0] if cand.size == 1 else cand[ids[cand].argmin()]
+                out_nearest[i] = ids[j]
                 # core_x: the (min_pts-1)-th nearest fitted neighbor —
                 # i.e. the min_pts-th smallest after prepending a
                 # virtual self-0 — so self-predicting a fitted point
                 # reproduces its fitted core distance
                 if min_pts <= 1:
-                    core_x = np.zeros(e - s)
-                elif min_pts - 1 <= m:
-                    core_x = np.partition(D, min_pts - 2, axis=1)[
-                        :, min_pts - 2
-                    ]
+                    core_x = 0.0
+                elif min_pts - 1 <= d.shape[0]:
+                    core_x = float(np.partition(d, min_pts - 2)[min_pts - 2])
                 else:
-                    core_x = D.max(axis=1)
-                d_mr = np.maximum(np.maximum(D[rows, j], core[j]), core_x)
-                out_dmr[s:e] = d_mr
-                lbl = labels[j]
-                b, dth = birth[j], death[j]
-                # member iff the nearest fitted point is clustered and
-                # d_mr is inside the cluster's lifetime (NaN birth =
-                # always-member); noise (label 0) scores strength 0
-                member = (lbl != 0) & (np.isnan(b) | (d_mr <= b))
-                out_label[s:e] = np.where(member, lbl, 0)
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    frac = np.clip((b - d_mr) / (b - dth), 0.0, 1.0)
-                full_strength = np.isnan(b) | np.isnan(dth) | (b <= dth)
-                out_strength[s:e] = np.where(
-                    member, np.where(full_strength, 1.0, frac), 0.0
-                )
+                    core_x = float(d.max(initial=0.0))
+                d_mr = max(float(d[j]), float(core[j]), core_x)
+                out_dmr[i] = d_mr
+                lbl = int(labels[j])
+                if lbl == 0:
+                    continue  # nearest fitted point is noise
+                b, dth = float(birth[j]), float(death[j])
+                member = np.isnan(b) or d_mr <= b
+                if not member:
+                    continue
+                out_label[i] = lbl
+                if np.isnan(b) or np.isnan(dth) or b <= dth:
+                    out_strength[i] = 1.0
+                else:
+                    out_strength[i] = float(
+                        np.clip((b - d_mr) / (b - dth), 0.0, 1.0)
+                    )
             yield pd.DataFrame(
                 {
                     "point_id": pdf["point_id"].astype(np.int64),
@@ -205,6 +166,191 @@ def reference_frame(
     )
 
 
+def _predict_via_index(
+    model,
+    ref: DataFrame,
+    new_points: DataFrame,
+    min_pts: int,
+    metric: str,
+    index: str,
+    features_col: str,
+    index_kwargs: dict | None,
+) -> DataFrame:
+    """Distributed predict past the broadcast cap: find each new
+    point's nearest fitted points through the existing ANN index path
+    (``ivf_topk``/``lsh_topk`` with ``queries=``), exact-verify the
+    candidates with the column-expression metric, and apply the
+    membership rule JVM-side. The reference is NEVER broadcast or
+    collected — only the index's own bounded state is (IVF centroids).
+
+    Metric support: ``cosine`` indexes the vectors directly;
+    ``euclidean`` uses the exact MIPS reduction (Bachrach et al.,
+    RecSys 2014; Neyshabur & Srebro, ICML 2015): corpus rows become
+    ``[x, -|x|²/2, pad]`` with ``pad`` chosen so every augmented row
+    has the same norm, queries become ``[q, 1, 0]`` — the augmented
+    COSINE ranking then equals the euclidean ranking exactly, so the
+    index's candidate ordering is metric-true and the exact re-rank
+    only refines within the recalled set.
+
+    Approximation contract vs the broadcast path: (a) the nearest
+    fitted point is the nearest RECALLED candidate (index recall < 1
+    can miss it), (b) core_x is the (min_pts-1)-th smallest CANDIDATE
+    distance — an upper bound on the true core_x, so misses only push
+    predictions toward noise, never into a wrong cluster at a stronger
+    grade, and (c) a query whose every probed bucket was capped away
+    gets (label 0, strength 0, nearest -1, mr_dist inf). Batch-only
+    (the index builds run count/repartition/window jobs); stream
+    scoring stays on the broadcast path."""
+    import math
+
+    from bubbles.functions.distances import distance_expr, dot as _dot
+    from bubbles.operators.similarity import ivf_topk, lsh_topk
+
+    if new_points.isStreaming:
+        raise ValueError(
+            "index-path predict is batch-only; score streams through "
+            "the broadcast path (sample the reference below "
+            "max_reference_rows, e.g. save(..., fitted_points=...) "
+            "with a per-cluster cap)"
+        )
+    ref = ref.localCheckpoint()
+    n_ref = ref.count()
+    staged = new_points.select(
+        F.col("point_id").cast("long").alias("point_id"),
+        F.col(features_col).cast("array<double>").alias("features"),
+    )
+    # the index treats equal ids on both sides as the same item and
+    # excludes them — shift the query ids into a disjoint range
+    ref_max = ref.agg(F.max("point_id")).first()[0]
+    q_min = staged.agg(F.min("point_id")).first()[0]
+    if q_min is None:
+        return staged.sparkSession.createDataFrame([], _PREDICT_SCHEMA)
+    offset = max(0, int(ref_max) - int(q_min) + 1)
+    if metric == "cosine":
+        corpus = ref.select("point_id", F.col("features").alias("__ivec"))
+        queries = staged.select(
+            (F.col("point_id") + offset).alias("point_id"),
+            F.col("features").alias("__ivec"),
+        )
+    else:  # euclidean (validated by the caller)
+        n2 = _dot(F.col("features"), F.col("features"))
+        aug_norm2 = n2 + n2 * n2 / F.lit(4.0)
+        m2 = ref.select(F.max(aug_norm2).alias("m2")).first()["m2"] or 0.0
+        pad = F.sqrt(F.greatest(F.lit(float(m2)) - aug_norm2, F.lit(0.0)))
+        corpus = ref.select(
+            "point_id",
+            F.concat(
+                F.col("features"), F.array(n2 * F.lit(-0.5), pad)
+            ).alias("__ivec"),
+        )
+        queries = staged.select(
+            (F.col("point_id") + offset).alias("point_id"),
+            F.concat(
+                F.col("features"), F.array(F.lit(1.0), F.lit(0.0))
+            ).alias("__ivec"),
+        )
+    kw = dict(index_kwargs or {})
+    k_cand = int(kw.pop("k", max(min_pts - 1, 8)))
+    if index == "ivf":
+        kw.setdefault(
+            "n_centroids",
+            max(16, int(math.sqrt(max(n_ref, 1) / 200)) ** 2),
+        )
+        kw.setdefault("n_probe", 8)
+        cand = ivf_topk(
+            corpus, k=k_cand, id_col="point_id", vec_col="__ivec",
+            n_rows=n_ref, queries=queries, **kw,
+        )
+    elif index == "lsh":
+        kw.setdefault("tables", 3)
+        kw.setdefault("n_probes", 8)
+        cand = lsh_topk(
+            corpus, k=k_cand, id_col="point_id", vec_col="__ivec",
+            queries=queries, **kw,
+        )
+    else:
+        raise ValueError(f"unknown index {index!r}; 'ivf' or 'lsh'")
+    # exact re-rank: candidate distances in the TRUE metric as column
+    # expressions (JVM-side), tie rule = smallest fitted id, matching
+    # the broadcast kernel
+    q_feats = staged.select(
+        (F.col("point_id") + offset).alias("query_id"),
+        F.col("features").alias("__qf"),
+    )
+    r_attrs = ref.select(
+        F.col("point_id").alias("neighbor_id"),
+        F.col("features").alias("__nf"),
+        "label", "core_distance", "birth_level", "death_level",
+    )
+    d = distance_expr(F.col("__qf"), F.col("__nf"), metric)
+    scored = (
+        cand.join(q_feats, on="query_id")
+        .join(r_attrs, on="neighbor_id")
+        .select(
+            (F.col("query_id") - offset).alias("point_id"),
+            "neighbor_id", d.alias("__d"),
+            "label", "core_distance", "birth_level", "death_level",
+        )
+    )
+    near = F.min(
+        F.struct(
+            F.col("__d").alias("d"),
+            F.col("neighbor_id").alias("nid"),
+            F.col("label").alias("lbl"),
+            F.col("core_distance").alias("core"),
+            F.col("birth_level").alias("birth"),
+            F.col("death_level").alias("death"),
+        )
+    ).alias("__near")
+    agg = scored.groupBy("point_id").agg(
+        near, F.sort_array(F.collect_list("__d")).alias("__ds")
+    )
+    nearc = F.col("__near")
+    if min_pts <= 1:
+        core_x = F.lit(0.0)
+    else:
+        # (min_pts-1)-th smallest candidate distance; with fewer
+        # candidates the largest one (the broadcast rule applied to
+        # the recalled set). F.get is 0-based.
+        core_x = F.get(
+            "__ds", F.least(F.lit(min_pts - 1), F.size("__ds")) - 1
+        )
+    b, dth = nearc["birth"], nearc["death"]
+    d_mr = F.greatest(nearc["d"], nearc["core"], core_x)
+    b_open = b.isNull() | F.isnan(b)
+    member = (nearc["lbl"] != 0) & (b_open | (d_mr <= b))
+    full_s = b_open | dth.isNull() | F.isnan(dth) | (b <= dth)
+    frac = F.greatest(
+        F.least((b - d_mr) / (b - dth), F.lit(1.0)), F.lit(0.0)
+    )
+    strength = F.round(
+        F.when(member, F.when(full_s, F.lit(1.0)).otherwise(frac)).otherwise(
+            F.lit(0.0)
+        ),
+        9,
+    )
+    res = agg.select(
+        "point_id",
+        F.when(member, nearc["lbl"]).otherwise(F.lit(0)).cast("long").alias("label"),
+        strength.alias("strength"),
+        nearc["nid"].cast("long").alias("nearest_fitted_id"),
+        d_mr.alias("mr_dist"),
+    )
+    return (
+        staged.select("point_id")
+        .join(res, on="point_id", how="left")
+        .select(
+            "point_id",
+            F.coalesce("label", F.lit(0)).cast("long").alias("label"),
+            F.coalesce("strength", F.lit(0.0)).alias("strength"),
+            F.coalesce("nearest_fitted_id", F.lit(-1)).cast("long").alias(
+                "nearest_fitted_id"
+            ),
+            F.coalesce("mr_dist", F.lit(float("inf"))).alias("mr_dist"),
+        )
+    )
+
+
 def approximate_predict(
     model,
     fitted_points: DataFrame | None,
@@ -213,6 +359,8 @@ def approximate_predict(
     metric: str = "euclidean",
     features_col: str = "features",
     max_reference_rows: int = 500_000,
+    index: str = "auto",
+    index_kwargs: dict | None = None,
 ) -> DataFrame:
     """(point_id, label, strength, nearest_fitted_id, mr_dist) for
     every row of ``new_points`` — see the module docstring for the
@@ -227,10 +375,15 @@ def approximate_predict(
     fit offline, save, predict online with no training data on hand).
 
     Scale contract: the joined reference (features + label + core +
-    tree levels) is a single broadcast. Past ``max_reference_rows``
-    the call raises — sample the fitted set per cluster instead (a
-    stratified sample keeps every decision boundary; prediction
-    against a sample is still approximate_predict, just coarser).
+    tree levels) is a single broadcast. Past ``max_reference_rows``,
+    ``index="auto"`` (default) falls over to the DISTRIBUTED path for
+    euclidean/cosine batches — candidates from the existing ANN index
+    (``index="ivf"``/``"lsh"`` forces it; ``index_kwargs`` tunes it),
+    exact-verified in the true metric, reference never broadcast —
+    and raises otherwise (``index="broadcast"`` pins the old refusal;
+    sample the fitted set per cluster in that case — a stratified
+    sample keeps every decision boundary). See ``_predict_via_index``
+    for the index path's approximation contract.
 
     Broadcast lifetime: the reference broadcast cannot be destroyed
     eagerly (the returned plan is lazy and may be a streaming source),
@@ -241,6 +394,10 @@ def approximate_predict(
     """
     if metric not in ("euclidean", "manhattan", "chebyshev", "cosine", "pearson"):
         raise ValueError(f"unknown metric {metric!r}")
+    if index not in ("auto", "broadcast", "ivf", "lsh"):
+        raise ValueError(
+            f"index must be 'auto', 'broadcast', 'ivf' or 'lsh', got {index!r}"
+        )
     import numpy as np
 
     spark = new_points.sparkSession
@@ -255,12 +412,36 @@ def approximate_predict(
             )
     else:
         ref = reference_frame(model, fitted_points, features_col)
+    if index in ("ivf", "lsh"):
+        if metric not in ("euclidean", "cosine"):
+            raise ValueError(
+                f"index-path predict supports euclidean/cosine (the exact "
+                f"cosine-ranking reductions); {metric!r} needs the "
+                f"broadcast path"
+            )
+        return _predict_via_index(
+            model, ref, new_points, min_pts, metric, index,
+            features_col, index_kwargs,
+        )
     rows = ref.limit(max_reference_rows + 1).collect()
     if len(rows) > max_reference_rows:
+        # auto: past the broadcast cap, fall over to the distributed
+        # index path instead of refusing (euclidean/cosine, batch only)
+        if (
+            index == "auto"
+            and metric in ("euclidean", "cosine")
+            and not new_points.isStreaming
+        ):
+            return _predict_via_index(
+                model, ref, new_points, min_pts, metric, "ivf",
+                features_col, index_kwargs,
+            )
         raise ValueError(
             f"prediction reference exceeds max_reference_rows="
-            f"{max_reference_rows}; pass a per-cluster sample of the "
-            f"fitted points instead (stratified by model.labels)"
+            f"{max_reference_rows} and the distributed index path does "
+            f"not apply (it is batch-only, euclidean/cosine); pass a "
+            f"per-cluster sample of the fitted points instead "
+            f"(stratified by model.labels)"
         )
     if not rows:
         raise ValueError(

@@ -242,13 +242,102 @@ def test_predict_without_reference_raises(spark, fitted, tmp_path):
 
 def test_predict_reference_cap_and_metric(spark, fitted):
     X, df, model = fitted
+    # index="broadcast" pins the refusal past the cap (auto would fall
+    # over to the distributed index path for euclidean/cosine)
     with pytest.raises(ValueError, match="max_reference_rows"):
         approximate_predict(
-            model, df, df, min_pts=4, max_reference_rows=10
+            model, df, df, min_pts=4, max_reference_rows=10,
+            index="broadcast",
+        )
+    # unsupported-by-the-index metric past the cap: auto still raises
+    with pytest.raises(ValueError, match="max_reference_rows"):
+        approximate_predict(
+            model, df, df, min_pts=4, metric="manhattan",
+            max_reference_rows=10,
         )
     with pytest.raises(ValueError, match="metric"):
         approximate_predict(model, df, df, metric="hamming")
+    with pytest.raises(ValueError, match="index"):
+        approximate_predict(model, df, df, index="faiss")
     with pytest.raises(ValueError, match="empty prediction reference"):
         approximate_predict(
             model, df.withColumn("point_id", df.point_id + 10_000), df,
         )
+
+
+def test_predict_index_path_full_probe_matches_broadcast(spark, fitted):
+    """With every centroid probed the IVF candidates are the whole
+    reference, so the distributed path must reproduce the broadcast
+    kernel exactly (labels/nearest integral-equal, floats to 1e-9):
+    the euclidean->cosine MIPS reduction is an EXACT ranking map."""
+    X, df, model = fitted
+    rng = np.random.default_rng(5)
+    New = np.vstack(
+        [X[:50] + rng.normal(scale=0.15, size=(50, 2)),
+         rng.uniform(-15, 20, size=(15, 2))]
+    )
+    new_df = to_df(spark, New, ids=np.arange(len(New)))
+    want = _collect_pred(
+        approximate_predict(model, df, new_df, min_pts=PARAMS["min_pts"])
+    )
+    got = _collect_pred(
+        approximate_predict(
+            model, df, new_df, min_pts=PARAMS["min_pts"], index="ivf",
+            index_kwargs={"n_centroids": 9, "n_probe": 9},
+        )
+    )
+    assert set(got) == set(want)
+    for p, (lbl, s, near, dmr) in want.items():
+        g_lbl, g_s, g_near, g_dmr = got[p]
+        assert g_lbl == lbl, f"point {p}: label {g_lbl} != {lbl}"
+        assert g_near == near, f"point {p}: nearest {g_near} != {near}"
+        assert g_s == pytest.approx(s, abs=1e-9)
+        assert g_dmr == pytest.approx(dmr, rel=1e-9)
+
+
+def test_predict_auto_falls_over_to_index_past_cap(spark, fitted):
+    """auto + reference over the cap = the distributed path engages
+    instead of raising; default index params give high (not perfect)
+    recall, so compare agreement, not equality."""
+    X, df, model = fitted
+    rng = np.random.default_rng(21)
+    New = np.vstack(
+        [X[:40] + rng.normal(scale=0.15, size=(40, 2)),
+         X[:10] + 500.0]
+    )
+    new_df = to_df(spark, New, ids=np.arange(len(New)))
+    want = _collect_pred(
+        approximate_predict(model, df, new_df, min_pts=PARAMS["min_pts"])
+    )
+    got = _collect_pred(
+        approximate_predict(
+            model, df, new_df, min_pts=PARAMS["min_pts"],
+            max_reference_rows=10,
+        )
+    )
+    assert set(got) == set(want)
+    agree = sum(got[p][0] == want[p][0] for p in want)
+    assert agree >= 0.9 * len(want), f"label agreement {agree}/{len(want)}"
+    # far points are noise on both paths regardless of recall
+    for p in range(40, 50):
+        assert got[p][0] == 0 and got[p][1] == 0.0
+
+
+def test_predict_index_lsh_and_streaming_guard(spark, fitted, tmp_path):
+    X, df, model = fitted
+    new_df = to_df(spark, X[:20] + 0.1, ids=np.arange(20))
+    got = _collect_pred(
+        approximate_predict(
+            model, df, new_df, min_pts=PARAMS["min_pts"], index="lsh",
+            index_kwargs={"planes": 4, "tables": 4, "n_probes": 4},
+        )
+    )
+    assert len(got) == 20
+    # streaming new_points cannot take the index path
+    src = str(tmp_path / "newpts_idx")
+    new_df.write.parquet(src)
+    stream = spark.readStream.schema(
+        "point_id long, features array<double>"
+    ).parquet(src)
+    with pytest.raises(ValueError, match="batch-only"):
+        approximate_predict(model, df, stream, index="ivf")

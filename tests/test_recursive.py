@@ -227,3 +227,83 @@ def test_contract_bin_weighted_randomized():
             d = detach[p]
             nr = d if np.isfinite(d) else noise_red_of[assign[p]]
             assert nf == pytest.approx(nr, rel=1e-9, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# hierarchy_at(eps): single dendrogram cut — available in every mode,
+# and the ONLY level query under recursive contraction (round 9)
+# ---------------------------------------------------------------------------
+
+
+def _cut(model, eps):
+    return {
+        int(r["point_id"]): int(r["label"])
+        for r in model.hierarchy_at(eps).collect()
+    }
+
+
+def _assert_same_partition(a: dict, b: dict, eps):
+    assert set(a) == set(b)
+    noise_a = {p for p, l in a.items() if l == 0}
+    noise_b = {p for p, l in b.items() if l == 0}
+    assert noise_a == noise_b, f"noise sets differ at eps={eps}"
+    fwd: dict = {}
+    bwd: dict = {}
+    for p, la in a.items():
+        if la == 0:
+            continue
+        lb = b[p]
+        assert fwd.setdefault(la, lb) == lb, f"split at eps={eps}, p={p}"
+        assert bwd.setdefault(lb, la) == la, f"merge at eps={eps}, p={p}"
+
+
+def test_hierarchy_at_matches_level_matrix(spark):
+    """Non-recursive: hierarchy_at(w) at every recorded full level
+    must equal that hierarchy_levels row verbatim (same rule, one W)."""
+    df = to_df(spark, _blobs())
+    m = MRHDBSCAN(
+        min_pts=4, min_cluster_size=5, max_local_size=64,
+        max_samples_per_subset=16, seed=11,
+    ).fit(df)
+    matrix: dict = {}
+    for r in m.hierarchy_levels(full=True).collect():
+        matrix.setdefault(float(r["level_weight"]), {})[
+            int(r["point_id"])
+        ] = int(r["label"])
+    ws = sorted(matrix)
+    assert len(ws) >= 3
+    for w in (ws[0], ws[len(ws) // 2], ws[-1]):
+        assert _cut(m, w) == matrix[w], f"cut at recorded level {w}"
+
+
+def test_hierarchy_at_recursive_matches_single_level(spark):
+    """Recursive contraction: the level replayed from the durable
+    pieces (level-2 labels at eps + exact level-1 detach weights) must
+    equal the non-recursive cut at the same eps, up to a label
+    bijection — at recorded levels, between them, below the lowest and
+    above the highest."""
+    df = to_df(spark, _blobs())
+    params = dict(
+        min_pts=4, min_cluster_size=5, max_local_size=64,
+        max_samples_per_subset=16, seed=11,
+    )
+    m_sl = MRHDBSCAN(recursive_contraction=False, **params).fit(df)
+    m_rec = MRHDBSCAN(recursive_contraction=True, **params).fit(df)
+    res, _ = m_sl._hier
+    ws = sorted({float(w) for w, _ in hk.hierarchy_levels(res, full=True)})
+    probes = {
+        ws[0], ws[len(ws) // 2], ws[-1],
+        (ws[0] + ws[-1]) / 2.0, ws[0] / 2.0, ws[-1] * 1.5,
+    }
+    for eps in sorted(probes):
+        _assert_same_partition(_cut(m_sl, eps), _cut(m_rec, eps), eps)
+
+
+def test_hierarchy_at_requires_retention(spark):
+    from bubbles.plans.mrhdbscan import MRHDBSCANModel
+
+    m = MRHDBSCANModel(
+        labels=None, cluster_tree=None, outlier_scores=None, mst_edges=None
+    )
+    with pytest.raises(ValueError, match="hierarchy retention"):
+        m.hierarchy_at(1.0)

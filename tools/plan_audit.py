@@ -813,6 +813,30 @@ def main():
         "source (stream scoring)",
     )
 
+    # round 9: DISTRIBUTED predict (past the broadcast cap) — the
+    # fitted reference must reach the candidate join through the IVF
+    # index path, never as a driver collect + broadcast of the
+    # reference rows (only bounded state — centroids — is collected)
+    ppi = plan_of(
+        pm.predict(
+            train,
+            emb.filter(F.col("point_id") >= 400),
+            min_pts=4,
+            index="ivf",
+            index_kwargs={"n_centroids": 16, "n_probe": 4},
+        )
+    )
+    ppi0 = ppi.split("== Initial Plan ==")[0]
+    check(
+        "distributed predict never broadcasts the reference",
+        "FlatMapCoGroupsInPandas" in ppi
+        and "BroadcastNestedLoopJoin" not in ppi0
+        and "CartesianProduct" not in ppi0,
+        "candidates come from the IVF cogroup scoring kernel; the "
+        "reference side moves only through equi-joins (exact re-rank "
+        "verifies candidates in the true metric, JVM-side)",
+    )
+
     lines = [
         "# PLANS — physical-plan audit (tools/plan_audit.py)",
         "",
