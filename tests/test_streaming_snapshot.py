@@ -268,3 +268,69 @@ def test_stream_near_dup_matches_batch_and_finds_planted(spark, tmp_path):
     # the stream text is NOT in the corpus byte-identically, so the
     # match above exercises partial-overlap banding, not equality
     assert near not in {t for _, t in corpus_rows}
+
+
+def test_persisted_band_index_same_candidates_no_corpus_exchange(spark, tmp_path):
+    """Round-9 amortization: the bucketed persisted index yields the
+    SAME candidate pairs as the in-memory index, and the warm join
+    reads the corpus side with no Exchange (bucketed layout satisfies
+    the join distribution via the flattened bkey)."""
+    from pyspark.sql import functions as F
+
+    from bubbles.streaming.neardup import (
+        corpus_band_index,
+        load_corpus_band_index,
+        persist_corpus_band_index,
+        stream_near_dup_candidates,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest to hide from the loud hunters"
+    )
+    corpus = spark.createDataFrame(
+        [(i, base.replace("fox", f"fox{i}")) for i in range(20)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, base.replace("fox", "fox7").replace("loud", "quiet")),
+         (101, "completely unrelated content about physical planning")],
+        "doc_id long, text string",
+    )
+    want = sorted(
+        map(
+            tuple,
+            stream_near_dup_candidates(
+                batch, corpus_band_index(corpus).localCheckpoint()
+            ).collect(),
+        )
+    )
+    import shutil
+
+    # a fresh session does not know about a previous run's managed
+    # table, so its leftover warehouse directory must go first
+    spark.sql("DROP TABLE IF EXISTS t_neardup_idx")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/t_neardup_idx", ignore_errors=True)
+    persist_corpus_band_index(corpus, "t_neardup_idx", n_buckets=4)
+    warm = stream_near_dup_candidates(
+        batch, load_corpus_band_index(spark, "t_neardup_idx")
+    )
+    got = sorted(map(tuple, warm.collect()))
+    assert got == want
+    # plan property: with broadcast off (forcing the join to care
+    # about distribution) the corpus side must come from the bucketed
+    # files with no shuffle — exactly one Exchange, the tiny probe
+    # side. Fresh frame: a collected frame's queryExecution is frozen.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        warm2 = stream_near_dup_candidates(
+            batch, load_corpus_band_index(spark, "t_neardup_idx")
+        )
+        plan = warm2._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    head = plan.split("== Initial Plan ==")[0]
+    assert "Bucketed: true" in plan, f"index scan is not bucket-aware:\n{plan}"
+    assert head.count("Exchange") <= 1, f"corpus side shuffled:\n{head}"
+    spark.sql("DROP TABLE IF EXISTS t_neardup_idx")

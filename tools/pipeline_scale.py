@@ -256,6 +256,37 @@ def main():
         )
     )
 
+    # round-9 amortization split (VERDICT r8 task 8): the row above
+    # re-shingles + re-signs the whole corpus every run; these two
+    # split that into the ONE-TIME index build+persist (bucketed
+    # parquet table) and the warm per-batch scoring of a FIXED batch
+    # (the base replica's stream docs — constant size across factors)
+    # against the loaded index. The per-batch term is what a
+    # production crawl pays per micro-batch.
+    from bubbles.streaming.neardup import (
+        load_corpus_band_index,
+        persist_corpus_band_index,
+    )
+
+    def _ndup_build(d, n):
+        persist_corpus_band_index(
+            d.filter(F.pmod("doc_id", F.lit(10)) < 8),
+            "neardup_idx",
+            n_buckets=max(8, min(256, n // 20_000)),
+        )
+        return "-"
+
+    OPS["stream_near_dup_index_build"] = _ndup_build
+    OPS["stream_near_dup_warm_batch"] = lambda d, n: run(
+        stream_near_dup_candidates(
+            d.filter(
+                (F.pmod("doc_id", F.lit(10)) >= 8)
+                & (F.col("doc_id") < 10_000_000)
+            ),
+            load_corpus_band_index(spark, "neardup_idx"),
+        )
+    )
+
     from bubbles.operators.dedup import semantic_dedup
     from bubbles.operators.kmeans import kmeans_fit
     from bubbles.operators.lm import bigram_lm_score
