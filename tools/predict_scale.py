@@ -43,7 +43,14 @@ def main():
     spark = (
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.driver.memory", "48g")
+        .config(
+            "spark.driver.memory",
+            # env-overridable: this round's host OOM-kills the JVM near
+            # ~14 GB anon rss despite /proc/meminfo reading 128 GB (a
+            # host-side memcg), so a 48g heap that never GCs is fatal —
+            # a smaller Xmx trades GC time for staying alive
+            __import__("os").environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
+        )
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
