@@ -512,6 +512,18 @@ def _ivf_assign_probe(
     bc = base.sparkSession.sparkContext.broadcast((cids, cmat))
     n_probe_eff = min(n_probe, len(cids))
 
+    # row-chunk budget: keep the point-x-centroid similarity matrix
+    # at <= 8M cells (64 MB of float64). At the usual centroid counts
+    # (<= ~800) a whole 10k-row Arrow batch fits in one chunk, so
+    # nothing changes; at the auto-sized k of a multi-million-row
+    # corpus (11881 at 2.4M rows) an unchunked 10k x 11881 matrix is
+    # ~1 GB, and this class of host falls off a measured cliff on
+    # ~GB-sized buffers (np.round: 0.4 s at 330 MB vs 72 s at 950 MB;
+    # per-worker rss 2.4 GB x 32 workers = the round-9 OOM) — chunked,
+    # the same work runs at full speed in ~200 MB per worker.
+    _CELLS = 8_000_000
+    chunk_rows = max(1, _CELLS // max(1, len(cids)))
+
     def gen(it):
         ids, mat = bc.value
         # id-sorted column view for the probe tie-break (centroid id
@@ -519,61 +531,66 @@ def _ivf_assign_probe(
         # original priority order
         perm = np.argsort(ids)
         ids_sorted = ids[perm]
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            X = _vec_matrix(pdf["features"])
-            # hoisted row norms: _rows_cosine recomputes
-            # ONE point-x-centroid similarity matrix drives BOTH the
-            # assignment and the probes, through the SAME ordering key
-            # (6dp-rounded cosine desc, centroid id asc): the assigned
-            # centroid IS probes[0] by construction. The former split
-            # derivation (unrounded-distance argmin loop for
-            # assignment, rounded-sim argsort for probes) could
-            # diverge on near-ties (<5e-7 apart round equal; the two
-            # sides also took different BLAS paths with last-ulp
-            # drift), leaving a point whose own inverted list is never
-            # probed — the zero-candidate failure class the r5 fully-
-            # tied bug was about, surviving in its near-tie form.
-            Xn = np.sqrt(np.einsum("ij,ij->i", X, X))
-            num = X @ mat.T
-            den = Xn[:, None] * np.linalg.norm(mat, axis=1)[None, :]
-            sim = np.round(
-                np.where(den == 0.0, 0.0, num / np.where(den == 0.0, 1.0, den)), 6
+        for whole in it:
+            for s in range(0, len(whole), chunk_rows):
+                pdf = whole.iloc[s : s + chunk_rows]
+                if len(pdf) == 0:
+                    continue
+                yield from _one(pdf, ids, mat, perm, ids_sorted)
+
+    def _one(pdf, ids, mat, perm, ids_sorted):
+        X = _vec_matrix(pdf["features"])
+        # hoisted row norms: _rows_cosine recomputes
+        # ONE point-x-centroid similarity matrix drives BOTH the
+        # assignment and the probes, through the SAME ordering key
+        # (6dp-rounded cosine desc, centroid id asc): the assigned
+        # centroid IS probes[0] by construction. The former split
+        # derivation (unrounded-distance argmin loop for
+        # assignment, rounded-sim argsort for probes) could
+        # diverge on near-ties (<5e-7 apart round equal; the two
+        # sides also took different BLAS paths with last-ulp
+        # drift), leaving a point whose own inverted list is never
+        # probed — the zero-candidate failure class the r5 fully-
+        # tied bug was about, surviving in its near-tie form.
+        Xn = np.sqrt(np.einsum("ij,ij->i", X, X))
+        num = X @ mat.T
+        den = Xn[:, None] * np.linalg.norm(mat, axis=1)[None, :]
+        sim = np.round(
+            np.where(den == 0.0, 0.0, num / np.where(den == 0.0, 1.0, den)), 6
+        )
+        simp = sim[:, perm]  # id-ascending column view
+        if n_probe_eff == 1:
+            # argmax = first occurrence of the max = smallest
+            # centroid id under the perm view — identical to the
+            # stable desc argsort's first element, without sorting
+            # all k columns (the sort dominated the kernel at
+            # k=1600: 0.70s -> 0.05s per 3100-row batch)
+            top = np.argmax(simp, axis=1)[:, None]
+        else:
+            top = np.argsort(-simp, axis=1, kind="stable")[
+                :, :n_probe_eff
+            ]
+        best_i = perm[top[:, 0]]
+        # rep_dist (inverted-list cap ordering): UNROUNDED cosine
+        # distance to the assigned centroid
+        rows = np.arange(len(X))
+        den_a = den[rows, best_i]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            best_d = np.where(
+                den_a == 0.0, 1.0, 1.0 - num[rows, best_i] / den_a
             )
-            simp = sim[:, perm]  # id-ascending column view
-            if n_probe_eff == 1:
-                # argmax = first occurrence of the max = smallest
-                # centroid id under the perm view — identical to the
-                # stable desc argsort's first element, without sorting
-                # all k columns (the sort dominated the kernel at
-                # k=1600: 0.70s -> 0.05s per 3100-row batch)
-                top = np.argmax(simp, axis=1)[:, None]
-            else:
-                top = np.argsort(-simp, axis=1, kind="stable")[
-                    :, :n_probe_eff
-                ]
-            best_i = perm[top[:, 0]]
-            # rep_dist (inverted-list cap ordering): UNROUNDED cosine
-            # distance to the assigned centroid
-            rows = np.arange(len(X))
-            den_a = den[rows, best_i]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                best_d = np.where(
-                    den_a == 0.0, 1.0, 1.0 - num[rows, best_i] / den_a
-                )
-            yield pd.DataFrame(
-                {
-                    "point_id": pdf["point_id"],
-                    # packed float64 bytes: the vector payload crosses
-                    # the scoring shuffle as BINARY, which unpacks via
-                    # one frombuffer instead of a per-row list walk
-                    "features": [X[i].tobytes() for i in range(len(X))],
-                    "centroid": ids[best_i],
-                    "rep_dist": best_d,
-                    "probes": [r.tolist() for r in ids_sorted[top]],
-                }
-            )
+        yield pd.DataFrame(
+            {
+                "point_id": pdf["point_id"],
+                # packed float64 bytes: the vector payload crosses
+                # the scoring shuffle as BINARY, which unpacks via
+                # one frombuffer instead of a per-row list walk
+                "features": [X[i].tobytes() for i in range(len(X))],
+                "centroid": ids[best_i],
+                "rep_dist": best_d,
+                "probes": [r.tolist() for r in ids_sorted[top]],
+            }
+        )
 
     return base.select("point_id", "features").mapInPandas(
         gen,

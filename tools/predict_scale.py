@@ -146,7 +146,9 @@ def main():
             model, ref_pts, new_pts, min_pts=4, index="ivf",
         ).count()
 
-    run_distributed()  # warmup (JIT + codegen for the index kernels)
+    # single-rep, warmup-free — same protocol as the 6M fit row
+    # (cluster_scale.py): at this size a warmup doubles the wall/memory
+    # cost for a number whose error band is owned by the host anyway
     t0 = time.time()
     rows = run_distributed()
     el = round(time.time() - t0, 2)
