@@ -130,10 +130,14 @@ def main():
     print(f"fit done in {time.time() - t0:.1f}s", flush=True)
 
     # new points: jittered replicas in the same feature space, ids
-    # disjoint handled inside the operator (offset shift)
+    # disjoint handled inside the operator (offset shift). Explicit
+    # repartition: the contiguous re-id above is a 1-partition window,
+    # and a 1-partition new frame runs the scoring kernel on one core
+    # (measured 305 s for a 100k batch that takes ~12 s wide)
     new_pts = (
         replicate(base, max(1, -(-n_new // n_base)), salt=99)
         .filter(F.col("point_id") < n_new)
+        .repartition(32)
         .localCheckpoint()
     )
     n_new_actual = new_pts.count()
@@ -163,9 +167,12 @@ def main():
     ref_small = ref_pts.filter(F.col("point_id") < 100_000).localCheckpoint()
     bres: dict[str, float] = {}
     for batch in bcast_batches:
-        nb = replicate(base, max(1, -(-batch // n_base)), salt=7).filter(
-            F.col("point_id") < batch
-        ).localCheckpoint()
+        nb = (
+            replicate(base, max(1, -(-batch // n_base)), salt=7)
+            .filter(F.col("point_id") < batch)
+            .repartition(32)
+            .localCheckpoint()
+        )
         nb_n = nb.count()
 
         def run_broadcast():
