@@ -155,6 +155,21 @@ def persist_corpus_band_index(
     rebuilt table is picked up without restarting the query)."""
     from bubbles.sources.bucketed import write_bucketed
 
+    spark = corpus.sparkSession
+    # refresh semantics: a NEW session does not know the previous
+    # session's managed table, so its orphaned warehouse location
+    # would fail the write with LOCATION_ALREADY_EXISTS — drop both
+    # the catalog entry and the location (Hadoop FS API: works on any
+    # filesystem, not just local)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if "." not in table:
+        jvm = spark.sparkContext._jvm
+        loc = jvm.org.apache.hadoop.fs.Path(
+            f"{spark.conf.get('spark.sql.warehouse.dir')}/{table}"
+        )
+        fs = loc.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        if fs.exists(loc):
+            fs.delete(loc, True)
     idx = corpus_band_index(
         corpus, text_col, id_col, num_hashes, band_size, shingle,
         max_bucket_size,
