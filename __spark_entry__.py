@@ -4368,11 +4368,12 @@ def all_oracle_sql() -> dict[str, str]:
 # official green row SOMEWHERE, but 53 were last certified on round-7
 # code — rotate exactly those into the window so the whole catalog is
 # re-certified on post-predict/post-multiprobe code, plus the one NEW
-# round-9 query (cluster_predict_distributed) first. 54 keys > the
-# ~50-row window, so the 3 with the heaviest independent coverage
-# (plan-audited curriculum_buckets, golden-pinned clustering_ari,
-# pytest-differential leakage_safe_split) sit LAST and are the only
-# ones a truncation can drop — re-gate them in round 10.
+# round-9 query (cluster_predict_distributed) first. The record window
+# is a hard 50 rows (r5 evidence, pinned by test_entry_sessionless),
+# so the 4 rotation targets with the heaviest independent coverage
+# wait for round 10: salted_join (plan-audited), leakage_safe_split
+# (pytest differential), curriculum_buckets (plan-audited),
+# clustering_ari (golden + QUALITY rows).
 # ---------------------------------------------------------------------------
 
 GATE_KEYS: list[str] = [
@@ -4415,7 +4416,6 @@ GATE_KEYS: list[str] = [
     "compaction_plan",
     "chunk_documents",
     "merge_upsert",
-    "salted_join",
     "pipeline_rag_index",
     "url_canonical",
     "privacy_release",
@@ -4429,10 +4429,6 @@ GATE_KEYS: list[str] = [
     "stream_static_enrich",
     "stream_anomaly",
     "stream_kmv_distinct",
-    # heaviest independent coverage — the only droppable tail
-    "leakage_safe_split",
-    "curriculum_buckets",
-    "clustering_ari",
 ]
 
 
