@@ -233,20 +233,34 @@ def _predict_via_index(
             F.col("features").alias("__ivec"),
         )
     else:  # euclidean (validated by the caller)
-        n2 = _dot(F.col("features"), F.col("features"))
+        # Pre-scale by the max reference norm BEFORE augmenting:
+        # euclidean ranking is invariant under uniform scaling, but the
+        # IVF kernel rounds similarities to 6dp for its deterministic
+        # tie-break — un-scaled large-norm features (|x| in the 100s)
+        # compress every augmented-cosine gap below that rounding and
+        # ranking silently degrades to the centroid-id tie-break
+        # (ADVICE r9). With max scaled |x|² = 1 the augmented norms are
+        # exactly sqrt(1.25) and the cosines use their full range; it
+        # also fixes the mirror failure at tiny norms (|x| ~ 1e-4).
+        n2_raw = _dot(F.col("features"), F.col("features"))
+        maxn2 = ref.select(F.max(n2_raw).alias("m")).first()["m"] or 0.0
+        s = 1.0 / (maxn2 ** 0.5) if maxn2 > 0 else 1.0
+        scaled = F.transform(F.col("features"), lambda v: v * F.lit(s))
+        n2 = n2_raw * F.lit(s * s)
         aug_norm2 = n2 + n2 * n2 / F.lit(4.0)
-        m2 = ref.select(F.max(aug_norm2).alias("m2")).first()["m2"] or 0.0
-        pad = F.sqrt(F.greatest(F.lit(float(m2)) - aug_norm2, F.lit(0.0)))
+        # aug_norm2 is monotone in n2 and max scaled n2 is exactly 1,
+        # so the equal-norm target is 1 + 1/4 — no second pass
+        m2 = 1.25 if maxn2 > 0 else 0.0
+        pad = F.sqrt(F.greatest(F.lit(m2) - aug_norm2, F.lit(0.0)))
         corpus = ref.select(
             "point_id",
-            F.concat(
-                F.col("features"), F.array(n2 * F.lit(-0.5), pad)
-            ).alias("__ivec"),
+            F.concat(scaled, F.array(n2 * F.lit(-0.5), pad)).alias("__ivec"),
         )
         queries = staged.select(
             (F.col("point_id") + offset).alias("point_id"),
             F.concat(
-                F.col("features"), F.array(F.lit(1.0), F.lit(0.0))
+                F.transform(F.col("features"), lambda v: v * F.lit(s)),
+                F.array(F.lit(1.0), F.lit(0.0)),
             ).alias("__ivec"),
         )
     kw = dict(index_kwargs or {})
@@ -423,8 +437,12 @@ def approximate_predict(
             model, ref, new_points, min_pts, metric, index,
             features_col, index_kwargs,
         )
-    rows = ref.limit(max_reference_rows + 1).collect()
-    if len(rows) > max_reference_rows:
+    # Cheap over-cap probe BEFORE any collect: counting a 1-column
+    # limit decides the path without pulling max_reference_rows+1 full
+    # feature rows (hundreds of MB at the cap) onto the driver only to
+    # discard them when the distributed path is taken (ADVICE r9).
+    n_probe = ref.select("point_id").limit(max_reference_rows + 1).count()
+    if n_probe > max_reference_rows:
         # auto: past the broadcast cap, fall over to the distributed
         # index path instead of refusing (euclidean/cosine, batch only)
         if (
@@ -443,6 +461,7 @@ def approximate_predict(
             f"per-cluster sample of the fitted points instead "
             f"(stratified by model.labels)"
         )
+    rows = ref.collect()
     if not rows:
         raise ValueError(
             "empty prediction reference: fitted_points shares no "

@@ -169,6 +169,31 @@ def persist_corpus_band_index(
         )
         fs = loc.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
         if fs.exists(loc):
+            # only reclaim a location that LOOKS like a previous write
+            # of this index (a parquet table dir: parquet part files
+            # or a _SUCCESS marker at its top level) — a colliding
+            # directory of unrelated data parked under the warehouse
+            # must not be silently destroyed (ADVICE r9)
+            entries = fs.listStatus(loc)
+            # empty dir / dangling _temporary = an interrupted previous
+            # write: nothing to lose, reclaim it
+            looks_like_index = len(entries) == 0
+            for st in entries:
+                nm = st.getPath().getName()
+                if (
+                    nm == "_SUCCESS"
+                    or nm == "_temporary"
+                    or (nm.startswith("part-") and ".parquet" in nm)
+                ):
+                    looks_like_index = True
+                    break
+            if not looks_like_index:
+                raise ValueError(
+                    f"refusing to overwrite {loc}: the directory exists "
+                    f"but does not look like a previous band-index write "
+                    f"(no parquet part files / _SUCCESS at its top "
+                    f"level); move it aside or pick another table name"
+                )
             fs.delete(loc, True)
     idx = corpus_band_index(
         corpus, text_col, id_col, num_hashes, band_size, shingle,

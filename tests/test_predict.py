@@ -295,6 +295,43 @@ def test_predict_index_path_full_probe_matches_broadcast(spark, fitted):
         assert g_dmr == pytest.approx(dmr, rel=1e-9)
 
 
+def test_predict_index_large_norm_features_exact(spark, fitted):
+    """Round-10 (ADVICE r9): the euclidean MIPS augmentation pre-scales
+    by the max reference norm, so large-norm features (|x| ~ 1e4 here)
+    keep their augmented-cosine gaps ABOVE the IVF kernel's 6dp
+    similarity rounding. Without the pre-scale the kernel's top-k
+    candidate selection collapses to the id tie-break and the nearest
+    fitted point is wrong; with it, full-probe IVF must reproduce the
+    broadcast kernel exactly (scaling is a ranking no-op)."""
+    X, df, model = fitted
+    scale = 1.0e4
+    Xs = np.asarray(X) * scale
+    dfs = to_df(spark, Xs)
+    model_s = MRHDBSCAN(**PARAMS).fit(dfs)
+    rng = np.random.default_rng(17)
+    New = np.vstack(
+        [Xs[:50] + rng.normal(scale=0.15 * scale, size=(50, 2)),
+         rng.uniform(-15 * scale, 20 * scale, size=(15, 2))]
+    )
+    new_df = to_df(spark, New, ids=np.arange(len(New)))
+    want = _collect_pred(
+        approximate_predict(model_s, dfs, new_df, min_pts=PARAMS["min_pts"])
+    )
+    got = _collect_pred(
+        approximate_predict(
+            model_s, dfs, new_df, min_pts=PARAMS["min_pts"], index="ivf",
+            index_kwargs={"n_centroids": 9, "n_probe": 9},
+        )
+    )
+    assert set(got) == set(want)
+    for p, (lbl, s, near, dmr) in want.items():
+        g_lbl, g_s, g_near, g_dmr = got[p]
+        assert g_lbl == lbl, f"point {p}: label {g_lbl} != {lbl}"
+        assert g_near == near, f"point {p}: nearest {g_near} != {near}"
+        assert g_s == pytest.approx(s, abs=1e-9)
+        assert g_dmr == pytest.approx(dmr, rel=1e-9)
+
+
 def test_predict_auto_falls_over_to_index_past_cap(spark, fitted):
     """auto + reference over the cap = the distributed path engages
     instead of raising; default index params give high (not perfect)

@@ -333,4 +333,49 @@ def test_persisted_band_index_same_candidates_no_corpus_exchange(spark, tmp_path
     head = plan.split("== Initial Plan ==")[0]
     assert "Bucketed: true" in plan, f"index scan is not bucket-aware:\n{plan}"
     assert head.count("Exchange") <= 1, f"corpus side shuffled:\n{head}"
+    # refresh over an EXISTING index (catalog entry + location both
+    # present) must reclaim and rebuild without complaint
+    persist_corpus_band_index(corpus, "t_neardup_idx", n_buckets=4)
+    got3 = sorted(
+        map(
+            tuple,
+            stream_near_dup_candidates(
+                batch, load_corpus_band_index(spark, "t_neardup_idx")
+            ).collect(),
+        )
+    )
+    assert got3 == want
     spark.sql("DROP TABLE IF EXISTS t_neardup_idx")
+
+
+def test_persist_band_index_refuses_unrelated_dir(spark):
+    """Round-10 (ADVICE r9): a warehouse directory that collides with
+    the table name but does NOT look like a previous index write
+    (no parquet part files / _SUCCESS) is refused, not destroyed; an
+    empty leftover dir (interrupted write) is reclaimed."""
+    import os
+    import shutil
+
+    import pytest
+    from bubbles.streaming.neardup import persist_corpus_band_index
+
+    corpus = spark.createDataFrame(
+        [(1, "some document text that is long enough to shingle ok")],
+        "doc_id long, text string",
+    )
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    tdir = f"{wh}/t_neardup_guard"
+    spark.sql("DROP TABLE IF EXISTS t_neardup_guard")
+    shutil.rmtree(tdir, ignore_errors=True)
+    # unrelated data parked under the warehouse at the colliding name
+    os.makedirs(tdir)
+    with open(f"{tdir}/precious.txt", "w") as f:
+        f.write("not an index")
+    with pytest.raises(ValueError, match="refusing to overwrite"):
+        persist_corpus_band_index(corpus, "t_neardup_guard", n_buckets=2)
+    assert os.path.exists(f"{tdir}/precious.txt")  # untouched
+    # an EMPTY leftover dir is an interrupted write: reclaimed
+    os.remove(f"{tdir}/precious.txt")
+    persist_corpus_band_index(corpus, "t_neardup_guard", n_buckets=2)
+    assert spark.table("t_neardup_guard").count() > 0
+    spark.sql("DROP TABLE IF EXISTS t_neardup_guard")
