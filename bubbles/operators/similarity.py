@@ -715,16 +715,59 @@ def ivf_topk(
     from ``df``, probes from ``queries``. Rows with equal ids on both
     sides are treated as the same item and excluded, matching the
     self-search semantics. Default (None) is self-search over ``df``."""
+    _require_integral_ids(df, id_col, "ivf_topk")
+    if queries is not None:
+        queries = queries.filter(F.col(vec_col).isNotNull())
+    cids, cmat, both, assigned = _ivf_build(
+        df,
+        n_centroids=n_centroids,
+        n_probe_corpus=n_probe if queries is None else 1,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_bucket_size=max_bucket_size,
+        centroid_ids=centroid_ids,
+        n_rows=n_rows,
+    )
+    if queries is not None:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        qbase = queries.select(
+            F.col(id_col).alias("point_id"),
+            F.col(vec_col).cast("array<double>").alias("features"),
+        )
+        qn = n_queries if n_queries is not None else qbase.count()
+        qwidth = min(par, max(1, -(-qn // 50_000)))
+        if -(-qn // 50_000) <= par:
+            qbase = qbase.repartition(qwidth)
+        both = _ivf_assign_probe(qbase, cids, cmat, n_probe).localCheckpoint()
+    return _ivf_score(both, assigned, k, n_salts)
+
+
+def _ivf_build(
+    df: DataFrame,
+    n_centroids: int,
+    n_probe_corpus: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+    max_bucket_size: int,
+    centroid_ids: list | None,
+    n_rows: int | None,
+):
+    """The BUILD half of ``ivf_topk`` (also the savable artifact behind
+    the persisted predict index, bubbles/plans/predict.py): centroid
+    selection + one assignment pass + the salted inverted-list cap.
+    Returns ``(cids, cmat, both, assigned)`` — centroid driver arrays,
+    the checkpointed assignment kernel output (carries probes when
+    ``n_probe_corpus`` > 1: the self-search shape), and the capped
+    inverted lists (neighbor_id, __cv binary, centroid)."""
     import numpy as np
 
     from bubbles.operators.sampling import stratified_sample_exact
 
-    _require_integral_ids(df, id_col, "ivf_topk")
     # NULL-vector rows excluded (same contract as lsh_topk: np.stack
     # in the assignment kernel would throw on the whole Arrow batch)
     df = df.filter(F.col(vec_col).isNotNull())
-    if queries is not None:
-        queries = queries.filter(F.col(vec_col).isNotNull())
     base = df.select(
         F.col(id_col).alias("point_id"),
         F.col(vec_col).cast("array<double>").alias("features"),
@@ -798,12 +841,10 @@ def ivf_topk(
     # list, its cap, AND the probe side — uncheckpointed, Spark would
     # re-execute the kernel once per branch (measured 3x at 200k rows)
     # index-and-batch mode reads only the ASSIGNMENT from the corpus
-    # pass (probes come from the query-side kernel below) — n_probe=1
+    # pass (probes come from the query-side kernel) — n_probe_corpus=1
     # takes the cheap argmax path and skips materializing an unused
     # n_probe-long array per corpus row through the checkpoint
-    both = _ivf_assign_probe(
-        base, cids, cmat, n_probe if queries is None else 1
-    ).localCheckpoint()
+    both = _ivf_assign_probe(base, cids, cmat, n_probe_corpus).localCheckpoint()
     assigned = both.select(
         F.col("point_id").alias("neighbor_id"),
         F.col("features").alias("__cv"),
@@ -824,16 +865,16 @@ def ivf_topk(
         ).select("neighbor_id", "centroid")
         assigned = assigned.join(kept, on=["neighbor_id", "centroid"])
     assigned = assigned.drop("rep_dist")
-    if queries is not None:
-        qbase = queries.select(
-            F.col(id_col).alias("point_id"),
-            F.col(vec_col).cast("array<double>").alias("features"),
-        )
-        qn = n_queries if n_queries is not None else qbase.count()
-        qwidth = min(par, max(1, -(-qn // 50_000)))
-        if -(-qn // 50_000) <= par:
-            qbase = qbase.repartition(qwidth)
-        both = _ivf_assign_probe(qbase, cids, cmat, n_probe).localCheckpoint()
+    return cids, cmat, both, assigned
+
+
+def _ivf_score(
+    both: DataFrame, assigned: DataFrame, k: int, n_salts: int
+) -> DataFrame:
+    """The SCORE half of ``ivf_topk``: probe-bucket cogroup top-k +
+    global rank. ``both`` is the query-side assignment kernel output
+    (probes populated), ``assigned`` the inverted lists — from the
+    in-session build or read back from a persisted predict index."""
     # each query probes its n_probe nearest centroids (computed in the
     # same kernel pass; explode is a narrow transform, no shuffle)
     probes = both.select(

@@ -455,6 +455,7 @@ class MRHDBSCANModel:
     _spark = None
     _fit_params = None  # {"min_pts", "metric"} — predict()'s defaults
     _predict_reference = None  # persisted (features+label+core+levels)
+    _predict_index_path = None  # persisted IVF index (save(index="ivf"))
     _membership_l1 = None  # recursive mode: point -> level-1 rep
     _l2 = None  # recursive mode: (rep_id, rep2, detach)
 
@@ -503,15 +504,22 @@ class MRHDBSCANModel:
             F.broadcast(rep_levels), on="rep_id"
         ).select("level_weight", "point_id", "label")
 
-    def hierarchy_at(self, eps: float) -> DataFrame:
-        """Per-point labels at ONE dendrogram level (distance ``eps``)
-        — the "cut the dendrogram at ε" query, WITHOUT the n×levels
-        matrix, and therefore available under recursive contraction
-        where ``hierarchy_levels`` refuses (round 9). Returns
-        (level_weight, point_id, label); label semantics are exactly
-        one row of the level writer: deepest chain cluster with
-        birth ≥ eps > death (root active everywhere), noise (0) once
-        the point's detach level exceeds eps.
+    def hierarchy_at(self, eps) -> DataFrame:
+        """Per-point labels at one or more dendrogram levels — the
+        "cut the dendrogram at ε" query, WITHOUT the n×levels matrix,
+        and therefore available under recursive contraction where
+        ``hierarchy_levels`` refuses (round 9). ``eps`` is a single
+        distance or a sequence of them (round 10): a multi-level query
+        replays the durable pieces ONCE — one driver-side label pass
+        per level over the bounded reduced graph, ONE broadcast join
+        and ONE membership join total, returning the levels in long
+        format — instead of re-walking the membership relation per
+        level (the practical way to ask for k cuts at >2M points).
+        Duplicate levels are collapsed. Returns (level_weight,
+        point_id, label); label semantics are exactly one row of the
+        level writer: deepest chain cluster with birth ≥ eps > death
+        (root active everywhere), noise (0) once the point's detach
+        level exceeds eps.
 
         Recursive mode replays the level from the durable pieces: a
         level-1 representative's noise gate is its EXACT detach weight
@@ -527,17 +535,37 @@ class MRHDBSCANModel:
             raise ValueError("hierarchy retention disabled")
         import pyarrow as pa
 
+        try:
+            eps_list = [float(e) for e in eps]
+        except TypeError:
+            eps_list = [float(eps)]
+        if not eps_list:
+            raise ValueError("hierarchy_at needs at least one level")
+        eps_list = sorted(set(eps_list))
         res, verts = self._hier
-        w = F.lit(float(eps)).alias("level_weight")
+        nv = len(verts)
+        v64 = np.asarray(verts, np.int64)
         if self._levels_mode == "recursive":
-            labs = hk.labels_at_level(res, float(eps), apply_noise=False)
+            # one bounded label pass per level, ONE long broadcast
+            # frame (k·|reduced graph| rows), then the two durable
+            # joins exactly once for all k levels
+            lab_cols = [
+                hk.labels_at_level(res, e, apply_noise=False).astype(np.int64)
+                for e in eps_list
+            ]
             rep_df = self._spark.createDataFrame(
                 pa.table(
                     {
-                        "rep2": pa.array(np.asarray(verts, np.int64), pa.int64()),
-                        "label": pa.array(labs.astype(np.int64), pa.int64()),
+                        "level_weight": pa.array(
+                            np.repeat(np.asarray(eps_list, np.float64), nv), pa.float64()
+                        ),
+                        "rep2": pa.array(np.tile(v64, len(eps_list)), pa.int64()),
+                        "label": pa.array(np.concatenate(lab_cols), pa.int64()),
                         "__nl": pa.array(
-                            np.asarray(res.noise_level, np.float64),
+                            np.tile(
+                                np.asarray(res.noise_level, np.float64),
+                                len(eps_list),
+                            ),
                             pa.float64(),
                         ),
                     }
@@ -548,30 +576,36 @@ class MRHDBSCANModel:
             ).otherwise(F.col("detach"))
             rep1 = self._l2.join(F.broadcast(rep_df), on="rep2").select(
                 "rep_id",
-                F.when(gate > F.lit(float(eps)), F.lit(0))
+                "level_weight",
+                F.when(gate > F.col("level_weight"), F.lit(0))
                 .otherwise(F.col("label"))
                 .alias("label"),
             )
-            # rep1 is O(level-1 retained) — can be millions; plain
+            # rep1 is O(level-1 retained · k) — can be millions; plain
             # equi-join, AQE picks the strategy
             return self._membership_l1.join(rep1, on="rep_id").select(
-                w, "point_id", "label"
+                "level_weight", "point_id", "label"
             )
-        labs = hk.labels_at_level(res, float(eps))
+        lab_cols = [
+            hk.labels_at_level(res, e).astype(np.int64) for e in eps_list
+        ]
         rep_df = self._spark.createDataFrame(
             pa.table(
                 {
-                    "rep_id": pa.array(np.asarray(verts, np.int64), pa.int64()),
-                    "label": pa.array(labs.astype(np.int64), pa.int64()),
+                    "level_weight": pa.array(
+                        np.repeat(np.asarray(eps_list, np.float64), nv), pa.float64()
+                    ),
+                    "rep_id": pa.array(np.tile(v64, len(eps_list)), pa.int64()),
+                    "label": pa.array(np.concatenate(lab_cols), pa.int64()),
                 }
             )
         )
         if self._membership is None:
             return rep_df.select(
-                w, F.col("rep_id").alias("point_id"), "label"
+                "level_weight", F.col("rep_id").alias("point_id"), "label"
             )
         return self._membership.join(F.broadcast(rep_df), on="rep_id").select(
-            w, "point_id", "label"
+            "level_weight", "point_id", "label"
         )
 
     def predict(
@@ -625,6 +659,8 @@ class MRHDBSCANModel:
         fitted_points: DataFrame | None = None,
         predict_rows_per_cluster: int = 20_000,
         features_col: str = "features",
+        index: str | None = None,
+        index_kwargs: dict | None = None,
     ) -> None:
         """Persist the model's four relations as parquet under
         ``path`` plus a one-row JSON meta (n_iterations, levels mode,
@@ -644,9 +680,30 @@ class MRHDBSCANModel:
         cluster sizes are, and the stride rule (keep point_id where
         xxhash64 % ceil(n_c/cap) == 0) needs one tiny per-label count
         instead of a per-cluster sort window. Set
-        ``predict_rows_per_cluster=0`` to persist every fitted row."""
+        ``predict_rows_per_cluster=0`` to persist every fitted row.
+
+        ``index="ivf"`` additionally persists the DISTRIBUTED-predict
+        index over that reference (centroids + capped inverted lists
+        under ``path/predict_index`` — see
+        bubbles.plans.predict.build_predict_index): a loaded model's
+        over-cap / ``index="ivf"`` predict then pays probe + re-rank
+        only, never re-assigning the reference per scoring batch.
+        ``index_kwargs`` (n_centroids, n_probe, max_bucket_size, seed,
+        n_salts) tune the build; defaults match the cold auto path so
+        persisted-index predict == fresh-index predict exactly."""
         import json
         import os
+
+        if index is not None:
+            if index != "ivf":
+                raise ValueError(
+                    f"only index='ivf' can be persisted, got {index!r}"
+                )
+            if fitted_points is None:
+                raise ValueError(
+                    "index persistence needs fitted_points (the index is "
+                    "built over the persisted prediction reference)"
+                )
 
         spark = self.labels.sparkSession
         # refresh-in-place guard: a relation loaded FROM this path
@@ -709,11 +766,26 @@ class MRHDBSCANModel:
             rel.write.mode("overwrite").parquet(f"{path}/{name}")
         if ref is not None:
             ref.write.mode("overwrite").parquet(f"{path}/predict_reference")
+        if index is not None:
+            from bubbles.plans.predict import build_predict_index
+
+            fp = self._fit_params or {}
+            # build FROM the parquet just written so the index provably
+            # matches the persisted reference (and the build re-reads
+            # columnar data, not the join plan)
+            build_predict_index(
+                spark.read.parquet(f"{path}/predict_reference"),
+                f"{path}/predict_index",
+                metric=fp.get("metric", "euclidean"),
+                **(index_kwargs or {}),
+            )
+            self._predict_index_path = f"{path}/predict_index"
         meta = {
             "n_iterations": int(self.n_iterations),
             "levels_mode": self._levels_mode,
             "fit_params": self._fit_params,
             "predict_reference": ref is not None,
+            "predict_index": index is not None,
             "format_version": 2,
         }
         (
@@ -751,6 +823,8 @@ class MRHDBSCANModel:
             model._predict_reference = spark.read.parquet(
                 f"{path}/predict_reference"
             )
+        if meta.get("predict_index"):
+            model._predict_index_path = f"{path}/predict_index"
         reason = (
             "it was fitted under recursive contraction"
             if model._levels_mode == "recursive"

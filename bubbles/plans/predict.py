@@ -166,127 +166,65 @@ def reference_frame(
     )
 
 
-def _predict_via_index(
-    model,
+def _mips_corpus(ref: DataFrame, metric: str):
+    """(corpus(point_id, __ivec), scale): the reference side of the
+    index embedding. ``cosine`` indexes the vectors directly;
+    ``euclidean`` applies the exact MIPS reduction (see
+    ``_predict_via_index``) after pre-scaling by the max reference
+    norm so augmented-cosine gaps stay above the IVF kernel's 6dp
+    rounding (ADVICE r9; scaling is a euclidean-ranking no-op)."""
+    from bubbles.functions.distances import dot as _dot
+
+    if metric == "cosine":
+        return ref.select("point_id", F.col("features").alias("__ivec")), 1.0
+    n2_raw = _dot(F.col("features"), F.col("features"))
+    maxn2 = ref.select(F.max(n2_raw).alias("m")).first()["m"] or 0.0
+    s = 1.0 / (maxn2 ** 0.5) if maxn2 > 0 else 1.0
+    scaled = F.transform(F.col("features"), lambda v: v * F.lit(s))
+    n2 = n2_raw * F.lit(s * s)
+    aug_norm2 = n2 + n2 * n2 / F.lit(4.0)
+    # aug_norm2 is monotone in n2 and max scaled n2 is exactly 1, so
+    # the equal-norm target is 1 + 1/4 — no second pass
+    m2 = 1.25 if maxn2 > 0 else 0.0
+    pad = F.sqrt(F.greatest(F.lit(m2) - aug_norm2, F.lit(0.0)))
+    corpus = ref.select(
+        "point_id",
+        F.concat(scaled, F.array(n2 * F.lit(-0.5), pad)).alias("__ivec"),
+    )
+    return corpus, s
+
+
+def _mips_queries(
+    staged: DataFrame, offset: int, metric: str, s: float
+) -> DataFrame:
+    """The query side of the index embedding, ids shifted by
+    ``offset`` into a range disjoint from the reference ids."""
+    qid = (F.col("point_id") + offset).alias("point_id")
+    if metric == "cosine":
+        return staged.select(qid, F.col("features").alias("__ivec"))
+    return staged.select(
+        qid,
+        F.concat(
+            F.transform(F.col("features"), lambda v: v * F.lit(float(s))),
+            F.array(F.lit(1.0), F.lit(0.0)),
+        ).alias("__ivec"),
+    )
+
+
+def _membership_result(
+    staged: DataFrame,
     ref: DataFrame,
-    new_points: DataFrame,
+    cand: DataFrame,
+    offset: int,
     min_pts: int,
     metric: str,
-    index: str,
-    features_col: str,
-    index_kwargs: dict | None,
 ) -> DataFrame:
-    """Distributed predict past the broadcast cap: find each new
-    point's nearest fitted points through the existing ANN index path
-    (``ivf_topk``/``lsh_topk`` with ``queries=``), exact-verify the
-    candidates with the column-expression metric, and apply the
-    membership rule JVM-side. The reference is NEVER broadcast or
-    collected — only the index's own bounded state is (IVF centroids).
+    """Shared tail of every index-backed predict path: exact re-rank
+    of the recalled candidates in the TRUE metric (column expressions,
+    JVM-side; tie rule = smallest fitted id, matching the broadcast
+    kernel) + the membership rule."""
+    from bubbles.functions.distances import distance_expr
 
-    Metric support: ``cosine`` indexes the vectors directly;
-    ``euclidean`` uses the exact MIPS reduction (Bachrach et al.,
-    RecSys 2014; Neyshabur & Srebro, ICML 2015): corpus rows become
-    ``[x, -|x|²/2, pad]`` with ``pad`` chosen so every augmented row
-    has the same norm, queries become ``[q, 1, 0]`` — the augmented
-    COSINE ranking then equals the euclidean ranking exactly, so the
-    index's candidate ordering is metric-true and the exact re-rank
-    only refines within the recalled set.
-
-    Approximation contract vs the broadcast path: (a) the nearest
-    fitted point is the nearest RECALLED candidate (index recall < 1
-    can miss it), (b) core_x is the (min_pts-1)-th smallest CANDIDATE
-    distance — an upper bound on the true core_x, so misses only push
-    predictions toward noise, never into a wrong cluster at a stronger
-    grade, and (c) a query whose every probed bucket was capped away
-    gets (label 0, strength 0, nearest -1, mr_dist inf). Batch-only
-    (the index builds run count/repartition/window jobs); stream
-    scoring stays on the broadcast path."""
-    import math
-
-    from bubbles.functions.distances import distance_expr, dot as _dot
-    from bubbles.operators.similarity import ivf_topk, lsh_topk
-
-    if new_points.isStreaming:
-        raise ValueError(
-            "index-path predict is batch-only; score streams through "
-            "the broadcast path (sample the reference below "
-            "max_reference_rows, e.g. save(..., fitted_points=...) "
-            "with a per-cluster cap)"
-        )
-    ref = ref.localCheckpoint()
-    n_ref = ref.count()
-    staged = new_points.select(
-        F.col("point_id").cast("long").alias("point_id"),
-        F.col(features_col).cast("array<double>").alias("features"),
-    )
-    # the index treats equal ids on both sides as the same item and
-    # excludes them — shift the query ids into a disjoint range
-    ref_max = ref.agg(F.max("point_id")).first()[0]
-    q_min = staged.agg(F.min("point_id")).first()[0]
-    if q_min is None:
-        return staged.sparkSession.createDataFrame([], _PREDICT_SCHEMA)
-    offset = max(0, int(ref_max) - int(q_min) + 1)
-    if metric == "cosine":
-        corpus = ref.select("point_id", F.col("features").alias("__ivec"))
-        queries = staged.select(
-            (F.col("point_id") + offset).alias("point_id"),
-            F.col("features").alias("__ivec"),
-        )
-    else:  # euclidean (validated by the caller)
-        # Pre-scale by the max reference norm BEFORE augmenting:
-        # euclidean ranking is invariant under uniform scaling, but the
-        # IVF kernel rounds similarities to 6dp for its deterministic
-        # tie-break — un-scaled large-norm features (|x| in the 100s)
-        # compress every augmented-cosine gap below that rounding and
-        # ranking silently degrades to the centroid-id tie-break
-        # (ADVICE r9). With max scaled |x|² = 1 the augmented norms are
-        # exactly sqrt(1.25) and the cosines use their full range; it
-        # also fixes the mirror failure at tiny norms (|x| ~ 1e-4).
-        n2_raw = _dot(F.col("features"), F.col("features"))
-        maxn2 = ref.select(F.max(n2_raw).alias("m")).first()["m"] or 0.0
-        s = 1.0 / (maxn2 ** 0.5) if maxn2 > 0 else 1.0
-        scaled = F.transform(F.col("features"), lambda v: v * F.lit(s))
-        n2 = n2_raw * F.lit(s * s)
-        aug_norm2 = n2 + n2 * n2 / F.lit(4.0)
-        # aug_norm2 is monotone in n2 and max scaled n2 is exactly 1,
-        # so the equal-norm target is 1 + 1/4 — no second pass
-        m2 = 1.25 if maxn2 > 0 else 0.0
-        pad = F.sqrt(F.greatest(F.lit(m2) - aug_norm2, F.lit(0.0)))
-        corpus = ref.select(
-            "point_id",
-            F.concat(scaled, F.array(n2 * F.lit(-0.5), pad)).alias("__ivec"),
-        )
-        queries = staged.select(
-            (F.col("point_id") + offset).alias("point_id"),
-            F.concat(
-                F.transform(F.col("features"), lambda v: v * F.lit(s)),
-                F.array(F.lit(1.0), F.lit(0.0)),
-            ).alias("__ivec"),
-        )
-    kw = dict(index_kwargs or {})
-    k_cand = int(kw.pop("k", max(min_pts - 1, 8)))
-    if index == "ivf":
-        kw.setdefault(
-            "n_centroids",
-            max(16, int(math.sqrt(max(n_ref, 1) / 200)) ** 2),
-        )
-        kw.setdefault("n_probe", 8)
-        cand = ivf_topk(
-            corpus, k=k_cand, id_col="point_id", vec_col="__ivec",
-            n_rows=n_ref, queries=queries, **kw,
-        )
-    elif index == "lsh":
-        kw.setdefault("tables", 3)
-        kw.setdefault("n_probes", 8)
-        cand = lsh_topk(
-            corpus, k=k_cand, id_col="point_id", vec_col="__ivec",
-            queries=queries, **kw,
-        )
-    else:
-        raise ValueError(f"unknown index {index!r}; 'ivf' or 'lsh'")
-    # exact re-rank: candidate distances in the TRUE metric as column
-    # expressions (JVM-side), tie rule = smallest fitted id, matching
-    # the broadcast kernel
     q_feats = staged.select(
         (F.col("point_id") + offset).alias("query_id"),
         F.col("features").alias("__qf"),
@@ -365,6 +303,264 @@ def _predict_via_index(
     )
 
 
+def _predict_via_index(
+    model,
+    ref: DataFrame,
+    new_points: DataFrame,
+    min_pts: int,
+    metric: str,
+    index: str,
+    features_col: str,
+    index_kwargs: dict | None,
+) -> DataFrame:
+    """Distributed predict past the broadcast cap: find each new
+    point's nearest fitted points through the existing ANN index path
+    (``ivf_topk``/``lsh_topk`` with ``queries=``), exact-verify the
+    candidates with the column-expression metric, and apply the
+    membership rule JVM-side. The reference is NEVER broadcast or
+    collected — only the index's own bounded state is (IVF centroids).
+
+    Metric support: ``cosine`` indexes the vectors directly;
+    ``euclidean`` uses the exact MIPS reduction (Bachrach et al.,
+    RecSys 2014; Neyshabur & Srebro, ICML 2015): corpus rows become
+    ``[x, -|x|²/2, pad]`` with ``pad`` chosen so every augmented row
+    has the same norm, queries become ``[q, 1, 0]`` — the augmented
+    COSINE ranking then equals the euclidean ranking exactly, so the
+    index's candidate ordering is metric-true and the exact re-rank
+    only refines within the recalled set.
+
+    Approximation contract vs the broadcast path: (a) the nearest
+    fitted point is the nearest RECALLED candidate (index recall < 1
+    can miss it), (b) core_x is the (min_pts-1)-th smallest CANDIDATE
+    distance — an upper bound on the true core_x, so misses only push
+    predictions toward noise, never into a wrong cluster at a stronger
+    grade, and (c) a query whose every probed bucket was capped away
+    gets (label 0, strength 0, nearest -1, mr_dist inf). Batch-only
+    (the index builds run count/repartition/window jobs); stream
+    scoring stays on the broadcast path."""
+    import math
+
+    from bubbles.operators.similarity import ivf_topk, lsh_topk
+
+    if new_points.isStreaming:
+        raise ValueError(
+            "index-path predict is batch-only; score streams through "
+            "the broadcast path (sample the reference below "
+            "max_reference_rows, e.g. save(..., fitted_points=...) "
+            "with a per-cluster cap)"
+        )
+    ref = ref.localCheckpoint()
+    n_ref = ref.count()
+    staged = new_points.select(
+        F.col("point_id").cast("long").alias("point_id"),
+        F.col(features_col).cast("array<double>").alias("features"),
+    )
+    # the index treats equal ids on both sides as the same item and
+    # excludes them — shift the query ids into a disjoint range
+    ref_max = ref.agg(F.max("point_id")).first()[0]
+    q_min = staged.agg(F.min("point_id")).first()[0]
+    if q_min is None:
+        return staged.sparkSession.createDataFrame([], _PREDICT_SCHEMA)
+    offset = max(0, int(ref_max) - int(q_min) + 1)
+    corpus, s = _mips_corpus(ref, metric)
+    queries = _mips_queries(staged, offset, metric, s)
+    kw = dict(index_kwargs or {})
+    k_cand = int(kw.pop("k", max(min_pts - 1, 8)))
+    if index == "ivf":
+        kw.setdefault(
+            "n_centroids",
+            max(16, int(math.sqrt(max(n_ref, 1) / 200)) ** 2),
+        )
+        kw.setdefault("n_probe", 8)
+        cand = ivf_topk(
+            corpus, k=k_cand, id_col="point_id", vec_col="__ivec",
+            n_rows=n_ref, queries=queries, **kw,
+        )
+    elif index == "lsh":
+        kw.setdefault("tables", 3)
+        kw.setdefault("n_probes", 8)
+        cand = lsh_topk(
+            corpus, k=k_cand, id_col="point_id", vec_col="__ivec",
+            queries=queries, **kw,
+        )
+    else:
+        raise ValueError(f"unknown index {index!r}; 'ivf' or 'lsh'")
+    return _membership_result(staged, ref, cand, offset, min_pts, metric)
+
+
+def build_predict_index(
+    ref: DataFrame,
+    path: str,
+    metric: str = "euclidean",
+    n_centroids: int | None = None,
+    n_probe: int = 8,
+    max_bucket_size: int = 4096,
+    seed: int = 42,
+    n_salts: int = 4,
+) -> None:
+    """Build the distributed-predict IVF index ONCE over a prediction
+    reference and persist it under ``path`` so repeated scoring
+    batches pay probe + re-rank only (the reference-side assignment
+    pass and inverted-list cap — the dominant cost of a cold
+    ``_predict_via_index`` call — are amortized across batches, the
+    same pattern as the near-dup corpus band index). Artifacts:
+
+    * ``centroids/`` — (ord, centroid_id, cvec) parquet; ``ord``
+      preserves the sample-priority order the assignment kernel's
+      tie-breaks are defined over.
+    * ``members/`` — (centroid, neighbor_id, vec BINARY) parquet, the
+      capped inverted lists repartitioned by centroid (list-clustered
+      layout; the packed float64 payload feeds ``_vec_matrix``'s
+      binary fast path straight from the scan).
+    * ``meta/`` — one-row JSON: metric, the euclidean MIPS pre-scale,
+      probe/salt defaults and ``ref_max_id`` for the query-id shift.
+
+    Build parameters default exactly like the cold auto path, so a
+    persisted-index predict reproduces a fresh-index predict bit-for-
+    bit on the same reference (pinned by test_predict)."""
+    import json
+    import math
+
+    if metric not in ("euclidean", "cosine"):
+        raise ValueError(
+            f"persisted predict index supports euclidean/cosine, got "
+            f"{metric!r}"
+        )
+    from bubbles.operators.similarity import _ivf_build
+
+    spark = ref.sparkSession
+    n_ref = ref.count()
+    ref_max = ref.agg(F.max("point_id")).first()[0]
+    if ref_max is None:
+        raise ValueError("cannot build a predict index over an empty reference")
+    corpus, s = _mips_corpus(ref, metric)
+    if n_centroids is None:
+        n_centroids = max(16, int(math.sqrt(max(n_ref, 1) / 200)) ** 2)
+    cids, cmat, _both, assigned = _ivf_build(
+        corpus,
+        n_centroids=n_centroids,
+        n_probe_corpus=1,
+        seed=seed,
+        id_col="point_id",
+        vec_col="__ivec",
+        max_bucket_size=max_bucket_size,
+        centroid_ids=None,
+        n_rows=n_ref,
+    )
+    cent_rows = [
+        (i, int(cid), [float(x) for x in cmat[i]])
+        for i, cid in enumerate(cids)
+    ]
+    (
+        spark.createDataFrame(
+            cent_rows, "ord int, centroid_id long, cvec array<double>"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/centroids")
+    )
+    (
+        assigned.select("centroid", "neighbor_id", F.col("__cv").alias("vec"))
+        .repartition("centroid")
+        .write.mode("overwrite")
+        .parquet(f"{path}/members")
+    )
+    meta = {
+        "metric": metric,
+        "scale": float(s),
+        "n_probe": int(n_probe),
+        "n_salts": int(n_salts),
+        "n_centroids": int(n_centroids),
+        "max_bucket_size": int(max_bucket_size),
+        "seed": int(seed),
+        "ref_max_id": int(ref_max),
+        "n_ref": int(n_ref),
+        "format_version": 1,
+    }
+    (
+        spark.createDataFrame([(json.dumps(meta),)], "meta string")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(f"{path}/meta")
+    )
+
+
+def _predict_via_persisted_index(
+    model,
+    ref: DataFrame,
+    new_points: DataFrame,
+    min_pts: int,
+    metric: str,
+    index_path: str,
+    features_col: str,
+    index_kwargs: dict | None,
+) -> DataFrame:
+    """Warm distributed predict: candidates from the PERSISTED index
+    (query-side assignment kernel + cogroup scoring over the stored
+    inverted lists — the reference is never re-assigned, re-capped,
+    broadcast or collected), then the shared exact re-rank +
+    membership tail. Same approximation contract as
+    ``_predict_via_index``; bit-identical to it when built with the
+    same parameters (the artifacts ARE the cold path's intermediates)."""
+    import json
+
+    import numpy as np
+
+    from bubbles.operators.similarity import _ivf_assign_probe, _ivf_score
+
+    if new_points.isStreaming:
+        raise ValueError(
+            "index-path predict is batch-only; score streams through "
+            "the broadcast path (sample the reference below "
+            "max_reference_rows, e.g. save(..., fitted_points=...) "
+            "with a per-cluster cap)"
+        )
+    spark = new_points.sparkSession
+    meta = json.loads(
+        spark.read.text(f"{index_path}/meta").collect()[0]["value"]
+    )
+    if metric != meta["metric"]:
+        raise ValueError(
+            f"the persisted predict index was built for metric "
+            f"{meta['metric']!r}, not {metric!r}; predict with the fit "
+            f"metric or rebuild the index (save(..., index='ivf'))"
+        )
+    staged = new_points.select(
+        F.col("point_id").cast("long").alias("point_id"),
+        F.col(features_col).cast("array<double>").alias("features"),
+    )
+    q_min = staged.agg(F.min("point_id")).first()[0]
+    if q_min is None:
+        return spark.createDataFrame([], _PREDICT_SCHEMA)
+    offset = max(0, int(meta["ref_max_id"]) - int(q_min) + 1)
+    queries = _mips_queries(staged, offset, metric, float(meta["scale"]))
+    crows = (
+        spark.read.parquet(f"{index_path}/centroids").orderBy("ord").collect()
+    )
+    cids = np.array([r["centroid_id"] for r in crows], dtype=np.int64)
+    cmat = np.array([r["cvec"] for r in crows], dtype=np.float64)
+    kw = dict(index_kwargs or {})
+    k_cand = int(kw.pop("k", max(min_pts - 1, 8)))
+    n_probe = int(kw.pop("n_probe", meta["n_probe"]))
+    n_salts = int(kw.pop("n_salts", meta["n_salts"]))
+    if kw:
+        raise ValueError(
+            f"index_kwargs not applicable to a persisted index (set at "
+            f"build time): {sorted(kw)}"
+        )
+    qbase = queries.select("point_id", F.col("__ivec").alias("features"))
+    par = spark.sparkContext.defaultParallelism
+    qn = qbase.count()
+    if -(-qn // 50_000) <= par:
+        qbase = qbase.repartition(min(par, max(1, -(-qn // 50_000))))
+    both = _ivf_assign_probe(qbase, cids, cmat, n_probe).localCheckpoint()
+    members = spark.read.parquet(f"{index_path}/members").select(
+        "neighbor_id", F.col("vec").alias("__cv"), "centroid"
+    )
+    cand = _ivf_score(both, members, k_cand, n_salts)
+    return _membership_result(staged, ref, cand, offset, min_pts, metric)
+
+
 def approximate_predict(
     model,
     fitted_points: DataFrame | None,
@@ -426,12 +622,25 @@ def approximate_predict(
             )
     else:
         ref = reference_frame(model, fitted_points, features_col)
+    # a persisted index only applies to the reference it was built
+    # over — the model's persisted prediction reference (fitted_points
+    # is None); explicitly supplied fitted_points always rebuild
+    idx_path = (
+        getattr(model, "_predict_index_path", None)
+        if fitted_points is None
+        else None
+    )
     if index in ("ivf", "lsh"):
         if metric not in ("euclidean", "cosine"):
             raise ValueError(
                 f"index-path predict supports euclidean/cosine (the exact "
                 f"cosine-ranking reductions); {metric!r} needs the "
                 f"broadcast path"
+            )
+        if index == "ivf" and idx_path is not None and not new_points.isStreaming:
+            return _predict_via_persisted_index(
+                model, ref, new_points, min_pts, metric, idx_path,
+                features_col, index_kwargs,
             )
         return _predict_via_index(
             model, ref, new_points, min_pts, metric, index,
@@ -450,6 +659,11 @@ def approximate_predict(
             and metric in ("euclidean", "cosine")
             and not new_points.isStreaming
         ):
+            if idx_path is not None:
+                return _predict_via_persisted_index(
+                    model, ref, new_points, min_pts, metric, idx_path,
+                    features_col, index_kwargs,
+                )
             return _predict_via_index(
                 model, ref, new_points, min_pts, metric, "ivf",
                 features_col, index_kwargs,

@@ -360,6 +360,69 @@ def test_predict_auto_falls_over_to_index_past_cap(spark, fitted):
         assert got[p][0] == 0 and got[p][1] == 0.0
 
 
+def test_predict_persisted_index_equals_fresh(spark, tmp_path):
+    """Round-10: save(..., index='ivf') persists the distributed-
+    predict IVF index (centroids + capped inverted lists); a loaded
+    model's index='ivf' predict must (a) reproduce the fresh-index
+    predict bit-for-bit on sf0.001 (the artifacts ARE the cold path's
+    intermediates — same centroids, same lists, same probes), and (b)
+    take its candidates from the persisted members parquet, not a
+    rebuilt assignment."""
+    from bubbles.plans.mrhdbscan import MRHDBSCANModel
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).filter(F.col("vec_id") < 500)
+    pts = emb.select(
+        F.col("vec_id").alias("point_id"),
+        F.col("embedding").cast("array<double>").alias("features"),
+    )
+    train = pts.filter(F.col("point_id") < 400).localCheckpoint()
+    new = pts.filter(F.col("point_id") >= 400)
+    model = MRHDBSCAN(
+        min_pts=4, min_cluster_size=10, max_local_size=2000, dim=64
+    ).fit(train)
+    fresh = _collect_pred(model.predict(train, new, min_pts=4, index="ivf"))
+
+    path = str(tmp_path / "model_pidx")
+    model.save(
+        path, fitted_points=train, predict_rows_per_cluster=0, index="ivf"
+    )
+    with pytest.warns(UserWarning):
+        loaded = MRHDBSCANModel.load(spark, path)
+    assert loaded._predict_index_path == f"{path}/predict_index"
+    warm_df = loaded.predict(new, min_pts=4, index="ivf")
+    files = warm_df.inputFiles()
+    assert any("predict_index/members" in f for f in files), (
+        f"warm predict did not read the persisted inverted lists: {files}"
+    )
+    warm = _collect_pred(warm_df)
+    assert set(warm) == set(fresh)
+    for p, (lbl, s, near, dmr) in fresh.items():
+        g_lbl, g_s, g_near, g_dmr = warm[p]
+        assert (g_lbl, g_near) == (lbl, near), f"point {p}"
+        assert g_s == pytest.approx(s, abs=1e-12)
+        assert g_dmr == pytest.approx(dmr, rel=1e-12)
+    # build-time kwargs are fixed in the artifact: re-tuning them at
+    # predict time is an explicit error, not a silent ignore
+    with pytest.raises(ValueError, match="index_kwargs"):
+        loaded.predict(new, index="ivf", index_kwargs={"n_centroids": 4})
+    # explicit fitted_points bypass the persisted index (it was built
+    # over the PERSISTED reference) — still works, still equal here
+    bypass = _collect_pred(loaded.predict(train, new, min_pts=4, index="ivf"))
+    assert {p: v[0] for p, v in bypass.items()} == {
+        p: v[0] for p, v in fresh.items()
+    }
+
+
+def test_save_index_requires_fitted_points_and_ivf(spark, fitted, tmp_path):
+    X, df, model = fitted
+    with pytest.raises(ValueError, match="fitted_points"):
+        model.save(str(tmp_path / "m1"), index="ivf")
+    with pytest.raises(ValueError, match="only index='ivf'"):
+        model.save(str(tmp_path / "m2"), fitted_points=df, index="lsh")
+
+
 def test_predict_index_lsh_and_streaming_guard(spark, fitted, tmp_path):
     X, df, model = fitted
     new_df = to_df(spark, X[:20] + 0.1, ids=np.arange(20))

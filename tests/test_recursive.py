@@ -299,6 +299,53 @@ def test_hierarchy_at_recursive_matches_single_level(spark):
         _assert_same_partition(_cut(m_sl, eps), _cut(m_rec, eps), eps)
 
 
+def test_hierarchy_at_multi_level_matches_per_eps(spark):
+    """Round 10: hierarchy_at accepts a LIST of levels and replays the
+    durable pieces once (one broadcast join, one membership join, long
+    format). Differential: multi-eps == the per-eps calls verbatim in
+    BOTH modes; recursive multi-eps == non-recursive cut up to a label
+    bijection; duplicate levels collapse."""
+    df = to_df(spark, _blobs())
+    params = dict(
+        min_pts=4, min_cluster_size=5, max_local_size=64,
+        max_samples_per_subset=16, seed=11,
+    )
+    m_sl = MRHDBSCAN(recursive_contraction=False, **params).fit(df)
+    m_rec = MRHDBSCAN(recursive_contraction=True, **params).fit(df)
+    res, _ = m_sl._hier
+    ws = sorted({float(w) for w, _ in hk.hierarchy_levels(res, full=True)})
+    probes = sorted(
+        {ws[0], ws[len(ws) // 2], ws[-1], (ws[0] + ws[-1]) / 2.0, ws[-1] * 1.5}
+    )
+
+    def _multi(model, levels):
+        out: dict = {}
+        for r in model.hierarchy_at(levels).collect():
+            out.setdefault(float(r["level_weight"]), {})[
+                int(r["point_id"])
+            ] = int(r["label"])
+        return out
+
+    for m in (m_sl, m_rec):
+        multi = _multi(m, probes)
+        assert sorted(multi) == probes
+        for e in probes:
+            assert multi[e] == _cut(m, e), f"eps={e} differs from single call"
+    rec_multi = _multi(m_rec, probes)
+    for e in probes:
+        _assert_same_partition(_cut(m_sl, e), rec_multi[e], e)
+    # duplicates collapse; empty list refuses
+    e0 = probes[0]
+    assert (
+        m_sl.hierarchy_at([e0, e0]).count()
+        == m_sl.hierarchy_at(e0).count()
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="at least one level"):
+        m_sl.hierarchy_at([])
+
+
 def test_hierarchy_at_requires_retention(spark):
     from bubbles.plans.mrhdbscan import MRHDBSCANModel
 

@@ -837,6 +837,39 @@ def main():
         "verifies candidates in the true metric, JVM-side)",
     )
 
+    # round 10: PERSISTED predict index — a loaded model's warm
+    # predict must take its candidates from the saved inverted lists
+    # (parquet scan of predict_index/members), never re-running the
+    # reference-side assignment pass or re-capping the lists
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        from bubbles.plans.mrhdbscan import MRHDBSCANModel
+        import warnings as _w
+
+        pm.save(
+            f"{td}/m", fitted_points=train, predict_rows_per_cluster=0,
+            index="ivf",
+        )
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            loadedm = MRHDBSCANModel.load(spark, f"{td}/m")
+        wdf = loadedm.predict(
+            emb.filter(F.col("point_id") >= 400), min_pts=4, index="ivf"
+        )
+        wp = plan_of(wdf)
+        wfiles = wdf.inputFiles()
+        check(
+            "persisted-index predict reads the saved inverted lists",
+            any("predict_index/members" in f for f in wfiles)
+            and "FlatMapCoGroupsInPandas" in wp
+            and not any("predict_index/centroids" in f for f in wfiles),
+            "warm batches pay query-side probe + cogroup + re-rank only: "
+            "members come from the persisted parquet, centroids were "
+            "loaded once as bounded driver state (not re-joined), and no "
+            "corpus-side assignment kernel appears in the plan",
+        )
+
     lines = [
         "# PLANS — physical-plan audit (tools/plan_audit.py)",
         "",

@@ -163,6 +163,48 @@ def main():
         flush=True,
     )
 
+    # --- persisted index: build once vs warm per-batch ---------------
+    # (round-10 split, mirroring stream_near_dup's index-build/warm-
+    # batch rows: the cold distributed row above re-assigns the whole
+    # reference per call; the persisted index pays that once at save)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        from bubbles.plans.mrhdbscan import MRHDBSCANModel
+
+        t0 = time.time()
+        model.save(
+            f"{td}/m", fitted_points=ref_pts, predict_rows_per_cluster=0,
+            index="ivf",
+        )
+        el = round(time.time() - t0, 2)
+        results["predict_index_build"] = {str(n_ref_actual): el}
+        print(
+            f"predict_index_build ref={n_ref_actual}: {el}s "
+            f"(save: reference + centroids + capped inverted lists)",
+            flush=True,
+        )
+        import warnings as _w
+
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            loaded = MRHDBSCANModel.load(spark, f"{td}/m")
+
+        def run_warm():
+            return loaded.predict(new_pts, min_pts=4, index="ivf").count()
+
+        run_warm()  # warmup rep (JIT + page cache on the index files)
+        t0 = time.time()
+        rows = run_warm()
+        el = round(time.time() - t0, 2)
+        results["predict_index_warm_batch"] = {str(n_new_actual): el}
+        print(
+            f"predict_index_warm_batch ref={n_ref_actual} "
+            f"new={n_new_actual}: {el}s ({rows} rows, "
+            f"{el * 1e6 / n_new_actual:.1f} µs/new-pt)",
+            flush=True,
+        )
+
     # --- broadcast path per-point cost at a 100k reference ----------
     ref_small = ref_pts.filter(F.col("point_id") < 100_000).localCheckpoint()
     bres: dict[str, float] = {}
