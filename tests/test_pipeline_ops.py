@@ -146,6 +146,90 @@ def test_cosine_topk_exact(spark):
         assert got == want
 
 
+def test_choose_index_on_eval_corpora(spark):
+    """Round-10 (VERDICT r9 task 8): the PIPELINE_EVAL index-choice
+    rule as a callable. The helper's picks must DELIVER their promised
+    recall on the separable eval corpus (the geometry the rule is
+    calibrated on), rank sanely on the hard corpus (sf0.001
+    embeddings — the documented floor), and route streaming builds /
+    past-ceiling targets away from IVF."""
+    import numpy as np
+    import pyarrow as pa
+
+    from bubbles.operators.similarity import (
+        choose_index,
+        cosine_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    n_vec, k = 500, 10
+    rng = np.random.default_rng(42)
+    centers = rng.standard_normal((25, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    Xs = centers[rng.integers(0, 25, n_vec)] + 0.15 * rng.standard_normal(
+        (n_vec, 64)
+    )
+    Xs /= np.linalg.norm(Xs, axis=1, keepdims=True)
+    emb_sep = spark.createDataFrame(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n_vec), pa.int64()),
+                "embedding": pa.array(Xs.tolist(), pa.list_(pa.float64())),
+            }
+        )
+    ).localCheckpoint()
+    emb_hard = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .localCheckpoint()
+    )
+
+    def recall(corpus, rows):
+        truth: dict = {}
+        for r in cosine_topk(corpus, corpus, k=k).collect():
+            truth.setdefault(int(r.query_id), set()).add(int(r.neighbor_id))
+        got: dict = {}
+        for r in rows:
+            got.setdefault(int(r.query_id), set()).add(int(r.neighbor_id))
+        num = sum(len(truth[q] & got.get(q, set())) for q in truth)
+        return num / max(sum(len(v) for v in truth.values()), 1)
+
+    # default target: IVF, and it delivers on separable geometry
+    c = choose_index(n_vec, target_recall=0.8)
+    assert c["index"] == "ivf"
+    rec_ivf_sep = recall(emb_sep, ivf_topk(emb_sep, k=k, **c["kwargs"]).collect())
+    assert rec_ivf_sep >= 0.8, f"ivf recall {rec_ivf_sep}"
+
+    # past IVF's measured ceiling: global multi-probe LSH(16), delivers 0.9
+    c2 = choose_index(n_vec, target_recall=0.9)
+    assert c2["index"] == "lsh" and c2["kwargs"]["probe_alloc"] == "global"
+    rec_lsh_sep = recall(
+        emb_sep, lsh_topk(emb_sep, k=k, dim=64, **c2["kwargs"]).collect()
+    )
+    assert rec_lsh_sep >= 0.9, f"global lsh recall {rec_lsh_sep}"
+
+    # streaming build / churn: never IVF (no centroid pass available)
+    assert choose_index(n_vec, streaming_build=True)["index"] == "lsh"
+    assert choose_index(n_vec, corpus_churn=True)["index"] == "lsh"
+    # past the best measured approximate setting: exact
+    assert choose_index(n_vec, target_recall=0.95)["index"] == "exact"
+    with pytest.raises(ValueError, match="target_recall"):
+        choose_index(n_vec, target_recall=0.0)
+
+    # hard corpus (barely separable, TESTDATA.md): same IVF settings
+    # degrade toward the documented floor but still beat single-probe
+    # LSH — the helper's ranking holds even where recall doesn't
+    rec_ivf_hard = recall(
+        emb_hard, ivf_topk(emb_hard, k=k, **c["kwargs"]).collect()
+    )
+    rec_lsh1_hard = recall(
+        emb_hard, lsh_topk(emb_hard, k=k, dim=64).collect()
+    )
+    assert rec_ivf_hard < rec_ivf_sep
+    assert rec_ivf_hard > rec_lsh1_hard
+
+
 def test_lsh_topk_recall(spark):
     from bubbles.operators.similarity import cosine_topk, lsh_topk
 
