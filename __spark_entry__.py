@@ -770,6 +770,41 @@ def cluster_predict_distributed(spark, sf_dir):
     )
 
 
+def cluster_hierarchy_cut(spark, sf_dir):
+    """Round 10: the batched multi-level dendrogram cut
+    (MRHDBSCANModel.hierarchy_at with a LIST of levels — one broadcast
+    join + one membership join for all levels). Fit embeddings
+    [vec_id<400]; levels = MST-weight order statistics at q =
+    0.5/0.8/0.95 (data-derived, reproduced identically by the golden
+    from the same MST). Labels are canonicalized to the minimum member
+    point_id per (level, cluster) so the check is label-numbering-
+    invariant. Oracle: golden from the INDEPENDENT chain-walk rule
+    over the slow-reference-verified hierarchy (tools/make_golden.py
+    cut_rule), keyed by the <400-frame fingerprint."""
+    from bubbles import MRHDBSCAN
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    pts = emb.select(
+        F.col("vec_id").alias("point_id"),
+        F.col("embedding").cast("array<double>").alias("features"),
+    )
+    model = MRHDBSCAN(
+        min_pts=4, min_cluster_size=10, max_local_size=2000, dim=64
+    ).fit(pts)
+    ws = sorted(float(r["weight"]) for r in model.mst_edges.collect())
+    eps = sorted({ws[int(q * (len(ws) - 1))] for q in (0.5, 0.8, 0.95)})
+    cut = model.hierarchy_at(eps)
+    wnd = Window.partitionBy("level_weight", "label")
+    return cut.select(
+        F.round("level_weight", 6).alias("level_weight"),
+        "point_id",
+        F.when(F.col("label") == 0, F.lit(0))
+        .otherwise(F.min("point_id").over(wnd))
+        .cast("long")
+        .alias("label"),
+    )
+
+
 def multimodal_decode_fake(spark, sf_dir):
     from bubbles.operators.multimodal import decode_media
 
@@ -1070,6 +1105,7 @@ def _catalog_queries_a() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_embeddings": _widen(cluster_embeddings),
         "cluster_predict": _widen(cluster_predict),
         "cluster_predict_distributed": _widen(cluster_predict_distributed),
+        "cluster_hierarchy_cut": _widen(cluster_hierarchy_cut),
         "multimodal_decode_fake": _widen(multimodal_decode_fake),
         "lsh_ann_topk": _widen(lsh_ann_topk),
         "ivf_ann_topk": _widen(ivf_ann_topk),
@@ -2982,6 +3018,20 @@ def _catalog_sql_a() -> dict[str, str]:
             FROM read_parquet('/root/repo/tests/golden/cluster_predict.parquet') g, fp
             WHERE g.input_fp = fp.v
         """,
+        # round-10 batched dendrogram cut: golden from the independent
+        # chain-walk rule over the slow-verified <400 hierarchy, labels
+        # canonicalized to min member point_id per (level, cluster);
+        # keyed by the <400-frame fingerprint
+        "cluster_hierarchy_cut": """
+            WITH fp AS (
+              SELECT count(*) + 31 * sum(vec_id)
+                     + 131 * sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)) AS v
+              FROM embeddings WHERE vec_id < 400
+            )
+            SELECT g.level_weight, g.point_id, g.label
+            FROM read_parquet('/root/repo/tests/golden/cluster_hierarchy_cut.parquet') g, fp
+            WHERE g.input_fp = fp.v
+        """,
     }
 
 
@@ -4370,13 +4420,16 @@ def all_oracle_sql() -> dict[str, str]:
 # round-8+ certification), then the window backfills with the
 # round-8-certified set in its registration order, re-certifying it on
 # round-10 code. The record window is a hard 50 rows (r5 evidence,
-# pinned by test_entry_sessionless); the 4 r8 rows that don't fit
-# (dataset_split, pack_sequences, stream_stateful_totals,
-# cluster_predict) keep their r8 certification and rotate back in
-# round 11.
+# pinned by test_entry_sessionless); the NEW round-10 golden query
+# (cluster_hierarchy_cut) leads, so the 5 r8 rows that don't fit
+# (multimodal_decode_fake, dataset_split, pack_sequences,
+# stream_stateful_totals, cluster_predict) keep their r8
+# certification and rotate back in round 11.
 # ---------------------------------------------------------------------------
 
 GATE_KEYS: list[str] = [
+    # new this round — certify the batched dendrogram cut
+    "cluster_hierarchy_cut",
     # last certified on round-7 code — the rotation targets
     "salted_join",
     "leakage_safe_split",
@@ -4428,7 +4481,6 @@ GATE_KEYS: list[str] = [
     "corpus_vocab",
     "events_asof_join",
     "multimodal_meta",
-    "multimodal_decode_fake",
 ]
 
 

@@ -25,6 +25,7 @@ def test_goldens_match_current_testdata(sf_dir):
         (cfp, cids, labels),
         (gfp, gids, scores),
         (pfp, pids, plabel, pstrength, pnearest),
+        (cutfp, cut_lw, cut_pid, cut_lab),
     ) = derive_for_dir(sf_dir)
 
     g = pq.read_table(f"{GOLDEN}/cluster_embeddings.parquet").to_pandas()
@@ -46,3 +47,11 @@ def test_goldens_match_current_testdata(sf_dir):
     assert (mine["label"].to_numpy() == plabel).all()
     assert (mine["strength"].to_numpy() == pstrength).all()
     assert (mine["nearest_fitted_id"].to_numpy() == pnearest).all()
+
+    c = pq.read_table(f"{GOLDEN}/cluster_hierarchy_cut.parquet").to_pandas()
+    mine = c[c["input_fp"] == cutfp].sort_values(["level_weight", "point_id"])
+    assert len(mine) == len(cut_pid)
+    order = np.lexsort((cut_pid, cut_lw))
+    assert (mine["level_weight"].to_numpy() == cut_lw[order]).all()
+    assert (mine["point_id"].to_numpy() == cut_pid[order]).all()
+    assert (mine["label"].to_numpy() == cut_lab[order]).all()

@@ -1,4 +1,4 @@
-"""Generate the golden-artifact oracles for the two iterative
+"""Generate the golden-artifact oracles for the iterative
 (non-SQL-expressible) queries, so the driver's correctness gate can
 hash-check them like every other row:
 
@@ -12,6 +12,11 @@ hash-check them like every other row:
   ``embeddings[400<=vec_id<500]`` against the exact-kernel fit of
   ``embeddings[vec_id<400]`` via an independent numpy derivation of
   the membership rule (``predict_rule`` below), strength 6-dp HALF_UP
+- ``tests/golden/cluster_hierarchy_cut.parquet`` — the multi-level
+  dendrogram cut of the ``<400`` fit at three MST-weight order
+  statistics, via an independent chain-walk derivation of the cut
+  rule (``cut_rule`` below); labels canonicalized to the minimum
+  member point_id per (level, cluster)
 
 The goldens are SF-ADAPTIVE: each generation's rows carry an exact
 integer fingerprint of its input frame
@@ -122,6 +127,33 @@ def predict_rule(
     return out_label, out_strength, out_nearest
 
 
+def cut_rule(clusters: dict, last_cluster, noise_level, eps: float):
+    """Independent derivation of the dendrogram-cut label rule
+    (MRHDBSCANModel.hierarchy_at documents the semantics): a point is
+    noise once its noise level exceeds eps; otherwise its label is the
+    deepest chain cluster, walking parents from its last (deepest)
+    cluster, whose birth >= eps (the root, birth NaN, is active
+    everywhere). Deliberately NOT imported from the engine
+    (hdbscan_kernel.labels_at_level is the engine's copy of the rule);
+    operates on the hierarchy that the slow top-down reference has
+    already been asserted equal to."""
+    parent_of = {lbl: c.parent for lbl, c in clusters.items()}
+    birth_of = {lbl: c.birth for lbl, c in clusters.items()}
+    n = len(last_cluster)
+    labels = np.zeros(n, dtype=np.int64)
+    for p in range(n):
+        if noise_level[p] > eps:
+            continue
+        lbl = int(last_cluster[p])
+        while lbl != 0:
+            b = birth_of[lbl]
+            if lbl == 1 or (not np.isnan(b) and b >= eps):
+                labels[p] = lbl
+                break
+            lbl = parent_of[lbl]
+    return labels
+
+
 def derive_for_dir(sf_dir: str):
     """(cluster_rows, glosh_rows, predict_rows) for one testdata
     generation, slow-reference-verified."""
@@ -201,6 +233,40 @@ def derive_for_dir(sf_dir: str):
             p_nearest,
         )
     )
+
+    # cluster_hierarchy_cut golden (round 10): three data-derived
+    # levels — MST-weight order statistics at q = 0.5/0.8/0.95,
+    # reproduced identically by the query from model.mst_edges — cut
+    # with the INDEPENDENT chain rule (cut_rule above) over the
+    # slow-verified <400 hierarchy. Labels are canonicalized to the
+    # minimum member point_id per (level, cluster) so the comparison
+    # is label-numbering-invariant (the distributed fit's chain labels
+    # need not share the kernel's internal ints).
+    ws = np.sort(np.asarray(w, dtype=np.float64))
+    # sorted-set dedupe mirrors the query (hierarchy_at collapses
+    # duplicate levels, so the golden must too)
+    eps_list = sorted({float(ws[int(q * (len(ws) - 1))]) for q in (0.5, 0.8, 0.95)})
+    cut_lw, cut_pid, cut_lab = [], [], []
+    for e in eps_list:
+        labs = cut_rule(fast.clusters, fast.last_cluster, fast.noise_level, e)
+        canon = np.zeros(len(labs), dtype=np.int64)
+        for lbl in np.unique(labs):
+            if lbl == 0:
+                continue
+            m = labs == lbl
+            canon[m] = ids_tr[m].min()
+        cut_lw.append(np.full(len(labs), round6_half_up(e)))
+        cut_pid.append(ids_tr)
+        cut_lab.append(canon)
+    cfp400 = input_fingerprint(ids_tr, X_tr)
+    out.append(
+        (
+            cfp400,
+            np.concatenate(cut_lw),
+            np.concatenate(cut_pid),
+            np.concatenate(cut_lab),
+        )
+    )
     return out
 
 
@@ -219,12 +285,13 @@ def _write_deduped(tables, fname):
 
 def main():
     sf_dirs = sys.argv[1:] or sorted(globmod.glob("/root/testdata/sf*"))
-    cl_tables, gl_tables, pr_tables = [], [], []
+    cl_tables, gl_tables, pr_tables, cut_tables = [], [], [], []
     for sf_dir in sf_dirs:
         (
             (cfp, cids, labels),
             (gfp, gids, scores),
             (pfp, pids, plabel, pstrength, pnearest),
+            (cutfp, cut_lw, cut_pid, cut_lab),
         ) = derive_for_dir(sf_dir)
         cl_tables.append(
             pa.table(
@@ -255,18 +322,31 @@ def main():
                 }
             )
         )
+        cut_tables.append(
+            pa.table(
+                {
+                    "input_fp": pa.array([cutfp] * len(cut_pid), pa.int64()),
+                    "level_weight": pa.array(cut_lw, pa.float64()),
+                    "point_id": pa.array(cut_pid, pa.int64()),
+                    "label": pa.array(cut_lab, pa.int64()),
+                }
+            )
+        )
         print(
             f"{sf_dir}: cluster fp={cfp} n={len(cids)}; glosh fp={gfp} "
-            f"n={len(gids)}; predict fp={pfp} n={len(pids)}"
+            f"n={len(gids)}; predict fp={pfp} n={len(pids)}; "
+            f"cut fp={cutfp} n={len(cut_pid)}"
         )
 
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     _write_deduped(cl_tables, "cluster_embeddings.parquet")
     _write_deduped(gl_tables, "glosh_outliers.parquet")
     _write_deduped(pr_tables, "cluster_predict.parquet")
+    _write_deduped(cut_tables, "cluster_hierarchy_cut.parquet")
     print(
         f"wrote {GOLDEN_DIR}/cluster_embeddings.parquet, "
-        f"glosh_outliers.parquet, cluster_predict.parquet"
+        f"glosh_outliers.parquet, cluster_predict.parquet, "
+        f"cluster_hierarchy_cut.parquet"
     )
 
 
