@@ -516,9 +516,27 @@ def _predict_via_persisted_index(
             "with a per-cluster cap)"
         )
     spark = new_points.sparkSession
-    meta = json.loads(
-        spark.read.text(f"{index_path}/meta").collect()[0]["value"]
-    )
+    # memoize the bounded driver state (meta + centroid arrays) on the
+    # model: repeated scoring batches — the reason the index is
+    # persisted at all — skip the per-batch meta/centroid reads
+    cache = getattr(model, "_predict_index_cache", None)
+    if cache is not None and cache[0] == index_path:
+        _, meta, cids, cmat = cache
+    else:
+        meta = json.loads(
+            spark.read.text(f"{index_path}/meta").collect()[0]["value"]
+        )
+        crows = (
+            spark.read.parquet(f"{index_path}/centroids")
+            .orderBy("ord")
+            .collect()
+        )
+        cids = np.array([r["centroid_id"] for r in crows], dtype=np.int64)
+        cmat = np.array([r["cvec"] for r in crows], dtype=np.float64)
+        try:
+            model._predict_index_cache = (index_path, meta, cids, cmat)
+        except Exception:
+            pass  # frozen/slotted model objects: just skip memoization
     if metric != meta["metric"]:
         raise ValueError(
             f"the persisted predict index was built for metric "
@@ -534,11 +552,6 @@ def _predict_via_persisted_index(
         return spark.createDataFrame([], _PREDICT_SCHEMA)
     offset = max(0, int(meta["ref_max_id"]) - int(q_min) + 1)
     queries = _mips_queries(staged, offset, metric, float(meta["scale"]))
-    crows = (
-        spark.read.parquet(f"{index_path}/centroids").orderBy("ord").collect()
-    )
-    cids = np.array([r["centroid_id"] for r in crows], dtype=np.int64)
-    cmat = np.array([r["cvec"] for r in crows], dtype=np.float64)
     kw = dict(index_kwargs or {})
     k_cand = int(kw.pop("k", max(min_pts - 1, 8)))
     n_probe = int(kw.pop("n_probe", meta["n_probe"]))

@@ -461,6 +461,10 @@ def test_predict_persisted_index_equals_fresh(spark, tmp_path):
         f"warm predict did not read the persisted inverted lists: {files}"
     )
     warm = _collect_pred(warm_df)
+    # second batch rides the memoized meta/centroid driver state
+    # (model._predict_index_cache) — must be identical
+    assert _collect_pred(loaded.predict(new, min_pts=4, index="ivf")) == warm
+    assert loaded._predict_index_cache[0] == f"{path}/predict_index"
     assert set(warm) == set(fresh)
     for p, (lbl, s, near, dmr) in fresh.items():
         g_lbl, g_s, g_near, g_dmr = warm[p]
