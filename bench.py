@@ -530,6 +530,16 @@ def main():
         norm_factor = round((ratio_gemm * ratio_sql) ** 0.5, 4)
     calib["ratio_gemm"] = round(ratio_gemm, 4)
     calib["ratio_sql"] = round(ratio_sql, 4)
+    # when the two paths disagree strongly (observed: GEMM 3.49x vs
+    # SQL 0.88x in the SAME quiet window — python-worker/BLAS
+    # contention that the real queries don't track), a single blended
+    # factor misnormalizes both plan types: flag it so cross-round
+    # claims fall back to raw medians + the per-path ratio closest to
+    # the query's plan (SCALE.md "dual-probe normalization")
+    calib["calib_divergent"] = bool(
+        max(ratio_gemm, ratio_sql) / max(1e-9, min(ratio_gemm, ratio_sql))
+        > 2.0
+    )
     queries_norm = {
         k: round(v / norm_factor, 3) for k, v in timings.items()
     }
