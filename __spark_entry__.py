@@ -4414,73 +4414,74 @@ def all_oracle_sql() -> dict[str, str]:
 # twin-robustness, bench.py and plan_audit — just without an official
 # CORRECTNESS row that round). Rotating coverage = editing GATE_KEYS.
 #
-# Round-10 rotation (VERDICT r9 task 3): the 4 queries last certified
-# on round-7 code go FIRST (salted_join, leakage_safe_split,
-# curriculum_buckets, clustering_ari — the only catalog rows without a
-# round-8+ certification), then the window backfills with the
-# round-8-certified set in its registration order, re-certifying it on
-# round-10 code. The record window is a hard 50 rows (r5 evidence,
-# pinned by test_entry_sessionless); the NEW round-10 golden query
-# (cluster_hierarchy_cut) leads, so the 5 r8 rows that don't fit
-# (multimodal_decode_fake, dataset_split, pack_sequences,
-# stream_stateful_totals, cluster_predict) keep their r8
-# certification and rotate back in round 11.
+# Round-11 rotation (VERDICT r10 task 2): the 5 queries last certified
+# on round-8 code go FIRST (cluster_predict, dataset_split,
+# multimodal_decode_fake, pack_sequences, stream_stateful_totals — the
+# only catalog rows still on an r8 certification), then the window
+# backfills with the round-9-certified set in its registration order,
+# re-certifying it on round-11 code. The record window is a hard 50
+# rows (r5 evidence, pinned by test_entry_sessionless), so the 5 r9
+# rows that don't fit (collocations, corpus_diff, stream_static_enrich,
+# stream_anomaly, stream_kmv_distinct) keep their r9 certification and
+# rotate first in round 12. After this round every catalog row is
+# certified on round-9+ code and the rotation reaches steady state
+# (each row re-certified at worst every 3 rounds).
 # ---------------------------------------------------------------------------
 
 GATE_KEYS: list[str] = [
-    # new this round — certify the batched dendrogram cut
-    "cluster_hierarchy_cut",
-    # last certified on round-7 code — the rotation targets
-    "salted_join",
-    "leakage_safe_split",
-    "curriculum_buckets",
-    "clustering_ari",
-    # round-8-certified set, re-certified on round-10 code
-    "rollup_revenue",
-    "pivot_revenue",
-    "repetition_profile_long",
-    "events_windowed",
-    "events_sessionize",
-    "stream_near_dup",
-    "lsh_multiprobe_topk",
-    "q1_pricing_summary",
-    "a1_subset_sizes",
-    "a2_bubble_stats",
-    "a4_adjacency_list",
-    "a5_max_edge_per_key",
-    "j1_nearest_rep",
-    "j2_model_lookup",
-    "p6_semi_join",
-    "p7_anti_join",
-    "w1_topk_per_group",
-    "w5_sample_ordinals",
-    "x1_systematic_sample",
-    "p2_p3_key_filters",
-    "j5_knn_join",
-    "glosh_outliers",
-    "x6_connected_components",
-    "f_distances",
-    "cluster_embeddings",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_near_groups",
-    "dedup_simhash",
-    "ngram_jaccard",
-    "incremental_dedup",
-    "dedup_embedding",
-    "decontaminate",
-    "ann_cosine_topk",
-    "lsh_ann_topk",
-    "ivf_ann_topk",
-    "text_profile",
-    "langid_confusion",
-    "repetition_profile",
-    "pii_scrub",
-    "doc_fingerprint",
-    "keyword_search",
-    "corpus_vocab",
-    "events_asof_join",
-    "multimodal_meta",
+    # last certified on round-8 code — the rotation targets
+    "cluster_predict",
+    "dataset_split",
+    "multimodal_decode_fake",
+    "pack_sequences",
+    "stream_stateful_totals",
+    # round-9-certified set, re-certified on round-11 code
+    # (registration order; the 5 that don't fit rotate first in r12)
+    "corpus_language_rollup",
+    "events_json_k",
+    "pipeline_clean_corpus",
+    "cluster_predict_distributed",
+    "stream_dedup_events",
+    "stream_attribution_join",
+    "stream_windowed_counts",
+    "stream_session_windows",
+    "frame_sample_real",
+    "source_quota",
+    "corpus_length_quantiles",
+    "weighted_mixture",
+    "token_budget",
+    "bloom_incremental_dedup",
+    "lm_score",
+    "semantic_dedup",
+    "kmeans_fit",
+    "dsir_weights",
+    "funnel_counts",
+    "cohort_retention",
+    "pagerank",
+    "triangle_count",
+    "active_users",
+    "segment_dedup",
+    "profile_table",
+    "kmv_distinct",
+    "kmv_overlap",
+    "zorder_key",
+    "sampled_quantiles",
+    "key_skew_profile",
+    "scd2_dimension_join",
+    "grouping_sets_revenue",
+    "dedup_keep_best",
+    "join_cardinality",
+    "compaction_plan",
+    "chunk_documents",
+    "merge_upsert",
+    "pipeline_rag_index",
+    "url_canonical",
+    "privacy_release",
+    "value_histogram",
+    "inverted_index",
+    "substring_dedup",
+    "quantize_embeddings",
+    "resample_ffill",
 ]
 
 

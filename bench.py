@@ -362,7 +362,29 @@ def main():
             )
         )
 
-    _calibrate()
+    # Calibration-level backoff (VERDICT r10 task 1): a stolen
+    # calibration window poisons the WHOLE artifact (norm_factor falls
+    # back to 1.0 and queries_norm becomes untrustworthy — exactly what
+    # happened to BENCH_r10, whose own precondition `calib_stolen:
+    # false` failed). Per-probe retries (seconds apart) don't survive a
+    # steal STORM, so when the whole calibration still reads stolen,
+    # back off MINUTES and re-run it, up to N attempts inside this same
+    # invocation, keeping the first clean window.
+    calib_backoff = float(os.environ.get("SPARK_GRAFT_CALIB_BACKOFF", "120"))
+    calib_attempts_max = max(1, int(os.environ.get("SPARK_GRAFT_CALIB_ATTEMPTS", "4")))
+    calib_attempts = 0
+    while True:
+        calib_attempts += 1
+        _calibrate()
+        if not calib.get("calib_stolen") or calib_attempts >= calib_attempts_max:
+            break
+        print(
+            f"# calibration stolen (attempt {calib_attempts}/"
+            f"{calib_attempts_max}) — backing off {calib_backoff}s",
+            file=sys.stderr,
+        )
+        time.sleep(calib_backoff)
+    calib["calib_attempts"] = calib_attempts
     print(f"# calibration: {calib}", file=sys.stderr)
 
     # SPARK_GRAFT_BENCH_ONLY="name1,name2" limits the run to those rows
@@ -512,6 +534,56 @@ def main():
             # (VERDICT r9 task 7)
             bench("skin_nonskin_fit", run_skin, n_runs=max(reps, 5), n_warmups=2)
 
+    # Post-pass window retry (VERDICT r10 task 1): the queries above can
+    # take tens of minutes, so a steal storm seen by the UP-FRONT
+    # calibration may be long gone (or may have arrived mid-run and
+    # noised a headliner's kept reps). If the calibration is still
+    # flagged stolen, or a headliner's kept window is noisy (kept-rep
+    # max/median > 1.3 — the SCALE.md bar's own noise precondition),
+    # back off and re-run JUST those, keeping whichever window is
+    # cleaner. Bounded: SPARK_GRAFT_WINDOW_RETRIES passes (default 2).
+    def _noise(name: str) -> float:
+        r = all_runs.get(name) or []
+        return (max(r) / statistics.median(r)) if r else 0.0
+
+    headliner_reruns = {}
+    if "mrhdbscan_lineitem" in timings:
+        headliner_reruns["mrhdbscan_lineitem"] = (run_li, max(reps, 5), 4)
+    if "skin_nonskin_fit" in timings:
+        headliner_reruns["skin_nonskin_fit"] = (run_skin, max(reps, 5), 2)
+    if "ivf_ann_topk_full" in timings:
+        headliner_reruns["ivf_ann_topk_full"] = (run_ivf, max(reps, 5), 1)
+    window_retry_max = max(0, int(os.environ.get("SPARK_GRAFT_WINDOW_RETRIES", "2")))
+    window_retry_passes = 0
+    while window_retry_passes < window_retry_max and (
+        calib.get("calib_stolen")
+        or any(_noise(n) > 1.3 for n in headliner_reruns)
+    ):
+        window_retry_passes += 1
+        noisy = [n for n in headliner_reruns if _noise(n) > 1.3]
+        print(
+            f"# window retry pass {window_retry_passes}/{window_retry_max}:"
+            f" calib_stolen={calib.get('calib_stolen')} noisy={noisy}"
+            f" — backing off {calib_backoff}s",
+            file=sys.stderr,
+        )
+        time.sleep(calib_backoff)
+        if calib.get("calib_stolen"):
+            calib_attempts += 1
+            _calibrate()
+            calib["calib_attempts"] = calib_attempts
+            print(f"# re-calibration: {calib}", file=sys.stderr)
+        for name in noisy:
+            thunk, n_runs, n_warmups = headliner_reruns[name]
+            prev = (all_runs[name], all_steals[name], timings[name])
+            prev_noise = max(prev[0]) / statistics.median(prev[0])
+            bench(name, thunk, n_runs=n_runs, n_warmups=n_warmups)
+            if _noise(name) > max(1.3, prev_noise):
+                # new window is even noisier — keep the first (cleaner) one
+                all_runs[name], all_steals[name], timings[name] = prev
+                print(f"#   {name}: retry window noisier, kept first", file=sys.stderr)
+    calib["window_retry_passes"] = window_retry_passes
+
     total = round(sum(timings.values()), 3)
     # Two independent host-speed ratios vs their anchor boots: the
     # python/BLAS path (GEMM) and the JVM/codegen/shuffle path (SQL
@@ -552,7 +624,11 @@ def main():
                 "runs": all_runs,
                 "steal": all_steals,
                 "steal_retries": steal_retries,
-                "warmup": warmups,
+                # per-query LAST-WARMUP times (NOT the official medians:
+                # those live only under "queries" on the summary line) —
+                # named distinctly so a truncated tail capture of this
+                # line can't be mistaken for the medians (VERDICT r10)
+                "queries_warmup": warmups,
                 "calib": calib,
                 "calib_anchor_allcore": CALIB_ANCHOR_ALLCORE,
                 "calib_anchor_sql": CALIB_ANCHOR_SQL,
@@ -578,13 +654,30 @@ def main():
     if len(line) > 2000:  # drop detail, never the medians
         summary["calib"] = {
             k: calib[k]
-            for k in ("calib_allcore_sec", "calib_sql_sec", "calib_stolen")
+            for k in (
+                "calib_allcore_sec",
+                "calib_sql_sec",
+                "calib_stolen",
+                "calib_attempts",
+            )
             if k in calib
         }
         line = json.dumps(summary)
     if len(line) > 2000:
         summary.pop("queries_norm")
         line = json.dumps(summary)
+    if len(line) > 2000:
+        # final fallbacks (ADVICE r10): with enough bench rows even the
+        # medians-only form can outgrow the driver's 2 kB tail capture —
+        # shed remaining detail in order, then medians precision, and
+        # ASSERT the bound so growth fails loudly at bench time instead
+        # of reproducing the r8/r9 "parsed: null" failure.
+        summary.pop("calib", None)
+        line = json.dumps(summary)
+    if len(line) > 2000:
+        summary["queries"] = {k: round(v, 2) for k, v in summary["queries"].items()}
+        line = json.dumps(summary, separators=(",", ":"))
+    assert len(line) <= 2000, f"bench summary line {len(line)} bytes > 2000"
     print(line)
     spark.stop()
 
