@@ -451,11 +451,13 @@ class MRHDBSCANModel:
     n_iterations: int = 0
     _hier = None  # (HierarchyResult, verts) for hierarchy_levels()
     _membership = None  # contracted mode: DataFrame(point_id, rep_id, core)
-    _levels_mode = "exact"  # "recursive": level matrix unavailable
+    _levels_mode = "exact"  # "recursive": level matrix via hierarchy_at
     _spark = None
     _fit_params = None  # {"min_pts", "metric"} — predict()'s defaults
     _predict_reference = None  # persisted (features+label+core+levels)
-    _predict_index_path = None  # persisted IVF index (save(index="ivf"))
+    _predict_index_path = None  # persisted ANN index (save(index=...))
+    _predict_index_kind = None  # "ivf" | "lsh" — which index lives there
+    _predict_index_cache = None  # memoized (path, meta, cids, cmat)
     _membership_l1 = None  # recursive mode: point -> level-1 rep
     _l2 = None  # recursive mode: (rep_id, rep2, detach)
 
@@ -468,25 +470,70 @@ class MRHDBSCANModel:
         O(retained·levels); in contracted mode the per-point expansion
         happens in a distributed broadcast join (contracted members
         share their representative's trajectory exactly — see
-        contract_kernel)."""
+        contract_kernel). Under RECURSIVE contraction (>2M-point
+        fits) the same contract is served by delegating to the
+        batched ``hierarchy_at`` over the writer's level set (round
+        11; the round-9 refusal is closed) — identical rows, long
+        format either way."""
         if self._hier is None:
             raise ValueError("hierarchy retention disabled")
         if self._levels_mode == "recursive":
-            # chain-coalesced chunk members do not share their
-            # representative's full level trajectory (a member can
-            # still be clustered at a level where its chunk vertex is
-            # already noise), so the per-level matrix cannot be
-            # reconstructed from the level-2 reduction. Flat labels,
-            # noise levels, GLOSH and the cluster tree ARE exact.
-            # An n x levels matrix is impractical output at the >2M-
-            # point scales where the recursive path engages anyway.
-            raise ValueError(
-                "hierarchy_levels is unavailable under recursive "
-                "contraction; use hierarchy_at(eps) for a single "
-                "dendrogram cut, or refit with "
-                "MRHDBSCAN(recursive_contraction=False) for the "
-                "level-matrix writer"
-            )
+            # Round 11 (closes the round-9 refusal): chain-coalesced
+            # chunk members do not share their representative's full
+            # level trajectory, so the matrix cannot be read off the
+            # level-2 reduction directly — but hierarchy_at([e1..ek])
+            # replays ANY set of levels exactly from the durable
+            # pieces (one bounded label pass per level + two joins
+            # total). Delegate to it over the writer's own level set:
+            # compact = distinct cluster birth levels (identical
+            # derivation to hk.hierarchy_levels); full additionally
+            # includes every distinct member noise gate — the exact
+            # detach weights _l2 carries, NaN inheriting the chunk's
+            # reduced-graph noise level, which together ARE the
+            # level-1 noise levels the non-recursive writer uses
+            # (differential-pinned by test_recursive). The driver
+            # holds only the level list; the n×levels expansion stays
+            # a distributed long-format frame.
+            res, verts = self._hier
+            levels = {
+                float(c.birth)
+                for c in res.clusters.values()
+                if c.label != 1 and not np.isnan(c.birth)
+            }
+            if full:
+                import pyarrow as pa
+
+                nl_df = self._spark.createDataFrame(
+                    pa.table(
+                        {
+                            "rep2": pa.array(
+                                np.asarray(verts, np.int64), pa.int64()
+                            ),
+                            "__nl": pa.array(
+                                np.asarray(res.noise_level, np.float64),
+                                pa.float64(),
+                            ),
+                        }
+                    )
+                )
+                gate = F.when(
+                    F.col("detach").isNull() | F.isnan("detach"), F.col("__nl")
+                ).otherwise(F.col("detach"))
+                # bounded collect: one row per DISTINCT level — the
+                # same cardinality the level writer emits rows for
+                levels |= {
+                    float(r["__g"])
+                    for r in self._l2.join(F.broadcast(nl_df), on="rep2")
+                    .select(gate.alias("__g"))
+                    .filter(F.col("__g") > 0)
+                    .distinct()
+                    .collect()
+                }
+            if not levels:
+                return self._spark.createDataFrame(
+                    [], schema="level_weight double, point_id long, label long"
+                )
+            return self.hierarchy_at(sorted(levels))
         res, verts = self._hier
         levels = hk.hierarchy_levels(res, full=full)
         rows = []
@@ -650,6 +697,31 @@ class MRHDBSCANModel:
             **kwargs,
         )
 
+    def predict_stream(
+        self,
+        new_points: DataFrame,
+        output_path: str,
+        checkpoint_dir: str,
+        available_now: bool = False,
+        **predict_kwargs,
+    ):
+        """Score a STREAMING new-points frame with the model's full
+        BATCH predict semantics via ``foreachBatch`` — each micro-batch
+        goes through ``predict`` as an ordinary batch, so it can ride
+        the persisted distributed index exactly (the in-plan
+        ``predict(readStream_df)`` route is restricted to the
+        broadcast sampled-reference path, which is approximate past
+        the reference cap). Predictions land under
+        ``<output_path>/batch_id=<id>/`` (idempotent overwrite per
+        batch). Returns the started StreamingQuery. See
+        bubbles.plans.predict.predict_stream."""
+        from bubbles.plans.predict import predict_stream
+
+        return predict_stream(
+            self, new_points, output_path, checkpoint_dir,
+            available_now=available_now, **predict_kwargs,
+        )
+
     # ------------------------------------------------------------------
     _SAVE_RELATIONS = ("labels", "cluster_tree", "outlier_scores", "mst_edges")
 
@@ -689,20 +761,43 @@ class MRHDBSCANModel:
         over-cap / ``index="ivf"`` predict then pays probe + re-rank
         only, never re-assigning the reference per scoring batch.
         ``index_kwargs`` (n_centroids, n_probe, max_bucket_size, seed,
-        n_salts) tune the build; defaults match the cold auto path so
-        persisted-index predict == fresh-index predict exactly."""
+        n_salts, expected_batch_size) tune the build; defaults match
+        the cold auto path so persisted-index predict == fresh-index
+        predict exactly (pass ``expected_batch_size`` to size the
+        centroids for warm per-batch throughput instead).
+
+        ``index="lsh"`` persists the LSH variant instead (capped
+        per-table sign-bit buckets under the same dir — see
+        build_predict_lsh_index): the index ``choose_index`` routes
+        streaming-build / churny corpora to, now with the same warm
+        probe+re-rank amortization. ``index_kwargs`` there: planes,
+        tables, seed, max_bucket_size, n_probes, probe_alloc."""
         import json
         import os
 
         if index is not None:
-            if index != "ivf":
+            if index not in ("ivf", "lsh"):
                 raise ValueError(
-                    f"only index='ivf' can be persisted, got {index!r}"
+                    f"only index='ivf' or 'lsh' can be persisted, got "
+                    f"{index!r}"
                 )
             if fitted_points is None:
                 raise ValueError(
                     "index persistence needs fitted_points (the index is "
                     "built over the persisted prediction reference)"
+                )
+            # pre-validate the fit metric UP FRONT: the index build runs
+            # after every relation and the prediction reference are
+            # written, and a late failure there would leave a half-
+            # written directory with no meta that load() cannot read
+            # (ADVICE r10)
+            fit_metric = (self._fit_params or {}).get("metric", "euclidean")
+            if fit_metric not in ("euclidean", "cosine"):
+                raise ValueError(
+                    f"persisted predict index supports euclidean/cosine, "
+                    f"but this model was fitted with metric "
+                    f"{fit_metric!r}; save without index= and predict "
+                    f"through the broadcast path"
                 )
 
         spark = self.labels.sparkSession
@@ -764,28 +859,58 @@ class MRHDBSCANModel:
             if reads_target:
                 rel = rel.localCheckpoint()
             rel.write.mode("overwrite").parquet(f"{path}/{name}")
+            if reads_target:
+                # the overwrite just invalidated the files the model's
+                # own attribute scans (and Spark's SESSION-shared file-
+                # status cache still lists them): rebind the attribute
+                # to the materialized blocks and drop the stale listing
+                # so a post-save read can't FILE_NOT_EXIST
+                setattr(self, name, rel)
+                spark.catalog.refreshByPath(f"{path}/{name}")
         if ref is not None:
             ref.write.mode("overwrite").parquet(f"{path}/predict_reference")
+            # same refresh-in-place discipline: a model whose
+            # _predict_reference was loaded FROM this path must not
+            # keep scanning the pre-overwrite part files (and the
+            # index build below re-reads this path immediately)
+            spark.catalog.refreshByPath(f"{path}/predict_reference")
+            self._predict_reference = spark.read.parquet(
+                f"{path}/predict_reference"
+            )
         if index is not None:
-            from bubbles.plans.predict import build_predict_index
+            from bubbles.plans.predict import (
+                build_predict_index,
+                build_predict_lsh_index,
+            )
 
             fp = self._fit_params or {}
             # build FROM the parquet just written so the index provably
             # matches the persisted reference (and the build re-reads
             # columnar data, not the join plan)
-            build_predict_index(
+            build_fn = (
+                build_predict_index if index == "ivf" else build_predict_lsh_index
+            )
+            build_fn(
                 spark.read.parquet(f"{path}/predict_reference"),
                 f"{path}/predict_index",
                 metric=fp.get("metric", "euclidean"),
                 **(index_kwargs or {}),
             )
             self._predict_index_path = f"{path}/predict_index"
+            self._predict_index_kind = index
+            # the artifact at this path just changed — a memoized
+            # (meta, centroids) from a previous build MUST NOT serve
+            # the next predict (ADVICE r10: stale centroids/scale
+            # against the new members parquet would be silently wrong)
+            self._predict_index_cache = None
         meta = {
             "n_iterations": int(self.n_iterations),
             "levels_mode": self._levels_mode,
             "fit_params": self._fit_params,
             "predict_reference": ref is not None,
-            "predict_index": index is not None,
+            # the index KIND ("ivf"/"lsh"); pre-r11 metas stored a bool
+            # (True meant ivf) — load() accepts both
+            "predict_index": index,
             "format_version": 2,
         }
         (
@@ -825,6 +950,8 @@ class MRHDBSCANModel:
             )
         if meta.get("predict_index"):
             model._predict_index_path = f"{path}/predict_index"
+            kind = meta["predict_index"]
+            model._predict_index_kind = kind if kind in ("ivf", "lsh") else "ivf"
         reason = (
             "it was fitted under recursive contraction"
             if model._levels_mode == "recursive"

@@ -345,7 +345,8 @@ def _predict_via_index(
     if new_points.isStreaming:
         raise ValueError(
             "index-path predict is batch-only; score streams through "
-            "the broadcast path (sample the reference below "
+            "predict_stream (foreachBatch — exact, rides a persisted "
+            "index) or the broadcast path (sample the reference below "
             "max_reference_rows, e.g. save(..., fitted_points=...) "
             "with a per-cluster cap)"
         )
@@ -397,6 +398,7 @@ def build_predict_index(
     max_bucket_size: int = 4096,
     seed: int = 42,
     n_salts: int = 4,
+    expected_batch_size: int | None = None,
 ) -> None:
     """Build the distributed-predict IVF index ONCE over a prediction
     reference and persist it under ``path`` so repeated scoring
@@ -417,7 +419,25 @@ def build_predict_index(
 
     Build parameters default exactly like the cold auto path, so a
     persisted-index predict reproduces a fresh-index predict bit-for-
-    bit on the same reference (pinned by test_predict)."""
+    bit on the same reference (pinned by test_predict).
+
+    ``expected_batch_size`` sizes the centroid count for the WARM
+    per-batch cost instead of the corpus rule: a warm batch pays
+    q·n_centroids centroid distances (assignment) plus
+    q·n_probe·(n_ref/n_centroids) candidate scores (probed lists), so
+    the per-query flops minimize at n_centroids ≈ sqrt(n_probe·n_ref)
+    — NOT the cold rule sqrt(n_ref/200), which at a 2.4M reference
+    picks 11881 centroids and makes query-side assignment ~90% of the
+    warm wall (SCALE.md round-10 analysis; the corpus-side assignment
+    the cold rule optimizes is paid ONCE at build here). When set, the
+    default n_centroids becomes that balance point, floored at
+    sqrt(8·expected_batch_size) so tiny scoring batches don't force
+    huge member lists through the cogroup. Changing n_centroids
+    changes which candidates are recalled, so an expected_batch_size
+    build intentionally trades bit-parity with the cold auto path for
+    warm throughput (parity holds whenever the same n_centroids is
+    used on both sides). Explicit ``n_centroids`` overrides both
+    rules."""
     import json
     import math
 
@@ -435,7 +455,23 @@ def build_predict_index(
         raise ValueError("cannot build a predict index over an empty reference")
     corpus, s = _mips_corpus(ref, metric)
     if n_centroids is None:
-        n_centroids = max(16, int(math.sqrt(max(n_ref, 1) / 200)) ** 2)
+        if expected_batch_size:
+            # warm-batch balance point: per query the batch pays
+            # n_centroids assignment distances + n_probe·(n_ref/
+            # n_centroids) probed-list scores → sqrt(n_probe·n_ref),
+            # capped at sqrt(8·q) when the batch is small (a tiny
+            # batch can't amortize a wide assignment matrix; this is
+            # also the COLD-call optimum SCALE.md derives, so the cap
+            # keeps one-shot builds sane too)
+            n_centroids = max(
+                16,
+                min(
+                    int(math.sqrt(n_probe * max(n_ref, 1))),
+                    int(math.sqrt(8 * max(expected_batch_size, 32))),
+                ),
+            )
+        else:
+            n_centroids = max(16, int(math.sqrt(max(n_ref, 1) / 200)) ** 2)
     cids, cmat, _both, assigned = _ivf_build(
         corpus,
         n_centroids=n_centroids,
@@ -466,6 +502,7 @@ def build_predict_index(
         .parquet(f"{path}/members")
     )
     meta = {
+        "kind": "ivf",
         "metric": metric,
         "scale": float(s),
         "n_probe": int(n_probe),
@@ -473,6 +510,116 @@ def build_predict_index(
         "n_centroids": int(n_centroids),
         "max_bucket_size": int(max_bucket_size),
         "seed": int(seed),
+        "ref_max_id": int(ref_max),
+        "n_ref": int(n_ref),
+        "expected_batch_size": expected_batch_size,
+        "format_version": 1,
+    }
+    (
+        spark.createDataFrame([(json.dumps(meta),)], "meta string")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(f"{path}/meta")
+    )
+
+
+def build_predict_lsh_index(
+    ref: DataFrame,
+    path: str,
+    metric: str = "euclidean",
+    planes: int | None = None,
+    tables: int = 3,
+    seed: int = 42,
+    max_bucket_size: int = 4096,
+    n_probes: int = 8,
+    probe_alloc: str = "per_table",
+) -> None:
+    """Persist the LSH variant of the distributed-predict index — the
+    index ``choose_index`` routes streaming-build / fast-churning
+    corpora to (one projection pass per row, no centroid training).
+    Same artifact pattern as the streaming near-dup band index
+    (streaming/neardup.py:134) and the IVF twin above:
+
+    * ``buckets/`` — (table, bucket, neighbor_id, vec) parquet,
+      partitioned by table: each table's capped sign-bit buckets of
+      the (MIPS-embedded) reference. Over-``max_bucket_size`` buckets
+      are DROPPED, exactly like the cold ``lsh_topk`` corpus side —
+      queries landing there still recall from the other tables.
+    * ``meta/`` — one-row JSON: metric, MIPS pre-scale, the plane
+      parameters (dim/planes/tables/seed — the hyperplanes themselves
+      are derived deterministically from these, so no plane payload
+      is stored), probe defaults and ``ref_max_id``.
+
+    Build parameters default exactly like the cold
+    ``_predict_via_index(index='lsh')`` path, so a persisted-index
+    predict reproduces a fresh-index predict bit-for-bit on the same
+    reference (pinned by test_predict)."""
+    import json
+    import math
+
+    if metric not in ("euclidean", "cosine"):
+        raise ValueError(
+            f"persisted predict index supports euclidean/cosine, got "
+            f"{metric!r}"
+        )
+    if probe_alloc not in ("per_table", "global"):
+        raise ValueError(
+            f"probe_alloc must be 'per_table' or 'global', got {probe_alloc!r}"
+        )
+    from bubbles.operators.similarity import lsh_bucket
+
+    spark = ref.sparkSession
+    n_ref = ref.count()
+    ref_max = ref.agg(F.max("point_id")).first()[0]
+    if ref_max is None:
+        raise ValueError("cannot build a predict index over an empty reference")
+    corpus, s = _mips_corpus(ref, metric)
+    row = corpus.select("__ivec").first()
+    dim = len(row["__ivec"])
+    if planes is None:
+        # lsh_topk's auto width: ~256-row buckets, floor 6 sign bits
+        planes = max(6, math.ceil(math.log2(max(n_ref, 2) / 256)))
+    par = spark.sparkContext.defaultParallelism
+    corpus = corpus.repartition(par)
+    per_table = []
+    for t in range(tables):
+        b = lsh_bucket(corpus, dim, planes, seed, t, "point_id", "__ivec")
+        if max_bucket_size:
+            small = (
+                b.groupBy("bucket")
+                .agg(F.count("*").alias("__bn"))
+                .filter(F.col("__bn") <= max_bucket_size)
+                .select("bucket")
+            )
+            b = b.join(small, on="bucket")
+        per_table.append(
+            b.select(
+                F.lit(t).alias("table"),
+                "bucket",
+                F.col("point_id").alias("neighbor_id"),
+                F.col("__ivec").alias("vec"),
+            )
+        )
+    buckets = per_table[0]
+    for b in per_table[1:]:
+        buckets = buckets.unionByName(b)
+    (
+        buckets.repartition("table", "bucket")
+        .write.mode("overwrite")
+        .partitionBy("table")
+        .parquet(f"{path}/buckets")
+    )
+    meta = {
+        "kind": "lsh",
+        "metric": metric,
+        "scale": float(s),
+        "dim": int(dim),
+        "planes": int(planes),
+        "tables": int(tables),
+        "seed": int(seed),
+        "max_bucket_size": int(max_bucket_size),
+        "n_probes": int(n_probes),
+        "probe_alloc": probe_alloc,
         "ref_max_id": int(ref_max),
         "n_ref": int(n_ref),
         "format_version": 1,
@@ -483,6 +630,159 @@ def build_predict_index(
         .write.mode("overwrite")
         .text(f"{path}/meta")
     )
+
+
+def _read_index_meta(model, spark, index_path: str):
+    """Memoized one-row index meta (+ centroid arrays for IVF) — the
+    bounded driver state a warm scoring batch reuses. The cache is
+    keyed on the index path and INVALIDATED by ``MRHDBSCANModel.save``
+    whenever the index is (re)built, so a refreshed artifact at the
+    same path can't serve stale centroids/scale (ADVICE r10)."""
+    import json
+
+    import numpy as np
+
+    cache = getattr(model, "_predict_index_cache", None)
+    if cache is not None and cache[0] == index_path:
+        return cache[1], cache[2], cache[3]
+    meta = json.loads(
+        spark.read.text(f"{index_path}/meta").collect()[0]["value"]
+    )
+    cids = cmat = None
+    if meta.get("kind", "ivf") == "ivf":
+        crows = (
+            spark.read.parquet(f"{index_path}/centroids")
+            .orderBy("ord")
+            .collect()
+        )
+        cids = np.array([r["centroid_id"] for r in crows], dtype=np.int64)
+        cmat = np.array([r["cvec"] for r in crows], dtype=np.float64)
+    try:
+        model._predict_index_cache = (index_path, meta, cids, cmat)
+    except Exception:
+        pass  # frozen/slotted model objects: just skip memoization
+    return meta, cids, cmat
+
+
+def _predict_via_persisted_lsh_index(
+    model,
+    ref: DataFrame,
+    new_points: DataFrame,
+    min_pts: int,
+    metric: str,
+    index_path: str,
+    features_col: str,
+    index_kwargs: dict | None,
+) -> DataFrame:
+    """Warm distributed predict over the persisted LSH index: the
+    query side is bucketed with the SAME seeded hyperplanes (re-derived
+    from the meta parameters — nothing but the one meta row is driver
+    state), meets the stored capped corpus buckets per table in the
+    shared cogroup kernel, then the shared exact re-rank + membership
+    tail. Bit-identical to ``_predict_via_index(index='lsh')`` built
+    with the same parameters (the artifacts ARE the cold path's corpus
+    side). ``n_probes`` / ``probe_alloc`` / ``k`` are query-side knobs
+    and may be overridden per batch via ``index_kwargs``; the build-
+    side parameters (planes/tables/seed/max_bucket_size) are fixed in
+    the artifact."""
+    from pyspark.sql import Window
+
+    from bubbles.operators.similarity import (
+        _score_bucket_topk,
+        lsh_bucket,
+        lsh_bucket_probes,
+        lsh_bucket_probes_global,
+    )
+
+    if new_points.isStreaming:
+        raise ValueError(
+            "index-path predict is batch-only; score streams through "
+            "predict_stream (foreachBatch) or the broadcast path"
+        )
+    spark = new_points.sparkSession
+    meta, _, _ = _read_index_meta(model, spark, index_path)
+    if meta.get("kind", "ivf") != "lsh":
+        raise ValueError(
+            f"the persisted index at {index_path} is "
+            f"{meta.get('kind', 'ivf')!r}, not 'lsh'"
+        )
+    if metric != meta["metric"]:
+        raise ValueError(
+            f"the persisted predict index was built for metric "
+            f"{meta['metric']!r}, not {metric!r}; predict with the fit "
+            f"metric or rebuild the index (save(..., index='lsh'))"
+        )
+    staged = new_points.select(
+        F.col("point_id").cast("long").alias("point_id"),
+        F.col(features_col).cast("array<double>").alias("features"),
+    )
+    q_min = staged.agg(F.min("point_id")).first()[0]
+    if q_min is None:
+        return spark.createDataFrame([], _PREDICT_SCHEMA)
+    offset = max(0, int(meta["ref_max_id"]) - int(q_min) + 1)
+    queries = _mips_queries(
+        staged, offset, metric, float(meta["scale"])
+    ).filter(F.col("__ivec").isNotNull())
+    kw = dict(index_kwargs or {})
+    k_cand = int(kw.pop("k", max(min_pts - 1, 8)))
+    n_probes = int(kw.pop("n_probes", meta["n_probes"]))
+    probe_alloc = kw.pop("probe_alloc", meta["probe_alloc"])
+    if kw:
+        raise ValueError(
+            f"index_kwargs not applicable to a persisted index (set at "
+            f"build time): {sorted(kw)}"
+        )
+    if probe_alloc not in ("per_table", "global"):
+        raise ValueError(
+            f"probe_alloc must be 'per_table' or 'global', got {probe_alloc!r}"
+        )
+    dim, planes = int(meta["dim"]), int(meta["planes"])
+    tables, seed = int(meta["tables"]), int(meta["seed"])
+    all_buckets = spark.read.parquet(f"{index_path}/buckets")
+    scored = None
+    probe_frame = None
+    for t in range(tables):
+        if n_probes > 1 and probe_alloc == "global":
+            if probe_frame is None:
+                probe_frame = lsh_bucket_probes_global(
+                    queries, dim, planes, seed, tables,
+                    "point_id", "__ivec",
+                    total_probes=tables * n_probes, max_flip_bits=2,
+                )
+            qsrc = probe_frame.filter(F.col("__tbl") == t).drop("__tbl")
+        elif n_probes > 1:
+            qsrc = lsh_bucket_probes(
+                queries, dim, planes, seed, t, "point_id", "__ivec", n_probes
+            )
+        else:
+            qsrc = lsh_bucket(queries, dim, planes, seed, t, "point_id", "__ivec")
+        q = qsrc.select(
+            F.col("point_id").alias("query_id"),
+            F.col("__ivec").alias("__qv"),
+            "bucket",
+        )
+        m = all_buckets.filter(F.col("table") == t).select(
+            "neighbor_id",
+            F.col("vec").alias("__cv"),
+            F.col("bucket").alias("__mbucket"),
+        )
+        s = (
+            q.groupBy("bucket")
+            .cogroup(m.groupBy("__mbucket"))
+            .applyInPandas(
+                _score_bucket_topk(k_cand),
+                schema="query_id long, neighbor_id long, cos_sim double",
+            )
+        )
+        scored = s if scored is None else scored.unionByName(s)
+    scored = scored.dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    cand = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_cand)
+        .select("query_id", "neighbor_id", "rank")
+    )
+    return _membership_result(staged, ref, cand, offset, min_pts, metric)
 
 
 def _predict_via_persisted_index(
@@ -502,41 +802,25 @@ def _predict_via_persisted_index(
     membership tail. Same approximation contract as
     ``_predict_via_index``; bit-identical to it when built with the
     same parameters (the artifacts ARE the cold path's intermediates)."""
-    import json
-
-    import numpy as np
-
     from bubbles.operators.similarity import _ivf_assign_probe, _ivf_score
 
     if new_points.isStreaming:
         raise ValueError(
             "index-path predict is batch-only; score streams through "
-            "the broadcast path (sample the reference below "
-            "max_reference_rows, e.g. save(..., fitted_points=...) "
-            "with a per-cluster cap)"
+            "predict_stream (foreachBatch) or the broadcast path "
+            "(sample the reference below max_reference_rows, e.g. "
+            "save(..., fitted_points=...) with a per-cluster cap)"
         )
     spark = new_points.sparkSession
-    # memoize the bounded driver state (meta + centroid arrays) on the
-    # model: repeated scoring batches — the reason the index is
-    # persisted at all — skip the per-batch meta/centroid reads
-    cache = getattr(model, "_predict_index_cache", None)
-    if cache is not None and cache[0] == index_path:
-        _, meta, cids, cmat = cache
-    else:
-        meta = json.loads(
-            spark.read.text(f"{index_path}/meta").collect()[0]["value"]
+    # memoized bounded driver state (meta + centroid arrays): repeated
+    # scoring batches — the reason the index is persisted at all —
+    # skip the per-batch meta/centroid reads
+    meta, cids, cmat = _read_index_meta(model, spark, index_path)
+    if meta.get("kind", "ivf") != "ivf":
+        raise ValueError(
+            f"the persisted index at {index_path} is "
+            f"{meta.get('kind', 'ivf')!r}, not 'ivf'"
         )
-        crows = (
-            spark.read.parquet(f"{index_path}/centroids")
-            .orderBy("ord")
-            .collect()
-        )
-        cids = np.array([r["centroid_id"] for r in crows], dtype=np.int64)
-        cmat = np.array([r["cvec"] for r in crows], dtype=np.float64)
-        try:
-            model._predict_index_cache = (index_path, meta, cids, cmat)
-        except Exception:
-            pass  # frozen/slotted model objects: just skip memoization
     if metric != meta["metric"]:
         raise ValueError(
             f"the persisted predict index was built for metric "
@@ -561,7 +845,13 @@ def _predict_via_persisted_index(
             f"index_kwargs not applicable to a persisted index (set at "
             f"build time): {sorted(kw)}"
         )
-    qbase = queries.select("point_id", F.col("__ivec").alias("features"))
+    # NULL-feature query rows never reach the assign kernel (its
+    # _vec_matrix would throw on the whole Arrow batch) — the cold
+    # path's ivf_topk applies the same filter, and the left join in
+    # _membership_result returns the dropped rows as noise (ADVICE r10)
+    qbase = queries.select(
+        "point_id", F.col("__ivec").alias("features")
+    ).filter(F.col("features").isNotNull())
     par = spark.sparkContext.defaultParallelism
     qn = qbase.count()
     if -(-qn // 50_000) <= par:
@@ -643,6 +933,15 @@ def approximate_predict(
         if fitted_points is None
         else None
     )
+    # pre-r11 models carried only the path (always IVF); the kind is
+    # persisted alongside it from round 11 on (save(index="lsh"))
+    idx_kind = getattr(model, "_predict_index_kind", None) or (
+        "ivf" if idx_path is not None else None
+    )
+    _persisted_fn = {
+        "ivf": _predict_via_persisted_index,
+        "lsh": _predict_via_persisted_lsh_index,
+    }
     if index in ("ivf", "lsh"):
         if metric not in ("euclidean", "cosine"):
             raise ValueError(
@@ -650,8 +949,12 @@ def approximate_predict(
                 f"cosine-ranking reductions); {metric!r} needs the "
                 f"broadcast path"
             )
-        if index == "ivf" and idx_path is not None and not new_points.isStreaming:
-            return _predict_via_persisted_index(
+        if (
+            idx_path is not None
+            and index == idx_kind
+            and not new_points.isStreaming
+        ):
+            return _persisted_fn[index](
                 model, ref, new_points, min_pts, metric, idx_path,
                 features_col, index_kwargs,
             )
@@ -673,7 +976,7 @@ def approximate_predict(
             and not new_points.isStreaming
         ):
             if idx_path is not None:
-                return _predict_via_persisted_index(
+                return _persisted_fn[idx_kind](
                     model, ref, new_points, min_pts, metric, idx_path,
                     features_col, index_kwargs,
                 )
@@ -721,3 +1024,66 @@ def approximate_predict(
     # the result is consumed (see the docstring's lifetime note)
     out._reference_broadcast = bc
     return out
+
+
+def predict_stream_sink(model, output_path: str, **predict_kwargs):
+    """A ``foreachBatch`` function scoring each micro-batch with the
+    model's FULL batch predict semantics — including the persisted
+    distributed index, which the in-plan streaming path cannot use
+    (the index builds run count/repartition/window jobs a continuous
+    plan cannot host, so the direct ``predict(readStream_df)`` route
+    is forced onto the approximate broadcast sampled-reference path).
+    Inside ``foreachBatch`` the micro-batch is an ordinary batch
+    DataFrame, so a >cap reference gets the EXACT warm persisted-index
+    semantics per batch (VERDICT r10 task 3; same pattern as the CDC
+    snapshot sink, streaming/snapshot.py).
+
+    Each batch's predictions land under ``<output_path>/
+    batch_id=<id>/`` via an overwrite write, so foreachBatch's
+    at-least-once replay rebuilds the same directory from the same
+    input — idempotent, exactly-once results from at-least-once
+    delivery. Read them back with
+    ``spark.read.parquet(output_path)`` (``batch_id`` appears as a
+    partition column)."""
+    import os
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        res = model.predict(batch_df, **predict_kwargs)
+        res.write.mode("overwrite").parquet(
+            os.path.join(output_path, f"batch_id={batch_id}")
+        )
+
+    return apply_batch
+
+
+def predict_stream(
+    model,
+    new_points: DataFrame,
+    output_path: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+    **predict_kwargs,
+):
+    """Score a STREAMING new-points frame through the model's batch
+    predict path via ``foreachBatch`` — see ``predict_stream_sink``
+    for the semantics (exact persisted-index scoring per micro-batch)
+    and the output layout. ``predict_kwargs`` pass through to
+    ``model.predict`` (min_pts / metric / index / index_kwargs / ...).
+    ``available_now=True`` drains the current source contents and
+    stops (the batch-backfill trigger). Returns the started
+    ``StreamingQuery``."""
+    if not new_points.isStreaming:
+        raise ValueError(
+            "predict_stream takes a streaming DataFrame; call "
+            "model.predict directly for batch scoring"
+        )
+    writer = (
+        new_points.writeStream.foreachBatch(
+            predict_stream_sink(model, output_path, **predict_kwargs)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

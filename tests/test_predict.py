@@ -483,12 +483,238 @@ def test_predict_persisted_index_equals_fresh(spark, tmp_path):
     }
 
 
-def test_save_index_requires_fitted_points_and_ivf(spark, fitted, tmp_path):
+def test_save_index_requires_fitted_points_and_known_kind(
+    spark, fitted, tmp_path
+):
+    import copy
+    import os
+
     X, df, model = fitted
     with pytest.raises(ValueError, match="fitted_points"):
         model.save(str(tmp_path / "m1"), index="ivf")
-    with pytest.raises(ValueError, match="only index='ivf'"):
-        model.save(str(tmp_path / "m2"), fitted_points=df, index="lsh")
+    with pytest.raises(ValueError, match="only index='ivf' or 'lsh'"):
+        model.save(str(tmp_path / "m2"), fitted_points=df, index="bogus")
+    # the fit-metric guard runs UP FRONT: an unsupported metric must
+    # fail before ANY relation is written, not after the reference —
+    # a late failure leaves a half-written dir load() cannot read
+    # (ADVICE r10)
+    m_man = copy.copy(model)
+    m_man._fit_params = {"min_pts": 4, "metric": "manhattan"}
+    p3 = str(tmp_path / "m3")
+    with pytest.raises(ValueError, match="euclidean/cosine"):
+        m_man.save(p3, fitted_points=df, index="ivf")
+    assert not os.path.exists(p3), "metric guard ran after writes began"
+
+
+@pytest.fixture(scope="module")
+def sf_model(spark):
+    """One sf0.001 fit shared by the persisted-index tests (the fit is
+    the slow part; each test exercises a different save/predict path)."""
+    from bubbles.plans.mrhdbscan import MRHDBSCAN as _M
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).filter(F.col("vec_id") < 500)
+    pts = emb.select(
+        F.col("vec_id").alias("point_id"),
+        F.col("embedding").cast("array<double>").alias("features"),
+    )
+    train = pts.filter(F.col("point_id") < 400).localCheckpoint()
+    new = pts.filter(F.col("point_id") >= 400).localCheckpoint()
+    model = _M(
+        min_pts=4, min_cluster_size=10, max_local_size=2000, dim=64
+    ).fit(train)
+    return train, new, model
+
+
+def test_predict_persisted_lsh_index_equals_fresh(spark, sf_model, tmp_path):
+    """Round-11 (VERDICT r10 task 5): save(..., index='lsh') persists
+    the LSH variant of the predict index (capped per-table sign-bit
+    buckets; the hyperplanes re-derive from the meta parameters).
+    A loaded model's index='lsh' predict must reproduce the fresh
+    _predict_via_index(index='lsh') bit-for-bit (the artifacts ARE
+    the cold path's corpus side) and read the persisted buckets."""
+    from bubbles.plans.mrhdbscan import MRHDBSCANModel
+
+    train, new, model = sf_model
+    fresh = _collect_pred(
+        model.predict(train, new, min_pts=4, index="lsh")
+    )
+
+    path = str(tmp_path / "model_lidx")
+    model.save(
+        path, fitted_points=train, predict_rows_per_cluster=0, index="lsh"
+    )
+    assert model._predict_index_kind == "lsh"
+    with pytest.warns(UserWarning):
+        loaded = MRHDBSCANModel.load(spark, path)
+    assert loaded._predict_index_kind == "lsh"
+    warm_df = loaded.predict(new, min_pts=4, index="lsh")
+    files = warm_df.inputFiles()
+    assert any("predict_index/buckets" in f for f in files), (
+        f"warm predict did not read the persisted buckets: {files}"
+    )
+    warm = _collect_pred(warm_df)
+    # second batch rides the memoized meta driver state
+    assert _collect_pred(loaded.predict(new, min_pts=4, index="lsh")) == warm
+    assert loaded._predict_index_cache[0] == f"{path}/predict_index"
+    assert loaded._predict_index_cache[1]["kind"] == "lsh"
+    assert warm == fresh
+    # query-side knobs may move per batch; build-side ones are fixed
+    global_probe = _collect_pred(
+        loaded.predict(
+            new, min_pts=4, index="lsh",
+            index_kwargs={"n_probes": 4, "probe_alloc": "global"},
+        )
+    )
+    assert set(global_probe) == set(fresh)
+    with pytest.raises(ValueError, match="index_kwargs"):
+        loaded.predict(new, index="lsh", index_kwargs={"planes": 4})
+    # a NULL-feature query row is noise, not a kernel crash (ADVICE r10)
+    with_null = new.unionByName(
+        spark.createDataFrame(
+            [(99999, None)], "point_id long, features array<double>"
+        )
+    )
+    got = _collect_pred(loaded.predict(with_null, min_pts=4, index="lsh"))
+    assert got[99999] == (0, 0.0, -1, float("inf"))
+
+
+def test_predict_persisted_ivf_null_features_and_resave(
+    spark, sf_model, tmp_path
+):
+    """ADVICE r10: (a) NULL-feature query rows come back as noise from
+    the persisted IVF path (the cold ivf_topk filters them; the warm
+    path must match, not die in _vec_matrix); (b) re-running
+    save(index='ivf') on the SAME path invalidates the memoized
+    (meta, centroids) so the next predict can't mix stale centroids
+    with the new members parquet."""
+    from bubbles.plans.mrhdbscan import MRHDBSCANModel
+
+    train, new, model = sf_model
+    path = str(tmp_path / "model_reidx")
+    model.save(
+        path, fitted_points=train, predict_rows_per_cluster=0, index="ivf"
+    )
+    with pytest.warns(UserWarning):
+        loaded = MRHDBSCANModel.load(spark, path)
+    with_null = new.unionByName(
+        spark.createDataFrame(
+            [(99999, None)], "point_id long, features array<double>"
+        )
+    )
+    got = _collect_pred(loaded.predict(with_null, min_pts=4, index="ivf"))
+    assert got[99999] == (0, 0.0, -1, float("inf"))
+    base = {p: v for p, v in got.items() if p != 99999}
+    assert base == _collect_pred(loaded.predict(new, min_pts=4, index="ivf"))
+    # cache primed on the first predict; a rebuild at the same path
+    # must drop it (stale centroids + new members = silently wrong)
+    assert loaded._predict_index_cache is not None
+    old_centroids = loaded._predict_index_cache[1]["n_centroids"]
+    loaded.save(
+        path,
+        fitted_points=loaded._predict_reference.select("point_id", "features"),
+        predict_rows_per_cluster=0,
+        index="ivf",
+        index_kwargs={"n_centroids": max(4, old_centroids // 2)},
+    )
+    assert loaded._predict_index_cache is None
+    re_got = _collect_pred(loaded.predict(new, min_pts=4, index="ivf"))
+    assert loaded._predict_index_cache[1]["n_centroids"] != old_centroids
+    assert set(re_got) == set(base)
+
+
+def test_predict_stream_foreachbatch_persisted_index(
+    spark, sf_model, tmp_path
+):
+    """Round-11 (VERDICT r10 task 3): predict_stream scores a
+    rate-limited file stream through foreachBatch, where every
+    micro-batch is an ordinary batch frame and therefore rides the
+    persisted distributed index EXACTLY — the streamed result must
+    equal the batch _predict_via_persisted_index result verbatim
+    (per-query independence: probes, candidate top-k, core_x and the
+    membership rule never look across queries, so micro-batching is
+    exact by construction, unlike the broadcast sampled-reference
+    stream path's >=90% agreement contract)."""
+    from bubbles.plans.mrhdbscan import MRHDBSCANModel
+
+    train, new, model = sf_model
+    path = str(tmp_path / "model_fb")
+    model.save(
+        path, fitted_points=train, predict_rows_per_cluster=0, index="ivf"
+    )
+    with pytest.warns(UserWarning):
+        loaded = MRHDBSCANModel.load(spark, path)
+    batch = _collect_pred(loaded.predict(new, min_pts=4, index="ivf"))
+
+    src = str(tmp_path / "fb_src")
+    new.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema("point_id long, features array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "fb_out")
+    q = loaded.predict_stream(
+        stream,
+        out,
+        str(tmp_path / "fb_ckpt"),
+        available_now=True,
+        min_pts=4,
+        index="ivf",
+    )
+    q.awaitTermination(120)
+    res = spark.read.parquet(out)
+    n_batches = res.select("batch_id").distinct().count()
+    assert n_batches >= 2, "stream did not micro-batch"
+    streamed = _collect_pred(res.drop("batch_id"))
+    assert streamed == batch
+    # batch scoring refuses streams with a pointer to this path
+    with pytest.raises(ValueError, match="predict_stream"):
+        loaded.predict(stream, min_pts=4, index="ivf")
+
+
+def test_build_predict_index_expected_batch_size(spark, sf_model, tmp_path):
+    """Round-11 (VERDICT r10 task 4): expected_batch_size sizes the
+    centroid count for warm per-batch cost (min(sqrt(n_probe·n_ref),
+    sqrt(8·q))) instead of the corpus rule; parity with the cold path
+    holds when the same n_centroids is passed there explicitly."""
+    import json
+    import math
+
+    from bubbles.plans.predict import build_predict_index, reference_frame
+
+    train, new, model = sf_model
+    ref = reference_frame(model, train).localCheckpoint()
+    n_ref = ref.count()
+    path = str(tmp_path / "ebs_idx")
+    build_predict_index(ref, path, expected_batch_size=100)
+    meta = json.loads(
+        spark.read.text(f"{path}/meta").collect()[0]["value"]
+    )
+    want = max(
+        16, min(int(math.sqrt(8 * n_ref)), int(math.sqrt(8 * 100)))
+    )
+    assert meta["n_centroids"] == want
+    assert meta["expected_batch_size"] == 100
+    model._predict_index_path = path
+    model._predict_index_kind = "ivf"
+    model._predict_index_cache = None
+    model._predict_reference = ref
+    try:
+        warm = _collect_pred(model.predict(new, min_pts=4, index="ivf"))
+        cold = _collect_pred(
+            model.predict(
+                train, new, min_pts=4, index="ivf",
+                index_kwargs={"n_centroids": want},
+            )
+        )
+        assert warm == cold
+    finally:
+        model._predict_index_path = None
+        model._predict_index_kind = None
+        model._predict_index_cache = None
+        model._predict_reference = None
 
 
 def test_predict_index_lsh_and_streaming_guard(spark, fitted, tmp_path):

@@ -85,14 +85,39 @@ def test_recursive_constraints_fall_back(spark):
     _assert_equivalent(m_drv, m_rec)
 
 
-def test_recursive_hierarchy_levels_refused(spark):
-    # the level-matrix writer cannot be reconstructed from the level-2
-    # reduction (chunk members do not share their chunk vertex's full
-    # trajectory) — the model must refuse with a actionable message,
-    # not silently return approximate levels
-    _, m_rec = _fit_pair(spark, _blobs(n=180), max_local_size=48)
-    with pytest.raises(ValueError, match="recursive_contraction=False"):
-        m_rec.hierarchy_levels()
+def test_recursive_hierarchy_levels_delegates(spark):
+    """Round 11 (closes the round-9 refusal): hierarchy_levels under
+    recursive contraction DELEGATES to the batched hierarchy_at over
+    the writer's own level set instead of raising — same levels as
+    the non-recursive matrix (compact AND full: cluster births +
+    member noise gates), same partition per level up to a label
+    bijection, same long format."""
+    df = to_df(spark, _blobs())
+    params = dict(
+        min_pts=4, min_cluster_size=5, max_local_size=64,
+        max_samples_per_subset=16, seed=11,
+    )
+    m_sl = MRHDBSCAN(recursive_contraction=False, **params).fit(df)
+    m_rec = MRHDBSCAN(recursive_contraction=True, **params).fit(df)
+
+    def _matrix(frame):
+        out: dict = {}
+        for r in frame.collect():
+            out.setdefault(float(r["level_weight"]), {})[
+                int(r["point_id"])
+            ] = int(r["label"])
+        return out
+
+    for full in (False, True):
+        mat_sl = _matrix(m_sl.hierarchy_levels(full=full))
+        mat_rec = _matrix(m_rec.hierarchy_levels(full=full))
+        ws_sl, ws_rec = sorted(mat_sl), sorted(mat_rec)
+        assert len(ws_sl) == len(ws_rec), f"level count differs (full={full})"
+        assert np.allclose(ws_sl, ws_rec), f"level values differ (full={full})"
+        if full:
+            assert len(ws_sl) >= 3
+        for w_sl, w_rec in zip(ws_sl, ws_rec):
+            _assert_same_partition(mat_sl[w_sl], mat_rec[w_rec], w_sl)
 
 
 def test_genealogy_bins_cover_and_split():

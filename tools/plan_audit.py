@@ -870,6 +870,39 @@ def main():
             "corpus-side assignment kernel appears in the plan",
         )
 
+    # round 11: PERSISTED LSH predict index — the streaming-build /
+    # churny-corpus variant. The warm predict must take its corpus side
+    # from the saved capped sign-bit buckets (partition-pruned per
+    # table), re-deriving only the hyperplanes (bounded meta, no
+    # payload) for the query side — never re-bucketing the reference
+    with tempfile.TemporaryDirectory() as td:
+        pm.save(
+            f"{td}/m", fitted_points=train, predict_rows_per_cluster=0,
+            index="lsh",
+        )
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            loadedl = MRHDBSCANModel.load(spark, f"{td}/m")
+        ldf = loadedl.predict(
+            emb.filter(F.col("point_id") >= 400), min_pts=4, index="lsh"
+        )
+        lp = plan_of(ldf)
+        lfiles = ldf.inputFiles()
+        lp0 = lp.split("== Initial Plan ==")[0]
+        check(
+            "persisted-LSH predict reads the saved capped buckets",
+            any("predict_index/buckets" in f for f in lfiles)
+            and "FlatMapCoGroupsInPandas" in lp
+            and "PartitionFilters: [isnotnull(table" in lp
+            and "BroadcastNestedLoopJoin" not in lp0
+            and "CartesianProduct" not in lp0,
+            "warm LSH batches bucket only the query side (hyperplanes "
+            "re-derive from the one meta row); the corpus side is the "
+            "persisted table-partitioned parquet, partition-pruned per "
+            "table, meeting queries in the capped cogroup kernel — the "
+            "exact re-rank joins the full reference by id only",
+        )
+
     lines = [
         "# PLANS — physical-plan audit (tools/plan_audit.py)",
         "",

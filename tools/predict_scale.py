@@ -144,6 +144,18 @@ def main():
 
     results: dict[str, dict[str, float]] = {}
 
+    # PREDICT_SCALE_SECTIONS=distributed,ivf,ebs,lsh,broadcast limits
+    # the measured sections (re-measure only what changed — the fit
+    # always runs, every section needs the model)
+    import os as _os
+
+    _sections = set(
+        filter(
+            None,
+            _os.environ.get("PREDICT_SCALE_SECTIONS", "").split(","),
+        )
+    ) or {"distributed", "ivf", "ebs", "lsh", "broadcast"}
+
     # --- distributed path at the full reference ---------------------
     def run_distributed():
         return approximate_predict(
@@ -153,59 +165,95 @@ def main():
     # single-rep, warmup-free — same protocol as the 6M fit row
     # (cluster_scale.py): at this size a warmup doubles the wall/memory
     # cost for a number whose error band is owned by the host anyway
-    t0 = time.time()
-    rows = run_distributed()
-    el = round(time.time() - t0, 2)
-    results["predict_distributed"] = {str(n_ref_actual): el}
-    print(
-        f"predict_distributed ref={n_ref_actual} new={n_new_actual}: "
-        f"{el}s ({rows} rows, {el * 1e6 / n_new_actual:.1f} µs/new-pt)",
-        flush=True,
-    )
+    if "distributed" in _sections:
+        t0 = time.time()
+        rows = run_distributed()
+        el = round(time.time() - t0, 2)
+        results["predict_distributed"] = {str(n_ref_actual): el}
+        print(
+            f"predict_distributed ref={n_ref_actual} new={n_new_actual}: "
+            f"{el}s ({rows} rows, {el * 1e6 / n_new_actual:.1f} µs/new-pt)",
+            flush=True,
+        )
 
     # --- persisted index: build once vs warm per-batch ---------------
-    # (round-10 split, mirroring stream_near_dup's index-build/warm-
-    # batch rows: the cold distributed row above re-assigns the whole
-    # reference per call; the persisted index pays that once at save)
     import tempfile
 
-    with tempfile.TemporaryDirectory() as td:
+    def _index_split(kind, build_row, warm_row, index_kwargs=None, note=""):
+        """One persisted-index split: timed save(index=kind) (build
+        row) then a warmed+timed fixed-batch predict through the
+        loaded model (warm row)."""
         from bubbles.plans.mrhdbscan import MRHDBSCANModel
 
-        t0 = time.time()
-        model.save(
-            f"{td}/m", fitted_points=ref_pts, predict_rows_per_cluster=0,
-            index="ivf",
-        )
-        el = round(time.time() - t0, 2)
-        results["predict_index_build"] = {str(n_ref_actual): el}
-        print(
-            f"predict_index_build ref={n_ref_actual}: {el}s "
-            f"(save: reference + centroids + capped inverted lists)",
-            flush=True,
-        )
-        import warnings as _w
+        with tempfile.TemporaryDirectory() as td:
+            t0 = time.time()
+            model.save(
+                f"{td}/m", fitted_points=ref_pts,
+                predict_rows_per_cluster=0, index=kind,
+                index_kwargs=index_kwargs,
+            )
+            el = round(time.time() - t0, 2)
+            results[build_row] = {str(n_ref_actual): el}
+            print(
+                f"{build_row} ref={n_ref_actual}: {el}s{note}", flush=True
+            )
+            import warnings as _w
 
-        with _w.catch_warnings():
-            _w.simplefilter("ignore")
-            loaded = MRHDBSCANModel.load(spark, f"{td}/m")
+            with _w.catch_warnings():
+                _w.simplefilter("ignore")
+                loaded = MRHDBSCANModel.load(spark, f"{td}/m")
 
-        def run_warm():
-            return loaded.predict(new_pts, min_pts=4, index="ivf").count()
+            def run_warm():
+                return loaded.predict(
+                    new_pts, min_pts=4, index=kind
+                ).count()
 
-        run_warm()  # warmup rep (JIT + page cache on the index files)
-        t0 = time.time()
-        rows = run_warm()
-        el = round(time.time() - t0, 2)
-        results["predict_index_warm_batch"] = {str(n_new_actual): el}
-        print(
-            f"predict_index_warm_batch ref={n_ref_actual} "
-            f"new={n_new_actual}: {el}s ({rows} rows, "
-            f"{el * 1e6 / n_new_actual:.1f} µs/new-pt)",
-            flush=True,
+            run_warm()  # warmup rep (JIT + page cache on the index files)
+            t0 = time.time()
+            rows = run_warm()
+            el = round(time.time() - t0, 2)
+            results[warm_row] = {str(n_new_actual): el}
+            print(
+                f"{warm_row} ref={n_ref_actual} new={n_new_actual}: "
+                f"{el}s ({rows} rows, "
+                f"{el * 1e6 / n_new_actual:.1f} µs/new-pt)",
+                flush=True,
+            )
+
+    if "ivf" in _sections:
+        _index_split(
+            "ivf", "predict_index_build", "predict_index_warm_batch",
+            note=" (save: reference + centroids + capped inverted lists)",
         )
+
+    # --- round 11: predict-optimal centroid rule (VERDICT r10 task 4)
+    # The corpus rule sqrt(n_ref/200) picks ~11.9k centroids at 2.4M —
+    # query-side assignment then dominates the warm batch. Rebuild
+    # with expected_batch_size=n_new (n_centroids = min(sqrt(n_probe·
+    # n_ref), sqrt(8·q))) and re-measure the same warm batch.
+    if "ebs" in _sections:
+        _index_split(
+            "ivf", "predict_index_build_ebs",
+            "predict_index_warm_batch_ebs",
+            index_kwargs={"expected_batch_size": n_new_actual},
+            note=f" (expected_batch_size={n_new_actual})",
+        )
+
+    # --- round 11: persisted LSH index split (VERDICT r10 task 5) ----
+    # the streaming-build / churny-corpus variant: build = one
+    # projection pass per row (no centroid training), warm = query-
+    # side bucketing + capped cogroup + exact re-rank
+    if "lsh" in _sections:
+        _index_split(
+            "lsh", "predict_lsh_index_build",
+            "predict_lsh_index_warm_batch",
+            note=" (save: reference + capped per-table sign-bit buckets)",
+        )
+
 
     # --- broadcast path per-point cost at a 100k reference ----------
+    if "broadcast" not in _sections:
+        bcast_batches = []
     ref_small = ref_pts.filter(F.col("point_id") < 100_000).localCheckpoint()
     bres: dict[str, float] = {}
     for batch in bcast_batches:
