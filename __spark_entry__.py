@@ -770,6 +770,58 @@ def cluster_predict_distributed(spark, sf_dir):
     )
 
 
+def cluster_predict_persisted(spark, sf_dir):
+    """Round 11: the PERSISTED-index warm predict path — save(index=
+    'ivf') → load → predict with NO training data on hand — on the
+    same fit/new split as cluster_predict. The index is built
+    full-probe (n_centroids=16, n_probe=16), so the warm candidate
+    set is the whole reference and the loaded model must reproduce
+    the exact broadcast kernel: certified against the SAME golden
+    artifact. What this row adds over cluster_predict_distributed is
+    the save/load/meta/centroid-cache plumbing (bubbles/plans/
+    predict.py _predict_via_persisted_index)."""
+    import os
+    import tempfile
+    import warnings
+
+    from bubbles import MRHDBSCAN
+    from bubbles.plans.mrhdbscan import MRHDBSCANModel
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    pts = emb.select(
+        F.col("vec_id").alias("point_id"),
+        F.col("embedding").cast("array<double>").alias("features"),
+    )
+    train = pts.filter(F.col("point_id") < 400)
+    new = pts.filter(F.col("point_id") >= 400)
+    model = MRHDBSCAN(
+        min_pts=4, min_cluster_size=10, max_local_size=2000, dim=64
+    ).fit(train)
+    # a stable scratch dir, NOT a with-block temp dir: the returned
+    # DataFrame lazily scans the persisted index, so the artifact must
+    # outlive this call (the driver evaluates after return); the save
+    # is overwrite-idempotent per (tmp, sf) so re-runs are safe
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "bubbles_predict_persisted_"
+        + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    model.save(
+        path, fitted_points=train, predict_rows_per_cluster=0,
+        index="ivf", index_kwargs={"n_centroids": 16, "n_probe": 16},
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # load warns about levels mode
+        loaded = MRHDBSCANModel.load(spark, path)
+    pred = loaded.predict(new, min_pts=4, index="ivf")
+    return pred.select(
+        "point_id",
+        "label",
+        F.round("strength", 6).alias("strength"),
+        "nearest_fitted_id",
+    )
+
+
 def cluster_hierarchy_cut(spark, sf_dir):
     """Round 10: the batched multi-level dendrogram cut
     (MRHDBSCANModel.hierarchy_at with a LIST of levels — one broadcast
@@ -1105,6 +1157,7 @@ def _catalog_queries_a() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_embeddings": _widen(cluster_embeddings),
         "cluster_predict": _widen(cluster_predict),
         "cluster_predict_distributed": _widen(cluster_predict_distributed),
+        "cluster_predict_persisted": _widen(cluster_predict_persisted),
         "cluster_hierarchy_cut": _widen(cluster_hierarchy_cut),
         "multimodal_decode_fake": _widen(multimodal_decode_fake),
         "lsh_ann_topk": _widen(lsh_ann_topk),
@@ -3018,6 +3071,19 @@ def _catalog_sql_a() -> dict[str, str]:
             FROM read_parquet('/root/repo/tests/golden/cluster_predict.parquet') g, fp
             WHERE g.input_fp = fp.v
         """,
+        # round-11 persisted-index warm predict: save(index='ivf') →
+        # load → predict, full-probe, so the warm path must reproduce
+        # the exact broadcast kernel — same golden, same fingerprint
+        "cluster_predict_persisted": """
+            WITH fp AS (
+              SELECT count(*) + 31 * sum(vec_id)
+                     + 131 * sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)) AS v
+              FROM embeddings WHERE vec_id < 500
+            )
+            SELECT g.point_id, g.label, g.strength, g.nearest_fitted_id
+            FROM read_parquet('/root/repo/tests/golden/cluster_predict.parquet') g, fp
+            WHERE g.input_fp = fp.v
+        """,
         # round-10 batched dendrogram cut: golden from the independent
         # chain-walk rule over the slow-verified <400 hierarchy, labels
         # canonicalized to min member point_id per (level, cluster);
@@ -4420,15 +4486,20 @@ def all_oracle_sql() -> dict[str, str]:
 # only catalog rows still on an r8 certification), then the window
 # backfills with the round-9-certified set in its registration order,
 # re-certifying it on round-11 code. The record window is a hard 50
-# rows (r5 evidence, pinned by test_entry_sessionless), so the 5 r9
+# rows (r5 evidence, pinned by test_entry_sessionless), so the 6 r9
 # rows that don't fit (collocations, corpus_diff, stream_static_enrich,
-# stream_anomaly, stream_kmv_distinct) keep their r9 certification and
-# rotate first in round 12. After this round every catalog row is
-# certified on round-9+ code and the rotation reaches steady state
-# (each row re-certified at worst every 3 rounds).
+# stream_anomaly, stream_kmv_distinct, resample_ffill — the last
+# displaced by the NEW cluster_predict_persisted row, which certifies
+# on first appearance) keep their r9 certification and rotate first in
+# round 12. After this round every catalog row is certified on
+# round-9+ code and the rotation reaches steady state (each row
+# re-certified at worst every 3 rounds).
 # ---------------------------------------------------------------------------
 
 GATE_KEYS: list[str] = [
+    # NEW this round (certify on first appearance): the persisted-index
+    # warm predict path through save/load
+    "cluster_predict_persisted",
     # last certified on round-8 code — the rotation targets
     "cluster_predict",
     "dataset_split",
@@ -4481,7 +4552,9 @@ GATE_KEYS: list[str] = [
     "inverted_index",
     "substring_dedup",
     "quantize_embeddings",
-    "resample_ffill",
+    # resample_ffill no longer fits the hard-50 window (displaced by
+    # the new cluster_predict_persisted row) — it keeps its r9
+    # certification and rotates first in round 12 with the other five
 ]
 
 
