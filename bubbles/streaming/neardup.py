@@ -125,7 +125,16 @@ def corpus_band_index(
     sig = minhash_signatures(
         corpus.repartition(par), text_col, id_col, num_hashes, shingle
     )
-    buckets = band_buckets(sig, num_hashes, band_size, max_bucket_size, id_col)
+    # checkpoint the slim (id, band, bucket) relation before the cap:
+    # the cap's count branch and the join branch are two consumers, so
+    # without it the whole shingle-explode + digest + aggregate
+    # pipeline runs TWICE per build — the same 3x recompute
+    # minhash_lsh_pairs measured and fixed (operators/dedup.py); the
+    # checkpointed relation is 2 rows/doc, tiny next to the explode
+    buckets = band_buckets(
+        sig, num_hashes, band_size, max_bucket_size, id_col,
+        checkpoint=True,
+    )
     return buckets.select(
         "band", "bucket", F.col(id_col).alias("corpus_id")
     )
