@@ -38,10 +38,36 @@ groups, no collect, equi-shuffles only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 HASH_BITS = 60
 HASH_SPACE = 1 << HASH_BITS  # 16^15
+
+# salt fan-out of the skew-safe bottom-k pre-rank (matches
+# similarity.salted_topk_per_key's default)
+_N_SALTS = 32
+
+
+def _capped_hash_rows(hashed: DataFrame, group_col: str, k: int) -> DataFrame:
+    """Salt-capped distinct-hash rows: per (group, salt-of-hash) keep
+    the k smallest — a SUPERSET of the group's true bottom-k, hard-
+    bounded at ``_N_SALTS * k`` rows per group regardless of skew
+    (the first phase of salted_topk_per_key). The second, per-group
+    rank is deliberately NOT run here: every KMV consumer below ends
+    in a per-group aggregation anyway, which recovers the exact
+    bottom-k stats from the sorted bounded array — one exchange+sort
+    per sketch cheaper than the full two-phase top-k (guide §2.4).
+    The single window is WindowGroupLimit-eligible (one row_number,
+    immediate <= k filter), so no (group, salt) partition is ever
+    fully sorted."""
+    salt = F.pmod(F.xxhash64("__hv"), F.lit(_N_SALTS))
+    w1 = Window.partitionBy(group_col, "__salt").orderBy("__hv")
+    return (
+        hashed.withColumn("__salt", salt)
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .drop("__salt", "__r1")
+    )
 
 
 def kmv_hash(col) -> "F.Column":
@@ -68,17 +94,32 @@ def kmv_distinct(
     the DuckDB twin is bit-identical."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    from bubbles.operators.similarity import salted_topk_per_key
 
     hashed = (
         df.select(F.col(group_col), kmv_hash(F.col(value_col)).alias("__hv"))
         .filter(F.col("__hv").isNotNull())
         .distinct()
     )
-    kept = salted_topk_per_key(hashed, group_col, [F.col("__hv")], k)
-    sk = kept.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.max("__hv").alias("kth_min"),
+    return _bottomk_stats(_capped_hash_rows(hashed, group_col, k), group_col, k)
+
+
+def _bottomk_stats(capped: DataFrame, group_col: str, k: int) -> DataFrame:
+    """(group, n_kept, kth_min, est_distinct) from salt-capped rows:
+    the per-group sorted array (bounded at _N_SALTS*k elements) yields
+    the exact bottom-k count and k-th minimum — the capped rows always
+    contain the true bottom-k (an element of global rank j <= k has
+    per-salt rank <= j), and when a group holds < k distinct hashes
+    the cap retains all of them."""
+    sk = capped.groupBy(group_col).agg(
+        F.array_sort(F.collect_list("__hv")).alias("__arr")
+    )
+    n_kept = F.least(F.lit(k), F.size("__arr")).cast("long")
+    sk = sk.select(
+        group_col,
+        n_kept.alias("n_kept"),
+        F.element_at(F.col("__arr"), F.least(F.lit(k), F.size("__arr"))).alias(
+            "kth_min"
+        ),
     )
     # (k-1) * 2^60 needs ~68 bits -> DECIMAL(38,0); `div` floors, and
     # both inputs are positive, so DuckDB's HUGEINT // matches exactly
@@ -106,23 +147,9 @@ def kmv_merge(sketches: DataFrame, group_col: str, k: int = 256) -> DataFrame:
         # k=1 makes (k-1)*HASH_SPACE // kth = 0 — every group would
         # silently report 0 distinct (same guard as kmv_distinct)
         raise ValueError(f"k must be >= 2, got {k}")
-    from bubbles.operators.similarity import salted_topk_per_key
 
     uniq = sketches.select(F.col(group_col), F.col("__hv")).distinct()
-    kept = salted_topk_per_key(uniq, group_col, [F.col("__hv")], k)
-    sk = kept.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.max("__hv").alias("kth_min"),
-    )
-    est = F.when(F.col("n_kept") < k, F.col("n_kept")).otherwise(
-        F.expr(f"CAST({k - 1} AS DECIMAL(38,0)) * {HASH_SPACE} div kth_min")
-    )
-    return sk.select(
-        group_col,
-        "n_kept",
-        "kth_min",
-        est.cast("long").alias("est_distinct"),
-    )
+    return _bottomk_stats(_capped_hash_rows(uniq, group_col, k), group_col, k)
 
 
 def kmv_overlap(
@@ -151,63 +178,131 @@ def kmv_overlap(
     distinct values every number is exact, not an estimate. Relative
     error of the estimated path ~ 1/sqrt(k-2) per group.
 
-    Scale shape: each side costs one partial-agged distinct plus the
-    salted bottom-k; everything after operates on ≤ k rows per group
-    (two broadcast-sized marker joins + one agg). Two 50 TB corpus
-    releases never meet in a shuffle — only their sketches do. Output:
-    (group, n_kept_union, est_a, est_b, est_union, k_intersect,
-    jaccard_ppm, est_intersect)."""
+    Scale shape (rebuilt round 11, guide §2.4): each side costs one
+    partial-agged distinct plus the salted bottom-k — and appears in
+    the plan exactly ONCE. The original formulation reused each side's
+    lazy sketch frame three times (union, membership marker join,
+    side estimator), and Catalyst does not CSE shared subtrees across
+    joins, so the whole scan→hash→distinct→bottom-k pipeline executed
+    SIX times (measured: 6 parquet scans, 44 Exchange nodes,
+    plans/r11/kmv_overlap_before.txt). Now the two sketches are tagged
+    and merged once into per-hash membership flags (one partial-agged
+    shuffle), and every output number — union bottom-k stats, side
+    counts/kth-mins — comes out of ONE per-group aggregation whose
+    collect_list is bounded at 2·_N_SALTS·k rows per group (each side
+    is salt-capped), so no per-group window, no joins, no unbounded
+    state. Two 50 TB
+    corpus releases never meet in a shuffle — only their sketches do.
+    Output: (group, n_kept_union, est_a, est_b, est_union,
+    k_intersect, jaccard_ppm, est_intersect)."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
 
-    sa = kmv_sketch_rows(df_a, group_col, value_col, k)
-    sb = kmv_sketch_rows(df_b, group_col, value_col, k)
-
-    def _est(n_kept):
-        # estimator over whatever frame carries the kth hash as __kth
+    def _hashed(df):
         return (
-            F.when(n_kept < k, n_kept)
+            df.select(
+                F.col(group_col), kmv_hash(F.col(value_col)).alias("__hv")
+            )
+            .filter(F.col("__hv").isNotNull())
+            .distinct()
+        )
+
+    # salt-capped rows per side (NOT the exact bottom-k): the cap is a
+    # superset of each side's true bottom-k, and the final aggregation
+    # recovers every exact statistic from the sorted bounded array —
+    # correctness notes inline below.
+    sa = _capped_hash_rows(_hashed(df_a), group_col, k)
+    sb = _capped_hash_rows(_hashed(df_b), group_col, k)
+
+    # NULL-group rows keep the original join-based semantics (a NULL
+    # group never matched the marker/estimator equi-joins, so its
+    # k_intersect/est_a/est_b were 0 while the union stats were real):
+    # zero the membership flags for NULL groups.
+    gnn = F.col(group_col).isNotNull()
+    tagged = sa.select(
+        F.col(group_col),
+        "__hv",
+        F.when(gnn, 1).otherwise(0).alias("__ina"),
+        F.lit(0).alias("__inb"),
+    ).unionByName(
+        sb.select(
+            F.col(group_col),
+            "__hv",
+            F.lit(0).alias("__ina"),
+            F.when(gnn, 1).otherwise(0).alias("__inb"),
+        )
+    )
+    flags = tagged.groupBy(group_col, "__hv").agg(
+        F.max("__ina").alias("__ina"), F.max("__inb").alias("__inb")
+    )
+    # ONE bounded aggregation per group over <= 2*_N_SALTS*k rows.
+    # Exactness of each statistic from capped (not exact-bottom-k)
+    # rows:
+    # - union bottom-k: an element of global union rank j <= k has
+    #   side rank <= j in whichever side holds it, hence per-salt side
+    #   rank <= j <= k — always retained; so the first
+    #   min(k, |union|) elements of the sorted array ARE the union
+    #   sketch, and when |union| < k every element is retained.
+    # - k_intersect: for an element of the union bottom-k, membership
+    #   in a side's capped set == membership in that side's exact
+    #   bottom-k sketch (its side rank is <= its union rank <= k), so
+    #   the flag sum over the sliced prefix matches the original
+    #   marker-join count.
+    # - side stats: the true bottom-k of each side survives the cap,
+    #   so n_a = min(k, #a-flagged) and the n_a-th a-flagged element
+    #   is the side's exact k-th minimum.
+    g = flags.groupBy(group_col).agg(
+        F.array_sort(F.collect_list(F.struct("__hv", "__ina", "__inb"))).alias(
+            "__all"
+        )
+    )
+    a_rows = F.expr("filter(__all, x -> x.__ina = 1)")
+    b_rows = F.expr("filter(__all, x -> x.__inb = 1)")
+    nku = F.least(F.lit(k), F.size("__all"))
+    g = g.select(
+        group_col,
+        nku.cast("long").alias("n_kept_union"),
+        F.element_at(F.col("__all"), nku)["__hv"].alias("__kth"),
+        F.aggregate(
+            F.slice(F.col("__all"), 1, k),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + (x["__ina"] * x["__inb"]).cast("long"),
+        ).alias("k_intersect"),
+        F.least(F.lit(k), F.size(a_rows)).cast("long").alias("__na"),
+        F.when(
+            F.size(a_rows) > 0,
+            F.element_at(a_rows, F.least(F.lit(k), F.size(a_rows)))["__hv"],
+        ).alias("__ka"),
+        F.least(F.lit(k), F.size(b_rows)).cast("long").alias("__nb"),
+        F.when(
+            F.size(b_rows) > 0,
+            F.element_at(b_rows, F.least(F.lit(k), F.size(b_rows)))["__hv"],
+        ).alias("__kb"),
+    )
+
+    def _est(n_col: str, kth_col: str):
+        # identical arithmetic to the original estimator: exact count
+        # below k, else (k-1)*2^60 div kth (integral div -> long)
+        return (
+            F.when(F.col(n_col) < k, F.col(n_col))
             .otherwise(
                 F.expr(
                     f"CAST({k - 1} AS DECIMAL(38,0)) * {HASH_SPACE}"
-                    " div __kth"
+                    f" div {kth_col}"
                 )
             )
             .cast("long")
         )
 
-    def _side_est(sk, name):
-        agg = sk.groupBy(group_col).agg(
-            F.count(F.lit(1)).alias("__nk"), F.max("__hv").alias("__kth")
-        )
-        return agg.select(group_col, _est(F.col("__nk")).alias(name))
-
-    from bubbles.operators.similarity import salted_topk_per_key
-
-    union_sk = salted_topk_per_key(
-        sa.unionByName(sb).distinct(), group_col, [F.col("__hv")], k
+    u = g.select(
+        group_col,
+        "n_kept_union",
+        _est("__na", "__ka").alias("est_a"),
+        _est("__nb", "__kb").alias("est_b"),
+        _est("n_kept_union", "__kth").alias("est_union"),
+        "k_intersect",
     )
-    marked = (
-        union_sk.join(
-            sa.withColumn("__ina", F.lit(1)), on=[group_col, "__hv"], how="left"
-        )
-        .join(
-            sb.withColumn("__inb", F.lit(1)), on=[group_col, "__hv"], how="left"
-        )
-    )
-    u = marked.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("n_kept_union"),
-        F.max("__hv").alias("__kth"),
-        F.sum(
-            (F.coalesce(F.col("__ina"), F.lit(0)) * F.coalesce(F.col("__inb"), F.lit(0))).cast("long")
-        ).alias("k_intersect"),
-    )
-    u = u.withColumn("est_union", _est(F.col("n_kept_union")))
-    out = (
-        u.join(_side_est(sa, "est_a"), on=group_col, how="left")
-        .join(_side_est(sb, "est_b"), on=group_col, how="left")
-    )
-    return out.select(
+    return u.select(
         group_col,
         "n_kept_union",
         F.coalesce("est_a", F.lit(0)).alias("est_a"),
