@@ -17,7 +17,19 @@ from pyspark.sql import functions as F
 
 def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     """(vertex, component) with component = min vertex id of the
-    component. ``edges`` is an undirected (src, dst) edge list."""
+    component. ``edges`` is an undirected (src, dst) edge list.
+
+    Round shape (tightened round 11, guide §2.4): each round's
+    previous label rides along as an extra column through the pointer
+    jump, so the convergence count is a filter over the freshly
+    checkpointed rows instead of a second full equi-join per round —
+    one join + one shuffle of the label relation removed per round
+    (measured at sf0.1: 1.81 s -> 1.53 s; 200k-edge bipartite graph
+    11.5 s -> 9.6 s, same-session medians of 5/3). Pre-partitioning
+    the static ``sym`` relation by its join key was tried and
+    deliberately NOT kept: localCheckpoint preserves
+    outputPartitioning only with AQE off (measured: 1 exchange
+    without AQE, 2 with), and every real session here runs AQE."""
     sym = (
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .unionAll(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
@@ -26,8 +38,7 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         .localCheckpoint()
     )
     labels = (
-        sym.select(F.col("a").alias("vertex"))
-        .unionAll(edges.select(F.col("src").alias("vertex")))
+        edges.select(F.col("src").alias("vertex"))
         .unionAll(edges.select(F.col("dst").alias("vertex")))
         .distinct()
         .withColumn("component", F.col("vertex"))
@@ -45,6 +56,7 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
             labels.join(nb_min, on="vertex", how="left")
             .select(
                 "vertex",
+                F.col("component").alias("__old"),
                 F.least(
                     F.col("component"), F.coalesce(F.col("__nb_min"), F.col("component"))
                 ).alias("component"),
@@ -58,19 +70,16 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
             stepped.join(l2, stepped.component == F.col("__v2"), how="left")
             .select(
                 "vertex",
+                "__old",
                 F.least(
                     F.col("component"), F.coalesce(F.col("__c2"), F.col("component"))
                 ).alias("component"),
             )
             .localCheckpoint()
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), on="vertex")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = jumped
+        # convergence check scans the rows just materialized — no join
+        changed = jumped.filter(F.col("component") != F.col("__old")).count()
+        labels = jumped.select("vertex", "component")
         if changed == 0:
             break
     if changed != 0:
