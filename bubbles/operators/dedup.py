@@ -183,6 +183,34 @@ def minhash_lsh_pairs(
     buckets = band_buckets(
         sig, num_hashes, band_size, max_bucket_size, id_col, checkpoint=True
     )
+    if max_bucket_size:
+        # capped buckets are <= max_bucket_size members, so the pairs
+        # of a bucket can be generated from its sorted member array in
+        # one pass instead of a self-join (guide §2.3/2.4): the cap
+        # join already partitions by (band, bucket), the groupBy
+        # reuses that partitioning (no new exchange), and the id_a <
+        # id_b filter is free (sorted array, j > i). The self-join
+        # variant shuffled the bucket relation twice more and re-ran
+        # the cap subplan per join side. Identical pair set (each doc
+        # appears at most once per (band, bucket)).
+        grouped = buckets.groupBy("band", "bucket").agg(
+            F.sort_array(F.collect_list(F.col(id_col))).alias("__ids")
+        )
+        return (
+            grouped.select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(__ids, (x, i) ->"
+                        " transform(slice(__ids, i + 2, size(__ids)),"
+                        " y -> struct(x AS id_a, y AS id_b))))"
+                    )
+                ).alias("__p")
+            )
+            .select("__p.id_a", "__p.id_b")
+            .distinct()
+        )
+    # uncapped: a viral bucket would make collect_list unbounded —
+    # keep the skew-safe (AQE-splittable) self-join for this mode
     a = buckets.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
     b2 = buckets.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"))
     return (
