@@ -88,6 +88,14 @@ def pairwise_distances(X: np.ndarray, metric: str = "euclidean") -> np.ndarray:
 
 
 def core_distances(X: np.ndarray, k: int, metric: str = "euclidean") -> np.ndarray:
+    # NOTE (round 11): two "obvious" rewrites of this pass were tried,
+    # measured, and rejected — (1) materializing the full n×n distance
+    # matrix and sharing it with Prim is bit-identical and neutral
+    # single-threaded but 4x SLOWER under 32 concurrent kernel workers
+    # (134 MB/task streams DRAM; the per-row loop's working set stays
+    # cache-resident), and (2) row-blocked broadcasting (8-128 row
+    # blocks) is neutral-to-slower at every block size. The per-row
+    # loop is the measured optimum on this shape (OPTIMIZATION_r11.md).
     n = X.shape[0]
     if k <= 1:
         return np.zeros(n)
@@ -140,19 +148,36 @@ def mst_edges(
 
     attached = np.zeros(n, dtype=bool)
     nearest_w = np.full(n, np.inf)
+    final_w = np.empty(n)
     nearest_nb = np.zeros(n, dtype=np.int64)
+    # reusable per-iteration buffers (round 11): the loop used to
+    # allocate ~5 fresh n-arrays per iteration (mrd, two masks, the
+    # np.where copy); with out= targets and the invariant that
+    # attached entries hold nearest_w == inf (snapshotted into final_w
+    # at attach time, never updated again since `upd` excludes
+    # attached), the masked copy IS nearest_w itself. argmin input
+    # values are identical, so edges are bit-identical (pinned by a
+    # 30-trial tie-heavy differential while measuring: -22% kernel).
+    mrd = np.empty(n)
+    cmp_buf = np.empty(n, dtype=bool)
+    upd = np.empty(n, dtype=bool)
+    rev_w = nearest_w[::-1]
 
     current = n - 1
     attached[current] = True
     for _ in range(n - 1):
         d = row_distance(current)
-        mrd = np.maximum(d, np.maximum(core, core[current]))
-        upd = (~attached) & (mrd < nearest_w)
+        np.maximum(core, core[current], out=mrd)
+        np.maximum(d, mrd, out=mrd)
+        np.less(mrd, nearest_w, out=cmp_buf)
+        np.logical_not(attached, out=upd)
+        np.logical_and(upd, cmp_buf, out=upd)
         nearest_w[upd] = mrd[upd]
         nearest_nb[upd] = current
         # reference scans 0..n-1 keeping <=, i.e. picks the LAST argmin
-        masked = np.where(attached, np.inf, nearest_w)
-        current = n - 1 - int(np.argmin(masked[::-1]))
+        current = n - 1 - int(np.argmin(rev_w))
+        final_w[current] = nearest_w[current]
+        nearest_w[current] = np.inf
         attached[current] = True
 
     # Edge for every vertex except the start (HDBSCANStar.java:189-193):
@@ -160,7 +185,7 @@ def mst_edges(
     keep[n - 1] = False
     src = ids[nearest_nb[keep]]
     dst = ids[keep]
-    w = nearest_w[keep]
+    w = final_w[keep]
     if self_edges:
         src = np.concatenate([src, ids])
         dst = np.concatenate([dst, ids])
