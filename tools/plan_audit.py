@@ -527,11 +527,14 @@ def main():
         "kmv distinct + salted bottom-k",
         "CartesianProduct" not in kvp
         and "BroadcastNestedLoopJoin" not in kvp
-        and kvp.count("+- Window ") == 2
-        and kvp.count("WindowGroupLimit") >= 2,
-        "two salt-capped window passes (pre-rank <=k per salt, final "
-        "rank over <=32k survivors), each under a WindowGroupLimit "
-        "rank pushdown; equi-shuffles only",
+        and kvp.count("+- Window ") == 1
+        and kvp.count("WindowGroupLimit") >= 1
+        and "ObjectHashAggregate" in kvp,
+        "ONE salt-capped window pass (pre-rank <=k per salt, under a "
+        "WindowGroupLimit rank pushdown); the exact bottom-k stats "
+        "come from the final per-group aggregation over the <=32k "
+        "salt-capped survivors (round-11: second window+exchange "
+        "folded into the agg); equi-shuffles only",
     )
 
     # 34. chunking: pure scan -> project -> generate — zero exchanges
