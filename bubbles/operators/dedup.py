@@ -324,20 +324,40 @@ def simhash_dedup(
     operators (exact_dedup keeps NULL rows, near_dup_groups re-attaches
     no-pair docs) make the same promise, and a pipeline asserting
     row-count preservation must not silently lose crawl rows."""
+    # Round-11 restructure (guide §2.4): the original built bands as a
+    # 4-way union of per-band selects over the lazy sigs frame and
+    # joined sigs back at the end — Catalyst does not CSE shared
+    # subtrees, so the explode+md5+64-way-sum signature pipeline
+    # re-executed ~9x in one plan (measured: 10 parquet scans / 22
+    # exchanges). Now bands come from ONE posexplode (sigs referenced
+    # twice total), and the output's signature columns are
+    # reconstructed exactly inside the canonical aggregation
+    # (max(when(band=b, v)) — each (id, band) holds exactly one v), so
+    # no join back. A localCheckpoint cut was tried instead and
+    # rejected: identical results but +50% wall at bench scale (the
+    # eager cut serializes what the duplicated-subtree plan ran
+    # concurrently) — the single-plan shape wins at BOTH scales.
     sigs = simhash64_bands(df, text_col, id_col)
-    bands = None
-    for b in range(4):
-        sel = sigs.select(
-            F.col(id_col), F.lit(b).alias("band"), F.col(f"sim_b{b}").alias("v")
-        )
-        bands = sel if bands is None else bands.unionByName(sel)
+    bands = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[F.col(f"sim_b{b}") for b in range(4)])
+        ).alias("band", "v"),
+    )
+    # bucket minima via groupBy (map-side partials), NOT a window —
+    # a viral bucket stays skew-safe (unchanged discipline)
     bucket_min = bands.groupBy("band", "v").agg(F.min(id_col).alias("__bmin"))
-    canon = (
+    out = (
         bands.join(bucket_min, on=["band", "v"])
         .groupBy(id_col)
-        .agg(F.min("__bmin").alias("canonical_id"))
+        .agg(
+            *[
+                F.max(F.when(F.col("band") == b, F.col("v"))).alias(f"sim_b{b}")
+                for b in range(4)
+            ],
+            F.min("__bmin").alias("canonical_id"),
+        )
     )
-    out = sigs.join(canon, on=id_col)
     return (
         df.select(F.col(id_col))
         .join(out, on=id_col, how="left")

@@ -48,9 +48,20 @@ def pagerank(
 ) -> DataFrame:
     """(vertex, rank_micro) after ``n_iter`` exact damped iterations
     over the distinct directed edge set."""
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    # materialize the distinct edge relation once (round 11, guide
+    # §2.4): Catalyst does not CSE shared subtrees, and e is reached
+    # through verts/out_deg/contrib once per unrolled iteration plus
+    # the final projection — lazily the whole upstream edge derivation
+    # re-executed per reference (measured on the catalog query: 40
+    # parquet scans / 59 exchanges in one plan; 0 re-scans after this
+    # one cut). verts/out_deg stay lazy over the materialized e: their
+    # own re-derivation is a slim scan + agg, and cutting them too was
+    # measured as pure barrier cost.
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
     verts = (
         e.select(F.col("src").alias("vertex"))
         .union(e.select(F.col("dst").alias("vertex")))
@@ -142,6 +153,13 @@ def triangle_count(
     a_first = F.struct(F.col("da").alias("d"), F.col("a").alias("v")) < F.struct(
         F.col("db").alias("d"), F.col("b").alias("v")
     )
+    # NOTE (round 11): materializing e/oriented with localCheckpoint
+    # was tried (47 exchanges -> 5 in the plan) and REVERTED: wall was
+    # a wash at sf0.1 (the duplicated subtrees run concurrently on
+    # idle cores) and the cached blocks OOMed a 1 GB driver session
+    # that the lazy plan survives. The duplication is bounded (the
+    # oriented relation is slim and its re-derivation is two equi
+    # joins), so the lazy shape stays.
     oriented = keyed.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),

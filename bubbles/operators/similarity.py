@@ -377,10 +377,6 @@ def lsh_topk(
                 [], "query_id long, neighbor_id long, rank int"
             )
         dim = len(row[0])
-    if planes is None:
-        import math
-
-        planes = max(6, math.ceil(math.log2(max(df.count(), 2) / 256)))
     # a single-file corpus arrives in one split; the per-row bucket
     # projections (tables × planes × dim aggregate expressions) would
     # then run on one core. Unconditional round-robin repartition of
@@ -389,8 +385,27 @@ def lsh_topk(
     # would force a DataFrame->RDD plan conversion just to decide, and
     # at scale one extra narrow shuffle is noise next to the bucket
     # projections it parallelizes.
+    # localCheckpoint (round 11, guide §2.4): the corpus base is
+    # referenced 2-3 times PER TABLE (bucket cap count, join side,
+    # self-search query side) and Catalyst does not CSE shared
+    # subtrees — lazily the whole upstream scan re-executed up to 12x
+    # in one 3-table plan (measured on the catalog query: 12 parquet
+    # scans / 32 exchanges; 0 re-scans after this one cut). The cut
+    # rides the repartition shuffle it was paying anyway. Only the
+    # BASE is cut — per-table capped-bucket checkpoints were tried and
+    # rejected: they serialize the tables' pipelines, which Spark
+    # otherwise schedules concurrently inside the one union job
+    # (measured +30% wall at sf0.1).
     par = df.sparkSession.sparkContext.defaultParallelism
-    df = df.repartition(par)
+    df = df.repartition(par).localCheckpoint()
+    if queries is not None:
+        # same disease on the query side: bucketed once per table
+        queries = queries.localCheckpoint()
+    if planes is None:
+        import math
+
+        # the count now reads the materialized base — no extra scan
+        planes = max(6, math.ceil(math.log2(max(df.count(), 2) / 256)))
     # per-(table, bucket) scoring in a self-cogroup kernel instead of a
     # per-bucket self-JOIN: the join materialized every candidate pair
     # carrying both vectors (|bucket|² rows x 2 vectors of Arrow+shuffle
@@ -421,12 +436,15 @@ def lsh_topk(
         # align positionally, names need not match)
         if n_probes > 1 and probe_alloc == "global":
             if probe_frame is None:
+                # materialized once: the probe frame is filtered per
+                # table, which would re-run the full perturbation
+                # scoring per reference
                 probe_frame = lsh_bucket_probes_global(
                     df if queries is None else queries,
                     dim, planes, seed, tables, id_col, vec_col,
                     total_probes=tables * n_probes,
                     max_flip_bits=2,
-                )
+                ).localCheckpoint()
             qsrc = probe_frame.filter(F.col("__tbl") == t).drop("__tbl")
         elif n_probes > 1:
             qsrc = lsh_bucket_probes(
@@ -1110,8 +1128,12 @@ def embedding_cosine_dedup_pairs_lsh(
         planes = max(6, math.ceil(math.log2(max(df.count(), 2) / 256)))
     # single-file corpus arrives in one split — spread the
     # tables x planes x dim bucket projections first (same rationale
-    # and shape as lsh_topk / minhash_lsh_pairs)
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # and shape as lsh_topk / minhash_lsh_pairs). localCheckpoint:
+    # the base is re-bucketed per table and Catalyst does not CSE
+    # shared subtrees (same round-11 cut as lsh_topk).
+    df = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    ).localCheckpoint()
     found = None
     for t in range(tables):
         b = lsh_bucket(df, dim, planes, seed, t, id_col, vec_col)

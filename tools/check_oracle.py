@@ -60,9 +60,20 @@ def main():
     qs = entry_mod.all_queries()
     oracles = entry_mod.all_oracle_sql()
     failures = []
+    import gc
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # settle between queries (the bench's per-rep discipline,
+        # bench.py): operators that localCheckpoint shared relations
+        # leave storage blocks pinned until Python GC triggers the
+        # async ContextCleaner; in this deliberately small local[8]
+        # session ~100 accumulated queries' worth of stale blocks can
+        # OOM a later memory-hungry row — free them synchronously.
+        gc.collect()
+        for r in spark.sparkContext._jsc.getPersistentRDDs().values():
+            r.unpersist(True)
         t0 = time.time()
         try:
             got = fn(spark, sf_dir).toPandas()
