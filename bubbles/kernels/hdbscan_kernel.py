@@ -148,7 +148,12 @@ def mst_edges(
 
     attached = np.zeros(n, dtype=bool)
     nearest_w = np.full(n, np.inf)
-    final_w = np.empty(n)
+    # inf, not empty (ADVICE r11): with non-finite inputs (NaN features
+    # make every mrd comparison false; inf distances leave nearest_w at
+    # inf) the argmin can re-pick an attached vertex, so a vertex may
+    # never be selected as `current` — its final_w slot must then read
+    # as the old masked-copy code's inf, not uninitialized memory
+    final_w = np.full(n, np.inf)
     nearest_nb = np.zeros(n, dtype=np.int64)
     # reusable per-iteration buffers (round 11): the loop used to
     # allocate ~5 fresh n-arrays per iteration (mrd, two masks, the

@@ -170,32 +170,47 @@ def minhash_lsh_pairs(
     par = df.sparkSession.sparkContext.defaultParallelism
     df = df.repartition(par)
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle)
-    # checkpoint=True: buckets feeds THREE consumers (size-cap count,
-    # join side A, join side B) whose subplans differ, so Catalyst
-    # would re-execute the whole shingle-explode + digest + min-agg
-    # pipeline (75M intermediate rows at 500k docs) for each —
-    # measured 4x the query (A/B in tools/minhash_ab.py: 330/122 s
-    # baseline vs 31/77 s checkpointed, identical pairs).
-    # Materializing the SLIM (id, band, bucket) relation once ends
-    # that: ~50 B/doc/band in the block manager (disk-spilling storage
-    # level), far cheaper than recomputing the signature pipeline per
-    # consumer at any corpus size.
-    buckets = band_buckets(
-        sig, num_hashes, band_size, max_bucket_size, id_col, checkpoint=True
-    )
     if max_bucket_size:
-        # capped buckets are <= max_bucket_size members, so the pairs
-        # of a bucket can be generated from its sorted member array in
-        # one pass instead of a self-join (guide §2.3/2.4): the cap
-        # join already partitions by (band, bucket), the groupBy
-        # reuses that partitioning (no new exchange), and the id_a <
-        # id_b filter is free (sorted array, j > i). The self-join
-        # variant shuffled the bucket relation twice more and re-ran
-        # the cap subplan per join side. Identical pair set (each doc
-        # appears at most once per (band, bucket)).
-        grouped = buckets.groupBy("band", "bucket").agg(
-            F.sort_array(F.collect_list(F.col(id_col))).alias("__ids")
+        # Round-12 single-pass capped shape (guide §2.4/§2.5; closes
+        # the round-11 driver regression on this row). The previous
+        # shape materialized the bucket relation (localCheckpoint
+        # barrier) because it fed THREE consumers: a cap-count groupBy,
+        # a join back, then the pair-generating groupBy — three
+        # (band, bucket) exchanges plus a barrier on a ~2 s query. Now
+        # there is exactly ONE consumer chain, so nothing needs
+        # materializing: rank rows inside each (band, bucket) by id
+        # with a LITERAL cap+1 filter — Spark plans WindowGroupLimit,
+        # whose PARTIAL mode keeps only cap+1 rows per group per map
+        # task BEFORE the exchange, so a viral bucket never crosses the
+        # shuffle (the skew guard the old count+join provided, now for
+        # free) — and the following groupBy reuses the window's
+        # (band, bucket) partitioning. Groups still holding cap+1 rows
+        # after the limit are over-full and dropped: identical groups
+        # to the old count<=cap filter (count(min(n, cap+1)) <= cap
+        # <=> n <= cap; NULL ids rank first and still count toward the
+        # cap, as they did in the old count(*)).
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bucket").orderBy(F.col(id_col).asc_nulls_first())
+        buckets = band_buckets(sig, num_hashes, band_size, None, id_col)
+        capped = (
+            buckets.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_bucket_size + 1)
         )
+        grouped = (
+            capped.groupBy("band", "bucket")
+            .agg(
+                F.count("*").alias("__bn"),
+                F.sort_array(F.collect_list(F.col(id_col))).alias("__ids"),
+            )
+            .filter(F.col("__bn") <= max_bucket_size)
+        )
+        # pairs from each bucket's sorted member array in one pass
+        # instead of a self-join (round 11, guide §2.3): the id_a <
+        # id_b filter is free (sorted array, j > i). NULL ids sort
+        # first, so a NULL can only ever appear as id_a — the
+        # isNotNull filter reproduces the old self-join's NULL
+        # rejection (a NULL < x predicate is never true) (ADVICE r11).
         return (
             grouped.select(
                 F.explode(
@@ -207,10 +222,18 @@ def minhash_lsh_pairs(
                 ).alias("__p")
             )
             .select("__p.id_a", "__p.id_b")
+            .filter(F.col("id_a").isNotNull())
             .distinct()
         )
     # uncapped: a viral bucket would make collect_list unbounded —
-    # keep the skew-safe (AQE-splittable) self-join for this mode
+    # keep the skew-safe (AQE-splittable) self-join for this mode.
+    # checkpoint=True: buckets feeds BOTH join sides, whose subplans
+    # differ, so Catalyst would re-execute the whole shingle-explode +
+    # digest + min-agg pipeline (75M intermediate rows at 500k docs)
+    # per side — measured 4x the query (A/B in tools/minhash_ab.py).
+    buckets = band_buckets(
+        sig, num_hashes, band_size, None, id_col, checkpoint=True
+    )
     a = buckets.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
     b2 = buckets.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"))
     return (

@@ -50,7 +50,7 @@ from bubbles.operators.text import tokens, word_bigrams
 
 
 def bigram_counts(
-    corpus: DataFrame, text_col: str = "text"
+    corpus: DataFrame, text_col: str = "text", materialize: bool = False
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Train the model: returns (bigram, context, vocab) relations.
 
@@ -59,10 +59,23 @@ def bigram_counts(
       derived from ``big`` by summation (no second corpus scan).
     * ``vocab`` — single row (v): distinct unigram count.
 
-    All lazy — nothing here launches a job.
+    With ``materialize=False`` (default) everything is lazy — nothing
+    here launches a job, but a plan that references both ``big`` and
+    ``ctx`` executes the corpus scan→explode→count(bg) pipeline TWICE
+    (Catalyst does not CSE shared subtrees; ``ctx`` chains from
+    ``big``).  ``materialize=True`` cuts ``big`` with an eager
+    ``localCheckpoint`` so the corpus bigram derivation runs exactly
+    once and ``ctx`` becomes a slim re-aggregation of the materialized
+    counts — the scoring shape (``bigram_lm_score``/``dsir_weights``)
+    wants this.  Lifecycle note: the checkpointed blocks stay pinned
+    until the returned frames are garbage-collected (the engine-wide
+    ``localCheckpoint`` discipline — see similarity.lsh_topk); callers
+    that loop over many models should drop references between rounds.
     """
     bg = corpus.select(F.explode(word_bigrams(F.col(text_col))).alias("bg"))
     big = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("big_n"))
+    if materialize:
+        big = big.localCheckpoint()
     ctx = (
         big.withColumn("w1", F.substring_index(F.col("bg"), " ", 1))
         .groupBy("w1")
@@ -89,8 +102,33 @@ def bigram_lm_score(
     twin applies the same contract).  ``inv_avg_micro`` is the
     integer-division mean inverse probability in micro-units: lower
     is more fluent under the corpus model.
+
+    Round 12 (guide §2.4 + §3.1): the corpus bigram pipeline is
+    materialized ONCE (``bigram_counts(materialize=True)``) instead of
+    executing twice per query (once under the big join, once under
+    ctx's re-aggregation).  A ``localCheckpoint`` erases size
+    statistics, which would silently degrade the two count-table
+    joins from broadcast to sort-merge (measured 3.6× WORSE in round
+    11 — the naive cut was rejected for exactly this), so the join
+    strategy no longer rides on stats: the count tables get an
+    explicit ``broadcast()`` hint when the measured bigram count is
+    under ``BUBBLES_LM_BROADCAST_ROWS`` (default 2M rows ≈ tens of MB
+    framed — inside the broadcast comfort zone of guide §3.1).  Past
+    the threshold (a trillion-token corpus) both joins fall back to
+    shuffle joins, which is what they would have been anyway.  The
+    count job that reads the threshold runs over the just-checkpointed
+    blocks, so it costs one bounded scan of the slim count relation,
+    not a corpus pass.
     """
-    big, ctx, vocab = bigram_counts(corpus, text_col)
+    import os
+
+    big, ctx, vocab = bigram_counts(corpus, text_col, materialize=True)
+    n_big = big.count()  # cached blocks — no corpus re-scan
+    bcast_rows = int(os.environ.get("BUBBLES_LM_BROADCAST_ROWS", "2000000"))
+    if n_big <= bcast_rows:
+        # ctx is a grouped rollup of big, so |ctx| <= n_big — one
+        # measured gate covers both hint decisions
+        big, ctx = F.broadcast(big), F.broadcast(ctx)
     events = docs.select(
         F.col(id_col), F.explode(word_bigrams(F.col(text_col))).alias("bg")
     )
@@ -153,18 +191,37 @@ def dsir_weights(
     tokenize identically, so every >=2-token document appears in both
     and the join is inner.
 
-    One plan: the two trainings share the document scan per corpus;
-    scoring joins are the same shape as ``bigram_lm_score``; the
+    Scoring joins are the same shape as ``bigram_lm_score``; the
     final join is id-to-id (shuffle or broadcast, AQE-owned).
+
+    The two trainings each materialize their corpus bigram counts
+    (see ``bigram_lm_score``), which launches a job per LM at build
+    time — run sequentially those barriers serialize two pipelines
+    Spark previously overlapped inside one lazy job (measured +36%
+    at sf0.1), so the two builds are submitted from a 2-thread pool
+    (guide §2.6: overlap independent jobs; job submission is
+    thread-safe and FIFO scheduling back-fills the first job's tail
+    with the second job's tasks).
     """
-    t = bigram_lm_score(docs, target_corpus, text_col, id_col, micro).select(
-        F.col(id_col),
-        F.col("n_bigrams"),
-        F.col("inv_avg_micro").alias("target_inv_avg"),
-    )
-    b = bigram_lm_score(docs, base_corpus, text_col, id_col, micro).select(
-        F.col(id_col), F.col("inv_avg_micro").alias("base_inv_avg")
-    )
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _t():
+        return bigram_lm_score(
+            docs, target_corpus, text_col, id_col, micro
+        ).select(
+            F.col(id_col),
+            F.col("n_bigrams"),
+            F.col("inv_avg_micro").alias("target_inv_avg"),
+        )
+
+    def _b():
+        return bigram_lm_score(docs, base_corpus, text_col, id_col, micro).select(
+            F.col(id_col), F.col("inv_avg_micro").alias("base_inv_avg")
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        ft, fb = pool.submit(_t), pool.submit(_b)
+        t, b = ft.result(), fb.result()
     return t.join(b, id_col).select(
         F.col(id_col),
         F.col("n_bigrams"),

@@ -396,6 +396,17 @@ def lsh_topk(
     # rejected: they serialize the tables' pipelines, which Spark
     # otherwise schedules concurrently inside the one union job
     # (measured +30% wall at sf0.1).
+    # Lifecycle (ADVICE r11): the checkpointed blocks (base, query
+    # frame, probe frame) stay pinned until the corresponding Python
+    # frames are garbage-collected — they CANNOT be unpersisted here
+    # because the returned lazy plan still reads them on every
+    # execution. Long-lived drivers that call this operator in a loop
+    # should drop result references between rounds (bench.py /
+    # tools/check_oracle.py settle leftover persistent RDDs
+    # synchronously for exactly this reason); checkpointed blocks are
+    # also non-recomputable on executor loss — acceptable for these
+    # within-query intermediates, which any retry rebuilds from source
+    # by re-running the query.
     par = df.sparkSession.sparkContext.defaultParallelism
     df = df.repartition(par).localCheckpoint()
     if queries is not None:
@@ -1122,10 +1133,6 @@ def embedding_cosine_dedup_pairs_lsh(
                 [], "id_a long, id_b long, cos_sim double"
             )
         dim = len(row[0])
-    if planes is None:
-        import math
-
-        planes = max(6, math.ceil(math.log2(max(df.count(), 2) / 256)))
     # single-file corpus arrives in one split — spread the
     # tables x planes x dim bucket projections first (same rationale
     # and shape as lsh_topk / minhash_lsh_pairs). localCheckpoint:
@@ -1134,6 +1141,13 @@ def embedding_cosine_dedup_pairs_lsh(
     df = df.repartition(
         df.sparkSession.sparkContext.defaultParallelism
     ).localCheckpoint()
+    if planes is None:
+        import math
+
+        # the auto-size count reads the just-materialized base instead
+        # of re-executing the full upstream pipeline (ADVICE r11 — the
+        # exact redundancy lsh_topk's round-11 cut already fixed there)
+        planes = max(6, math.ceil(math.log2(max(df.count(), 2) / 256)))
     found = None
     for t in range(tables):
         b = lsh_bucket(df, dim, planes, seed, t, id_col, vec_col)

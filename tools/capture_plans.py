@@ -1,7 +1,9 @@
 """Capture .explain("formatted") output for bench headline queries into
-plans/r11/<query>_<tag>.txt (optimization-round evidence).
+plans/<round>/<query>_<tag>.txt (optimization-round evidence).
 
 Usage: python tools/capture_plans.py <tag> [sf_dir] [only1,only2,...]
+The round directory defaults to r12; override with SPARK_GRAFT_PLANS_ROUND.
+Names in the only-list may be ANY catalog query (not just headline rows).
 """
 
 from __future__ import annotations
@@ -33,7 +35,10 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11")
+    rnd = os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r12")
+    outdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", rnd
+    )
     os.makedirs(outdir, exist_ok=True)
 
     # the bench headline rows that are plain catalog queries (the fit
@@ -56,6 +61,9 @@ def main():
         "ivf_ann_topk",
     ]
     qs = m.all_queries()
+    if only:
+        # allow capturing ANY catalog query, not just the headline rows
+        names = [n for n in qs if n in only]
     for name in names:
         if only and name not in only:
             continue
