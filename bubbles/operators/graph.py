@@ -160,6 +160,24 @@ def triangle_count(
     # that the lazy plan survives. The duplication is bounded (the
     # oriented relation is slim and its re-derivation is two equi
     # joins), so the lazy shape stays.
+    # NOTE (round 12): two single-plan restructures were built, measured
+    # and REVERTED (plans/r12/triangle_count_*, OPTIMIZATION_r12.md):
+    # (a) full window shape — degrees from a count window over exploded
+    # endpoints + wedges from per-lo sorted adjacency arrays + closure
+    # as marker rows under a min-over-(x,y) window: 2 scans / 6
+    # exchanges in the plan but 2.3x SLOWER (22.9 vs 9.8 s interleaved
+    # A/B at bench config); (b) hybrid — join-based degree attach, only
+    # the wedge self-join + semi-join replaced by adjacency arrays +
+    # marker window: 1.9x slower (13.3 vs 7.1 s). Root cause, verified
+    # in the executed plan (plans/r12/triangle_count_runtime_reuse.txt):
+    # AQE reuses identical shuffle stages at RUNTIME — the final plan
+    # carries 7 ReusedExchange nodes and only 11 real shuffle stages,
+    # so the apparent ~10x re-derivation largely never executes, while
+    # the restructures pay real new costs (two window sorts + an
+    # ObjectHashAggregate collect where codegen'd joins ran before).
+    # The static-plan Exchange count is a misleading metric for THIS
+    # operator; the lazy shape is the measured optimum at both tested
+    # scales.
     oriented = keyed.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
