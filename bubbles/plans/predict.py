@@ -831,7 +831,18 @@ def _predict_via_persisted_index(
         F.col("point_id").cast("long").alias("point_id"),
         F.col(features_col).cast("array<double>").alias("features"),
     )
-    q_min = staged.agg(F.min("point_id")).first()[0]
+    # Warm-path job fusion (round 12, guide §2.6 / VERDICT r11 task 5):
+    # the id-offset min and the repartition-width count used to be two
+    # sequential jobs over the batch; one aggregation computes both.
+    # The non-NULL count equals |qbase| exactly because _mips_queries
+    # maps NULL features to NULL __ivec and non-NULL to non-NULL for
+    # both metric embeddings (identity for cosine; transform+concat
+    # propagate NULL for euclidean).
+    head = staged.agg(
+        F.min("point_id").alias("mn"),
+        F.count(F.when(F.col("features").isNotNull(), F.lit(1))).alias("nn"),
+    ).first()
+    q_min = head["mn"]
     if q_min is None:
         return spark.createDataFrame([], _PREDICT_SCHEMA)
     offset = max(0, int(meta["ref_max_id"]) - int(q_min) + 1)
@@ -853,10 +864,16 @@ def _predict_via_persisted_index(
         "point_id", F.col("__ivec").alias("features")
     ).filter(F.col("features").isNotNull())
     par = spark.sparkContext.defaultParallelism
-    qn = qbase.count()
+    qn = int(head["nn"])
     if -(-qn // 50_000) <= par:
         qbase = qbase.repartition(min(par, max(1, -(-qn // 50_000))))
-    both = _ivf_assign_probe(qbase, cids, cmat, n_probe).localCheckpoint()
+    # no localCheckpoint here (round 12): unlike the cold path, where
+    # the assign output feeds BOTH the inverted-list build and the
+    # query probes, the warm path has exactly one consumer (_ivf_score
+    # reads it once), so a cut would only add a barrier job and pin
+    # the (vec-carrying) kernel output in the block manager — the
+    # assign kernel now streams straight into the scoring shuffle
+    both = _ivf_assign_probe(qbase, cids, cmat, n_probe)
     members = spark.read.parquet(f"{index_path}/members").select(
         "neighbor_id", F.col("vec").alias("__cv"), "centroid"
     )
